@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship inverted-index query on sf0.001 (smoke).
+``queries()`` — every implemented operator as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twin per query (where
+SQL-expressible; streaming/LSH entries are rows-only checked).
+
+Implementation lives in ``mapreduce_inverted_index_spark`` (see
+SURVEY.md §2 for the operator inventory this catalog covers).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from mapreduce_inverted_index_spark.plans.registry import all_queries  # noqa: E402
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Full reference data plane in one expression: documents → tokenize
+    (P1-P4) → per-doc distinct (P5) → explode (P6) → groupBy term →
+    sorted distinct postings + df (A1-A4).
+    """
+    from mapreduce_inverted_index_spark.operators.inverted_index import build_index
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, _SMOKE_SF_DIR, "documents")
+    return build_index(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (omitted for rows-only checks)."""
+    return {
+        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+    }

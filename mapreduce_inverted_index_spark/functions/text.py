@@ -1,0 +1,74 @@
+"""Text-normalization column functions — the reference's tokenize
+pipeline (P1-P4 in SURVEY.md §2.3) as pure builtin Spark expressions.
+
+Reference semantics reproduced exactly
+(``mapper/src/processor.py:163-171``):
+
+  1. lowercase                                   (P1, ``:166``)
+  2. DELETE every char not in ``[a-z\\s]`` —
+     punctuation/digits are removed, not split on:
+     ``"don't rock-n-roll 42!"`` → ``dont rocknroll`` (P2, ``:167``)
+  3. split on whitespace                         (P3, ``:168``)
+  4. drop NLTK English stopwords                 (P4, ``:169``)
+
+Everything stays JVM-side (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.stopwords import (
+    STOPWORDS,
+    stopwords_sql_list,
+)
+
+__all__ = ["STOPWORDS", "normalize_text", "tokenize", "terms", "stopwords_sql_list"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """P1+P2: lowercase, then delete every non ``[a-z\\s]`` char."""
+    return F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col),
+                            r"[^a-z\s]", "")
+
+
+def tokenize(col: Column | str) -> Column:
+    """P3: whitespace-split into ARRAY<STRING>, no empty tokens.
+
+    Python's ``str.split()`` never yields empty strings; Spark's
+    ``split`` yields one for leading/trailing separators, so trim
+    first and drop any residual empties (the empty-text case).
+    """
+    return F.array_remove(F.split(F.trim(normalize_text(col)), r"\s+"), "")
+
+
+def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
+    """P1-P4 (+ optionally P5): stopword-filtered token array.
+
+    ``keep_duplicates=False`` additionally applies the reference's
+    per-document ``set()`` (P5, ``mapper/src/processor.py:190``) so
+    each term appears once per document — the inverted-index input.
+    ``keep_duplicates=True`` preserves term frequency for tf-idf /
+    text-stats operators.
+    """
+    toks = tokenize(col)
+    if keep_duplicates:
+        return F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
+    return F.array_except(toks, F.lit(list(STOPWORDS)).cast("array<string>"))
+
+
+def sql_terms(text_expr: str = "text", *, distinct: bool = False) -> str:
+    """DuckDB oracle twin of the tokenize pipeline: a list expression.
+
+    Produces the same token list as :func:`terms` for the given SQL
+    text expression (used inside ``unnest(...)`` by oracle queries).
+    """
+    base = (
+        f"list_filter(string_split_regex(trim(regexp_replace(lower({text_expr}), "
+        f"'[^a-z\\s]', '', 'g')), '\\s+'), "
+        f"t -> t <> '' AND t NOT IN ({stopwords_sql_list()}))"
+    )
+    if distinct:
+        return f"list_distinct({base})"
+    return base

@@ -1,0 +1,114 @@
+"""The inverted-index pipeline — the reference's entire data plane as
+one lazy DataFrame expression (SURVEY.md §7.2).
+
+Reference lifecycle collapsed here (SURVEY.md §3.1 steps 3-11):
+  * map phase   ``mapper/src/processor.py:173-199`` → ``doc_terms``
+  * map-side combine ``mapper/src/processor.py:80-134`` → automatic
+    partial aggregation inside ``groupBy('term')``
+  * reduce merge/sort/dedup ``reducer/src/processor.py:15-88`` →
+    ``sort_array(collect_set(...))``
+
+Scale notes (100 TB posture):
+  * ``doc_terms`` is a narrow map stage — no shuffle until the
+    ``groupBy('term')``, whose map-side partial ``collect_set`` plays
+    the reference's "shuffle_intermediate_results" combiner role but
+    per-partition and spillable.
+  * term is a naturally high-cardinality, Zipf-skewed key; AQE skew
+    handling plus the per-doc distinct (which caps any (term,doc)
+    pair at 1) keep reducer partitions bounded by distinct-doc counts.
+  * the final index is a DataFrame, not a single JSON dict — persist
+    with ``write_index`` (Parquet, optionally bucketed by term) so
+    term lookups become partition/bucket-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.text import terms
+
+__all__ = [
+    "doc_terms",
+    "build_index",
+    "index_stats",
+    "doc_freq",
+    "write_index",
+]
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Map phase: one row per (doc_id, term), terms distinct per doc.
+
+    Equivalent of the reference's ``map_terms_to_documents``
+    (``mapper/src/processor.py:173-199``): P1-P5 then emit (P6). The
+    per-doc ``array_distinct`` happens *before* explode so the row
+    expansion (and later shuffle) carries no duplicate pairs.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(terms(text_col)).alias("term"),
+    )
+
+
+def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The flagship query: documents → inverted index.
+
+    Output: ``term STRING, postings ARRAY<BIGINT> (sorted, distinct),
+    df BIGINT``. ``collect_set`` + ``sort_array`` reproduce the
+    reducer's merge → sort-by-doc_id → dedup-first-wins
+    (``reducer/src/processor.py:36-77``; first-wins == set semantics
+    here because the payload is just doc_id — SURVEY.md §7.4).
+    """
+    pairs = doc_terms(docs, text_col, id_col)
+    return pairs.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.count("*").alias("df"),
+    )
+
+
+def doc_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document frequency per term (no postings payload).
+
+    The array-free aggregate — at 100 TB you compute stats like this
+    without materializing postings at all; Catalyst plans a partial
+    count per partition, so shuffle volume is O(distinct terms).
+    """
+    return (
+        doc_terms(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def index_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level counters — the reference's metadata block
+    (``mapper/src/processor.py:62,121``, ``reducer/src/processor.py:103``)
+    as one aggregate row: total postings, distinct terms, documents.
+    """
+    pairs = doc_terms(docs, text_col, id_col)
+    return pairs.agg(
+        F.count("*").alias("num_postings"),
+        F.countDistinct("term").alias("num_terms"),
+        F.countDistinct("doc_id").alias("num_docs"),
+    )
+
+
+def write_index(index: DataFrame, path: str, *, buckets: int = 0, json_parity: bool = False) -> None:
+    """Persist the index (K2, ``reducer/src/processor.py:90-113``).
+
+    Canonical sink is Parquet; ``buckets > 0`` bucket-sorts by term so
+    future term lookups and index-index joins are shuffle-free.
+    ``json_parity`` additionally writes a single JSON file like the
+    reference's ``inverted_index_{ts}.json`` — test-only (a 100 TB
+    index cannot be one JSON file).
+    """
+    if buckets:
+        (index.write.mode("overwrite")
+              .bucketBy(buckets, "term").sortBy("term")
+              .option("path", path)
+              .saveAsTable(f"inverted_index_b{buckets}"))
+    else:
+        index.write.mode("overwrite").parquet(path)
+    if json_parity:
+        index.coalesce(1).write.mode("overwrite").json(path + ".json")

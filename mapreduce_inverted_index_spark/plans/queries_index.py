@@ -1,0 +1,185 @@
+"""Inverted-index query catalog — the reference's data plane
+(SURVEY.md §2.3-§2.5, §2.8) with DuckDB oracle twins.
+
+Postings arrays are serialized to CSV strings in oracle-facing
+outputs (``array_join`` / ``array_to_string``) so value-hash
+comparison is representation-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.text import sql_terms
+from mapreduce_inverted_index_spark.operators import inverted_index as idx
+from mapreduce_inverted_index_spark.operators import term_queries as tq
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+# Query terms guaranteed to exist in the synthetic vocabulary
+# (TESTDATA documents use words like join/filter/window/...).
+_T1, _T2, _T3 = "join", "window", "filter"
+
+# Shared oracle fragment: the exploded, stopword-filtered,
+# per-document-distinct (doc_id, term) pairs.
+_PAIRS_SQL = (
+    "SELECT doc_id, unnest(" + sql_terms("text", distinct=True) + ") AS term "
+    "FROM documents"
+)
+_TF_SQL = (
+    "SELECT doc_id, unnest(" + sql_terms("text", distinct=False) + ") AS term "
+    "FROM documents"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs GROUP BY term
+    """,
+    doc="Flagship: documents -> term -> sorted distinct postings + df "
+        "(reference reducer output, reducer/src/processor.py:15-88).",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idx.build_index(_docs(spark, sf_dir)).select(
+        "term",
+        F.array_join("postings", ",").alias("postings_csv"),
+        "df",
+    )
+
+
+@register(
+    "doc_terms",
+    oracle=f"WITH pairs AS ({_PAIRS_SQL}) SELECT doc_id, term FROM pairs",
+    doc="Map-phase output: per-doc distinct (doc_id, term) pairs "
+        "(mapper/src/processor.py:173-199).",
+)
+def q_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idx.doc_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_freq",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term, count(*) AS df FROM pairs GROUP BY term
+    """,
+    doc="Document frequency per term (array-free aggregate).",
+)
+def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idx.doc_freq(_docs(spark, sf_dir))
+
+
+@register(
+    "index_stats",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT count(*) AS num_postings,
+           count(DISTINCT term) AS num_terms,
+           count(DISTINCT doc_id) AS num_docs
+    FROM pairs
+    """,
+    doc="Corpus counters (reference metadata block, A4).",
+)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idx.index_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "term_lookup",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs WHERE term = '{_T1}' GROUP BY term
+    """,
+    doc=f"Exact-term lookup for '{_T1}' (Readme.md:222-242 contract).",
+)
+def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = idx.build_index(_docs(spark, sf_dir))
+    return tq.term_lookup(index, _T1).select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df"
+    )
+
+
+@register(
+    "and_query",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT doc_id FROM pairs WHERE term IN ('{_T1}', '{_T2}')
+    GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    """,
+    doc=f"Boolean AND: docs containing both '{_T1}' and '{_T2}' "
+        "(postings intersection, SURVEY.md §2.8).",
+)
+def q_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.and_query(_docs(spark, sf_dir), [_T1, _T2])
+
+
+@register(
+    "or_query",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT DISTINCT doc_id FROM pairs WHERE term IN ('{_T1}', '{_T2}')
+    """,
+    doc=f"Boolean OR: docs containing '{_T1}' or '{_T2}' (postings union).",
+)
+def q_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.or_query(_docs(spark, sf_dir), [_T1, _T2])
+
+
+@register(
+    "not_query",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT doc_id FROM pairs WHERE term = '{_T1}'
+    EXCEPT
+    SELECT doc_id FROM pairs WHERE term = '{_T3}'
+    """,
+    doc=f"Boolean NOT: docs with '{_T1}' but not '{_T3}' "
+        "(postings difference via anti-join).",
+)
+def q_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.not_query(_docs(spark, sf_dir), _T1, _T3)
+
+
+@register(
+    "tf_idf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ({_TF_SQL}) GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(total.n_docs / dfreq.df), 4) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    """,
+    doc="tf-idf score per (doc, term); tf keeps in-doc duplicates.",
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.tf_idf(_docs(spark, sf_dir))
+
+
+@register(
+    "top_k_terms",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term)
+    SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 25
+    """,
+    doc="Top-25 terms by document frequency (sort+limit on aggregate).",
+)
+def q_top_k_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.top_k_terms(_docs(spark, sf_dir), k=25)

@@ -1,0 +1,652 @@
+"""Relational operator catalog over the star schema — the full SQL
+surface the reference lacks (SURVEY.md §2.9), provided Spark-natively
+with DuckDB oracle twins.
+
+Coverage: filter+projection pushdown; hash/broadcast/left/semi/anti/
+multiway joins; grouped aggregation with rollup/cube/grouping sets;
+ranking, frame, and lag/lead windows; global and per-group top-k; set
+operations; string/date/math/JSON scalar functions; conditional
+pivot; scalar-subquery filters; approx distinct.
+
+All money aggregates go through ``oracle_compat`` (exact decimal) so
+Spark and DuckDB produce bit-identical doubles — see that module's
+docstring. Plan-shape notes sit on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators import relational as R
+from mapreduce_inverted_index_spark.plans.oracle_compat import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+# Exact-decimal product expressions shared by several queries
+# (TPC-H Q1's disc_price/charge shapes). Built lazily — Column
+# construction needs an active SparkContext.
+
+def _one():
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def _disc_price():
+    return dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(3,2)"))
+
+
+def _charge():
+    return _disc_price() * (_one() + F.col("l_tax").cast("decimal(3,2)"))
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_SQL_CHARGE = f"({_SQL_DISC_PRICE}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- scans
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_quantity > 30
+    """,
+    doc="Predicate + projection pushdown: both reach the parquet scan "
+        "(PushedFilters / 4-column ReadSchema in explain).",
+)
+def q_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 30)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ----------------------------------------------------------- aggregation
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: hash agg with map-side "
+        "partials; decimal arithmetic for engine-stable doubles.",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rollup_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_total')}
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals (status -> priority -> grand total).",
+)
+def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_total"))
+    )
+
+
+@register(
+    "cube_lineitem_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two low-cardinality dims (all 2^2 grouping combos).",
+)
+def q_cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (each dim alone + grand total).",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="COUNT DISTINCT per group (expand+two-phase agg in Spark).",
+)
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    doc="approx_count_distinct (HLL++): the 100 TB substitute for "
+        "exact COUNT DISTINCT — no expand, one pass, mergeable sketch.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+@register(
+    "join_customer_orders",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'segment_revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Fact-fact shuffle hash join on custkey; AQE may switch to "
+        "broadcast at small SF — both scale-correct.",
+)
+def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "segment_revenue"))
+    )
+
+
+@register(
+    "broadcast_join_part_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Explicit broadcast of the part dim: fact side never shuffles "
+        "for the join (only for the tiny p_brand agg).",
+)
+def q_broadcast_join_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        R.join_dim(li, p, on=[li["l_partkey"] == p["p_partkey"]])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join preserving order-less customers (count=0).",
+)
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "semi_join_open_order_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    doc="Left-semi join (EXISTS): no row multiplication, build side "
+        "is the filtered orders keys.",
+)
+def q_semi_join_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_orderless_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with zero orders.",
+)
+def q_anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "multiway_join_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped 5-way join: tiny dims (nation/region) "
+        "broadcast, fact joins shuffle on their keys, filters pushed "
+        "below every join.",
+)
+def q_multiway_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@register(
+    "window_topn_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 per group via ranking window; unique tiebreak "
+        "(orderkey) keeps it deterministic under retries.",
+)
+def q_window_topn_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return R.top_k_per_group(
+        joined,
+        group_by=["c_mktsegment"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS DOUBLE) AS run_spend
+    FROM orders
+    """,
+    doc="Cumulative frame window (running total per customer), "
+        "decimal-exact so the running values are order-stable.",
+)
+def q_window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("run_spend"),
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate) OVER w AS prev_orderdate,
+           CAST(coalesce(datediff('day', LAG(o_orderdate) OVER w, o_orderdate), -1)
+                AS INTEGER) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag() + datediff: days between consecutive orders per "
+        "customer (-1 for the first order).",
+)
+def q_window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_orderdate"),
+        F.coalesce(F.datediff(F.col("o_orderdate"), prev), F.lit(-1))
+        .cast("int")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="Global top-k: TakeOrderedAndProject (per-partition heaps + "
+        "driver merge), never a full sort at scale.",
+)
+def q_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.global_top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=10,
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+@register(
+    "set_union_active_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    doc="UNION (distinct) of two key sets.",
+)
+def q_set_union_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_status_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT: customers holding both finished and open orders.",
+)
+def q_set_intersect_status_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except_inactive_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="EXCEPT: the anti-join expressed as a set difference.",
+)
+def q_set_except_inactive_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# ------------------------------------------------------- scalar functions
+
+@register(
+    "string_funcs_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part WHERE p_name LIKE '%a%'
+    """,
+    doc="String scalar functions + LIKE filter (all codegen'd).",
+)
+def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           date_trunc('month', o_orderdate) AS month_start,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'month_revenue')}
+    FROM orders GROUP BY 1, 2, 3
+    """,
+    doc="Date extraction + truncation + monthly aggregate.",
+)
+def q_date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "month_revenue"))
+    )
+
+
+@register(
+    "math_funcs_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(abs(l_quantity) AS DOUBLE) AS abs_qty,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+    doc="Math scalars; sqrt is IEEE-correctly-rounded so it is "
+        "engine-stable without tricks.",
+)
+def q_math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs("l_quantity").cast("double").alias("abs_qty"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "json_events_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON-string column extraction (get_json_object) + aggregate "
+        "— the reference's P7 defensive-parse, schematized.",
+)
+def q_json_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "conditional_pivot_monthly",
+    oracle="""
+    SELECT date_trunc('month', ts) AS month_start,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click_value,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view_value,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase_value
+    FROM events GROUP BY 1
+    """,
+    doc="Conditional aggregation (manual pivot): one pass, no joins.",
+)
+def q_conditional_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def bucket(t: str, alias: str):
+        return (
+            F.round(F.sum(F.when(F.col("event_type") == t, dec("value"))), 2)
+            .cast("double")
+            .alias(alias)
+        )
+
+    return e.groupBy(F.date_trunc("month", F.col("ts")).alias("month_start")).agg(
+        bucket("click", "click_value"),
+        bucket("view", "view_value"),
+        bucket("purchase", "purchase_value"),
+    )
+
+
+@register(
+    "above_avg_acctbal_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (
+      SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             / COUNT(c_acctbal)
+      FROM customer)
+    """,
+    doc="Scalar-subquery filter (threshold broadcast to every task); "
+        "decimal-exact mean so the cut is engine-stable.",
+)
+def q_above_avg_acctbal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_df = c.agg(davg("c_acctbal", "avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )

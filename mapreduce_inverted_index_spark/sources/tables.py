@@ -35,7 +35,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; Catalyst prunes columns/pushes filters."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.ts`` is a nanosecond parquet timestamp, which Spark's
+    vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
+    INT64 and convert to a microsecond TIMESTAMP with *integer*
+    division — a double division of epoch-nanos (~1.7e18) would lose
+    ~256 ns to the 53-bit mantissa. The fixture's values are exact
+    microseconds, so the conversion is lossless.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

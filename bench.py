@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() action — full pipeline
+runs, results not shipped to the driver) after a warmup pass of the
+flagship to amortize JVM/codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: the flagship pipeline + the heaviest representative of
+# each operator family (text agg, relational agg, multiway join,
+# window, dedup, similarity). Names must exist in the registry; any
+# not-yet-implemented entries are skipped so bench.py never breaks
+# mid-build.
+HEADLINE = (
+    "inverted_index",
+    "tf_idf",
+    "agg_pricing_summary",
+    "multiway_join_region_revenue",
+    "broadcast_join_part_revenue",
+    "window_topn_orders_per_segment",
+    "exact_dedup_docs",
+    "minhash_near_dup",
+    "ann_cosine_topk",
+    "text_quality_profile",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+    from mapreduce_inverted_index_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mii-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    queries = all_queries()
+
+    # Warmup: run the flagship once so JVM startup / first-scan costs
+    # don't land on the first measured query.
+    queries["inverted_index"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,14 @@ def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
     return F.array_except(toks, F.lit(list(STOPWORDS)).cast("array<string>"))
 
 
+def sql_tokens(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`tokenize` (no stopword filter)."""
+    return (
+        f"list_filter(string_split_regex(trim(regexp_replace(lower({text_expr}), "
+        f"'[^a-z\\s]', '', 'g')), '\\s+'), t -> t <> '')"
+    )
+
+
 def sql_terms(text_expr: str = "text", *, distinct: bool = False) -> str:
     """DuckDB oracle twin of the tokenize pipeline: a list expression.
 

@@ -1,0 +1,325 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each designed for the 100 TB shape of the problem:
+
+  * **exact** — hash-groupBy on normalized text. Shuffle carries
+    (hash, doc_id) only, never the text; at scale this is the
+    cheapest possible dedup (one shuffle on a uniform key).
+  * **n-gram Jaccard** — word-shingle similarity join, *blocked* so
+    the quadratic pair space stays bounded (block key = `source`
+    here; any provenance/bucket key at scale).
+  * **MinHash + LSH** — the scale path for unblocked near-dup: per
+    doc O(SHINGLES) signature work, then candidates come from
+    banded-bucket joins (shuffle on band keys) instead of all-pairs.
+    Candidates are verified with exact Jaccard before reporting.
+  * **SimHash** — 60-bit fingerprints whose Hamming distance tracks
+    cosine similarity of term-frequency vectors; near-dup = small
+    Hamming distance. Signature build is two narrow aggregations.
+
+Everything is builtin-expression DataFrame code (no Python UDFs):
+hashes are md5/xxhash64, shingles are array transforms, signatures
+are aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.text import terms, tokenize
+
+__all__ = [
+    "normalize_for_dedup",
+    "exact_dedup",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_near_dup",
+    "simhash_signatures",
+    "simhash_candidate_pairs",
+]
+
+# MinHash configuration: 64 permutations in 16 bands of 4 rows →
+# the LSH S-curve crosses ~50% recall at jaccard ≈ (1/16)^(1/4) ≈ 0.5
+# and is near-1 by 0.7. Tune bands/rows per target threshold.
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+# Universal-hash permutation family over the Mersenne prime 2^31-1:
+# h_p(x) = (a_p * x + b_p) mod P with x a 31-bit base hash. One
+# string hash per shingle + 64 codegen'd integer ops beats 64 string
+# hashes per shingle by an order of magnitude, and every intermediate
+# (a_p < 2^31) * (x < 2^31) fits signed INT64 under ANSI arithmetic.
+_P31 = (1 << 31) - 1
+
+
+def _perm_constants(n: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 — stable across
+    runs/sessions with no RNG state."""
+    import hashlib
+
+    out = []
+    for p in range(n):
+        d = hashlib.md5(f"minhash-perm-{p}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (_P31 - 1)) + 1  # a != 0
+        b = int.from_bytes(d[8:], "big") % _P31
+        out.append((a, b))
+    return out
+
+
+_PERMS = _perm_constants()
+
+
+def normalize_for_dedup(col) -> F.Column:
+    """Whitespace-collapse + trim + lowercase — the canonical form
+    hashed by exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash with
+    the keeper (min id) and the copy count.
+
+    Output: ``content_hash STRING, doc_id BIGINT (keeper), n_copies
+    BIGINT``. Joining back on ``doc_id`` filters the corpus to
+    survivors without ever shuffling document text.
+    """
+    return (
+        docs.select(
+            F.md5(normalize_for_dedup(text_col)).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id", *, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Stopwords are kept (dedup should see the text as-is); shorter
+    docs fall back to their raw token list so they still participate.
+
+    Built as ``zip_with`` over n shifted ``slice``s of the token
+    array, NOT as ``transform(sequence(...), i -> element_at(toks,
+    i))``: a lambda body that references an outer projected alias
+    gets the alias's full defining expression inlined by
+    CollapseProject and re-evaluated PER ELEMENT — which re-tokenized
+    the document once per shingle per element_at (measured 10x the
+    runtime of this whole operator). zip_with lambdas touch only
+    their bound variables, so tokenization stays O(1) per row.
+    """
+    toks = tokenize(text_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), *extra_cols, toks.alias("toks"))
+    m = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    parts = [F.slice("toks", k + 1, m) for k in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+    shingles = F.when(F.size("toks") >= n, acc).otherwise(F.col("toks"))
+    return d.select(
+        "doc_id", *extra_cols, F.array_distinct(shingles).alias("shingles")
+    )
+
+
+def _jaccard(a, b) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / union, 6)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    n: int = 2,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked n-gram Jaccard similarity join.
+
+    The self-join runs only within ``block_col`` groups, so the pair
+    space is Σ_b |b|² instead of N² — the difference between feasible
+    and impossible at 100 TB. Output: ``doc_a, doc_b, jaccard``.
+    """
+    sh = word_shingles(docs, n, text_col, id_col, extra_cols=(block_col,))
+    a = sh.select(
+        F.col(block_col).alias("blk"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col(block_col).alias("blk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = a.join(b, ["blk"]).where(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-permutation MinHash signature per document.
+
+    Plan shape: explode shingles → ONE ``xxhash64`` per shingle row →
+    64 ``min((a_p·x + b_p) mod P)`` aggregates. The string hash is
+    paid once; the permutations are whole-stage-codegen'd integer
+    arithmetic (not interpreted higher-order lambdas, which benched
+    ~10× slower). The groupBy's map-side partial mins collapse each
+    partition to its distinct docs × 64 longs before any shuffle.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_P31)).alias("x")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P31).alias(f"h{p}")
+        for p, (a, b) in enumerate(_PERMS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{p}" for p in range(NUM_PERM)]).alias("sig")
+    )
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unblocked near-duplicate pairs via MinHash LSH + exact verify.
+
+    1. signatures → 16 banded keys per doc (explode: docs × 16 rows),
+    2. candidate pairs = docs sharing any band key (self-join on the
+       band key — the only shuffle that matters; band keys are
+       near-uniform 64-bit hashes so there is no skew),
+    3. verify candidates with exact shingle Jaccard and filter.
+
+    Output: ``doc_a, doc_b, jaccard`` — same shape as the blocked
+    brute-force operator, so the two are interchangeable downstream.
+    """
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
+    candidates = (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = word_shingles(docs, n, text_col, id_col)
+    return (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# SimHash uses 60 bits: signatures come from the first 15 hex chars of
+# md5 (60 bits), which keeps every intermediate inside a signed INT64
+# under ANSI arithmetic — and md5 exists in both Spark and DuckDB, so
+# the whole operator is oracle-checkable.
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document over stopword-filtered terms.
+
+    Classic Charikar construction: each term votes ±tf on every bit
+    of its 60-bit md5; the signature sets bits with positive sums.
+    Two narrow aggregations, no UDFs. Output: ``doc_id, simhash``.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hashed = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = hashed.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # pyspark's shiftleft/shiftright helpers only take int shift
+    # amounts; the SQL forms accept a column.
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates: blocked pairs with Hamming(simhash) ≤ k.
+
+    ``bit_count(a XOR b)`` is one codegen'd instruction per pair; the
+    block keeps the pair space linear-ish. (At true scale you'd block
+    on simhash prefixes/rotations instead — same plan shape.)
+    """
+    sigs = simhash_signatures(docs, text_col, id_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")),
+        "doc_id",
+    )
+    a = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, ["blk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

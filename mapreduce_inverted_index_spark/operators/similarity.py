@@ -1,0 +1,147 @@
+"""Similarity search over dense embedding columns (ARRAY<FLOAT>).
+
+Two tiers, per the standard ANN playbook:
+
+  * **brute-force cosine top-k** — the exactness baseline. Query set
+    is broadcast; every (query, candidate) cosine is a JVM-side
+    ``zip_with``/``aggregate`` fold (no Python). Cost is Q × N — fine
+    for small Q at any N because the scan is embarrassingly parallel
+    and nothing shuffles except the tiny per-query top-k heaps.
+  * **LSH-bucketed ANN** — the scale path. Deterministic
+    random-hyperplane signatures (sign of Σ ±v_i, with the ±1 matrix
+    derived from xxhash64(dim, plane) — no stored model) bucket
+    similar vectors together; search touches only the probe bucket.
+    Recall < 1 by construction → verified against brute force in
+    tests, rows-only checked by the driver.
+
+An IVF variant would swap the signature for nearest-centroid
+assignment; the plan shape (bucket column + co-partitioned join) is
+identical, which is the part that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
+
+__all__ = ["brute_force_topk", "embedding_near_dup", "lsh_bucket_topk"]
+
+N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` is (query_id, query_vec); it is broadcast so the big
+    side never shuffles. Output: ``query_id, vec_id, cos_sim, rank``
+    (self-matches excluded; rounded cosine + id tiebreak keeps the
+    ranking deterministic).
+    """
+    cand = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked to bound the
+    pair space (same blocking argument as text dedup).
+    Output: ``vec_a, vec_b, cos_sim``.
+    """
+    e = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    a = e.select(F.col("blk"), F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("blk"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, ["blk"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane_sign(vec_col: str, plane: int) -> F.Column:
+    """sign(Σ_i s(i, plane) · v_i) with s ∈ {±1} from xxhash64 —
+    a deterministic random projection with no stored model."""
+    signed = F.expr(
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, i) -> CASE WHEN xxhash64(i, {plane}) % 2 = 0 THEN CAST(x AS DOUBLE) "
+        f"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_signature(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
+    """Pack ``n_planes`` hyperplane signs into one integer bucket id."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        sig = sig * 2 + _hyperplane_sign(vec_col, p)
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket. The candidate side is pre-bucketed once (at scale:
+    persisted, partitioned by bucket → a probe is a pruned scan);
+    the join is bucket-key equi-join instead of a cross join.
+    Output shape matches :func:`brute_force_topk`.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(vec_col, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id", "query_vec", lsh_signature("query_vec", n_planes).alias("bucket")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

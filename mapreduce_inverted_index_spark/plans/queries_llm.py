@@ -1,0 +1,347 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text
+analysis (BASELINE.json north star; SURVEY.md §7.3.4).
+
+Oracle coverage: everything except the LSH-based ops (MinHash LSH,
+hyperplane-bucketed ANN) is SQL-expressible and DuckDB-checked —
+including SimHash, whose md5-based construction was chosen precisely
+so both engines can compute it. LSH ops are rows-only for the driver
+and recall-tested against brute force in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.stopwords import stopwords_sql_list
+from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
+from mapreduce_inverted_index_spark.operators import dedup as D
+from mapreduce_inverted_index_spark.operators import similarity as S
+from mapreduce_inverted_index_spark.operators import textstats as T
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+_TOKS = sql_tokens("text")
+_JACCARD_T = 0.35
+_COS_T = 0.4
+
+# Shared DuckDB fragments ------------------------------------------------
+
+_SQL_BIGRAMS = f"""
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(toks) >= 2
+           THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+           ELSE toks END) AS s
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+"""
+
+# Left-fold sums (list_reduce) mirror Spark's aggregate() fold order
+# exactly, so the doubles are bit-identical before rounding.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"round({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}), 6)"
+
+
+_SQL_SIMHASH = f"""
+  WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest({sql_terms('text', distinct=False)}) AS term
+          FROM documents)
+    GROUP BY doc_id, term
+  ),
+  h AS (SELECT doc_id, tf,
+               CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h
+        FROM tf),
+  bits AS (SELECT doc_id, tf, h, unnest(range(0, 60)) AS bit FROM h),
+  votes AS (SELECT doc_id, bit,
+                   SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+            FROM bits GROUP BY doc_id, bit)
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "exact_dedup_docs",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text, keeper = min "
+        "doc_id. Shuffle carries (hash, id) only — never the text.",
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_BIGRAMS})
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= {_JACCARD_T}
+    """,
+    doc="Blocked word-bigram Jaccard similarity join (block = source "
+        "provenance): pair space is sum of per-block squares, not N^2.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_T)
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,  # LSH banding is engine-specific; recall-tested in tests/.
+    doc="Unblocked near-dup via 64-perm MinHash, 16-band LSH bucket "
+        "join, exact-Jaccard verification of candidates.",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup(_docs(spark, sf_dir), threshold=_JACCARD_T)
+
+
+@register(
+    "simhash_signatures",
+    oracle=_SQL_SIMHASH,
+    doc="60-bit SimHash fingerprints (md5-based => cross-engine "
+        "checkable). Two narrow aggregations, no UDFs.",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash_candidate_pairs",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIMHASH}),
+    s AS (SELECT sig.doc_id, sig.simhash, d.source
+          FROM sig JOIN documents d ON sig.doc_id = d.doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    doc="SimHash near-dup candidates: blocked pairs with Hamming "
+        "distance <= 8 (one bit_count per pair).",
+)
+def q_simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# ------------------------------------------------------------- similarity
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_COS_T}
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by label; cosine is "
+        "a JVM-side zip_with/aggregate fold (no Python).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=_COS_T)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_cos('q.qv', 'e.embedding')} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 broadcast query vectors — "
+        "the exactness baseline for ANN.",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall-tested in tests/.
+    doc="LSH-bucketed ANN top-10: deterministic hyperplane signatures "
+        "bucket candidates; search touches only the probe bucket.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucket_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10)
+
+
+# ------------------------------------------------------------- text stats
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in T.LANG_MARKERS.items()
+}
+_GREATEST = "greatest(hits_de, hits_en, hits_es, hits_fr)"
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['de']}))) AS INTEGER) AS hits_de,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['en']}))) AS INTEGER) AS hits_en,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['es']}))) AS INTEGER) AS hits_es,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['fr']}))) AS INTEGER) AS hits_fr
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN {_GREATEST} <= 0 THEN 'und'
+                WHEN hits_de = {_GREATEST} THEN 'de'
+                WHEN hits_en = {_GREATEST} THEN 'en'
+                WHEN hits_es = {_GREATEST} THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+    doc="Marker-word language ID with deterministic argmax tie-break.",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
+        "pred_lang",
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                      {sql_terms('text', distinct=True)} AS trm
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(trm) AS INTEGER) AS n_terms,
+           CAST(len(regexp_extract_all(text, '{T.TOKEN_PIECE_REGEX}')) AS INTEGER) AS n_pieces,
+           CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_bpe_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             round(CAST(len(list_filter(toks, t -> t IN ({stopwords_sql_list()}))) AS DOUBLE)
+                   / len(toks), 6) END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END
+             AS type_token_ratio
+    FROM t
+    """,
+    doc="Per-doc token counts: whitespace, distinct non-stopword, "
+        "BPE-ish regex pieces, chars/4 estimate, ratios.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality_profile",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               ELSE 0.0 END AS lex_diversity
+      FROM (SELECT doc_id, text, __TOKS__ AS toks FROM documents)
+    ),
+    sc AS (
+      SELECT *,
+             CASE WHEN n_chars > 0 THEN round(CAST(alpha_chars AS DOUBLE) / n_chars, 6)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
+                  WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END AS len_band
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars_obs,
+           mean_word_len, alpha_ratio, lex_diversity,
+           round(0.3 * len_band + 0.3 * alpha_ratio + 0.2 * lex_diversity
+                 + 0.2 * least(mean_word_len / 8.0, 1.0), 6) AS quality_score,
+           round(0.3 * len_band + 0.3 * alpha_ratio + 0.2 * lex_diversity
+                 + 0.2 * least(mean_word_len / 8.0, 1.0), 6) >= 0.6 AS is_quality
+    FROM sc
+    """.replace("__TOKS__", _TOKS),
+    doc="Pre-training quality heuristics: length band, alpha ratio, "
+        "lexical diversity, mean word length -> weighted score.",
+)
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(trim(regexp_replace(lower(text), '[^a-z\s]', '', 'g')),
+                            '\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           list_min(list_transform(
+             CASE WHEN length(norm) >= 5
+               THEN [substring(norm, i, 5) for i in range(1, length(norm) - 3)]
+               ELSE [norm] END,
+             g -> md5(g))) AS min_gram_md5
+    FROM d
+    """,
+    doc="Document fingerprints: whole-content md5 + shift-resistant "
+        "min char-5-gram md5 (winnowing-style).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(_docs(spark, sf_dir))

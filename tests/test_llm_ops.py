@@ -1,0 +1,108 @@
+"""Property tests for the non-SQL-expressible LLM ops (LSH family):
+the driver only rows-checks these, so recall/determinism is verified
+here against brute force on sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators import dedup as D
+from mapreduce_inverted_index_spark.operators import similarity as S
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+THRESH = 0.35
+
+
+def _docs(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "documents")
+
+
+def _brute_pairs(spark, docs, n=3, threshold=THRESH):
+    """All-pairs exact shingle-Jaccard (ground truth for LSH recall)."""
+    sh = D.word_shingles(docs, n=n)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def test_minhash_recall_vs_brute_force(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    brute = {(r["doc_a"], r["doc_b"]) for r in _brute_pairs(spark, docs).collect()}
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_dup(docs, threshold=THRESH).collect()
+    }
+    assert brute, "fixture should contain planted near-dup pairs"
+    # Exact-Jaccard verification makes false positives impossible...
+    assert lsh <= brute
+    # ...and 16x4 banding at this threshold should catch nearly all.
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} ({len(lsh)}/{len(brute)})"
+
+
+def test_minhash_deterministic(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    a = sorted(map(tuple, D.minhash_near_dup(docs).collect()))
+    b = sorted(map(tuple, D.minhash_near_dup(docs).collect()))
+    assert a == b
+
+
+def test_lsh_topk_is_subset_of_brute_force_scores(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = S.brute_force_topk(emb, queries, k=10**9)  # all scored pairs
+    brute_scores = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"] for r in brute.collect()
+    }
+    lsh = S.lsh_bucket_topk(emb, queries, k=10).collect()
+    assert lsh, "probe buckets should not be empty at sf0.001"
+    for r in lsh:
+        assert r["rank"] <= 10
+        # every LSH result carries the same cosine the exact scan computes
+        assert brute_scores[(r["query_id"], r["vec_id"])] == r["cos_sim"]
+
+
+def test_lsh_topk_deterministic(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, S.lsh_bucket_topk(emb, queries).collect()))
+    b = sorted(map(tuple, S.lsh_bucket_topk(emb, queries).collect()))
+    assert a == b
+
+
+def test_exact_dedup_groups_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat  sat"),
+            Row(doc_id=1, text="THE CAT SAT"),  # same after normalize
+            Row(doc_id=2, text="something else"),
+        ]
+    )
+    rows = {r["content_hash"]: r for r in D.exact_dedup(docs).collect()}
+    assert len(rows) == 2
+    dup = next(r for r in rows.values() if r["n_copies"] == 2)
+    assert dup["doc_id"] == 0  # keeper is min id
+
+
+def test_simhash_close_for_near_dup_far_for_random(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    brute = _brute_pairs(spark, docs).orderBy(F.desc("jaccard")).limit(1).collect()
+    doc_a, doc_b = brute[0]["doc_a"], brute[0]["doc_b"]
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    near = bin(sigs[doc_a] ^ sigs[doc_b]).count("1")
+    far_ids = sorted(set(sigs) - {doc_a, doc_b})[:2]
+    far = bin(sigs[far_ids[0]] ^ sigs[far_ids[1]]).count("1")
+    assert near < far, f"near-dup hamming {near} should beat random {far}"

@@ -1,0 +1,95 @@
+"""Streaming query catalog (SURVEY.md §7.3.5).
+
+These run REAL Structured Streaming queries (readStream → watermark →
+windowed agg → AvailableNow → memory sink) and return the sink. With
+a single AvailableNow batch no data is late, so the results equal the
+batch computation — which makes tumbling/sliding/session windows
+fully oracle-checkable in DuckDB (sessionization via gaps-and-islands
+SQL). That is a stronger check than the rows-only default for
+streaming ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.streaming import windows as W
+
+_SQL_SUM_VALUE = (
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
+)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           {_SQL_SUM_VALUE} AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="Structured Streaming 1h tumbling windows (watermark + window "
+        "agg, AvailableNow); oracle = batch hour-truncated groupBy.",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_avg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           {_SQL_SUM_VALUE} / COUNT(value) AS avg_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+    doc="2h windows sliding 1h: every event lands in exactly two "
+        "windows; oracle replicates each row into both.",
+)
+def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_avg_value(spark, sf_dir)
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="session_window(30m) sessionization; oracle = gaps-and-"
+        "islands SQL (lag -> island id -> group).",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_windows(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming dropDuplicates(event_id) within the watermark "
+        "horizon + per-type counts.",
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.stream_dedup_events(spark, sf_dir)

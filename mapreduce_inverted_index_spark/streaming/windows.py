@@ -1,0 +1,160 @@
+"""Structured Streaming operators over the ``events`` stream:
+watermarked tumbling / sliding / session windows and stateful
+processing, executed deterministically with ``Trigger.AvailableNow``
+so results are reproducible (and, for the window aggregations,
+oracle-checkable against batch SQL).
+
+Design notes:
+  * The stream source is the same parquet the batch engine reads
+    (``readStream.schema(...).parquet``) — at production scale this
+    is a Kafka/file-arrival source with identical downstream code.
+  * Every aggregation declares ``withWatermark`` — on a real
+    unbounded stream that bounds state; with AvailableNow's single
+    batch nothing is late, so results equal the batch computation
+    (which is exactly what makes the oracle comparison valid).
+  * Memory-sink query names are process-unique via a counter: rerun
+    safety inside one session.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_avg_value",
+    "session_windows",
+    "stream_dedup_events",
+]
+
+_SINK_IDS = itertools.count()
+
+# Parquet streaming sources need an explicit schema. ``ts`` arrives as
+# INT64 nanoseconds (see sources.tables._load_events) and is converted
+# to a microsecond timestamp in the stream's first projection.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory path; filter the
+    # listing down to the events table.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation with AvailableNow into a memory
+    sink; block until done; return the sink as a DataFrame."""
+    name = f"mii_stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact-decimal
+    value sum. Output: window_start, window_end, event_type,
+    n_events, sum_value."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: mean event value. Each event
+    lands in exactly two windows. Output: window_start, event_type,
+    avg_value (engine-stable decimal mean)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            (
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double")
+                / F.count("value")
+            ).alias("avg_value")
+        )
+    )
+    out = _run_to_table(agg)
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "avg_value"
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessionization: events closer than ``gap`` merge into
+    one session; the session closes ``gap`` after its last event.
+    Output: user_id, session_start, session_end, n_events."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_table(agg)
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup on event_id within the watermark
+    horizon (``dropDuplicates`` keeps per-key state bounded by the
+    watermark on a real stream). Output: per-type distinct counts."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    # append-mode sink for the stateful dedup; the count on top is a
+    # batch aggregation over the sink table.
+    out = _run_to_table(deduped, mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))

@@ -183,3 +183,98 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_k_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.top_k_terms(_docs(spark, sf_dir), k=25)
+
+
+# ---------------------------------------------------- array-form booleans
+
+@register(
+    "and_query_postings",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT doc_id FROM pairs WHERE term IN ('{_T1}', '{_T2}')
+    GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    """,
+    doc="Boolean AND in array form: array_intersect of the two "
+        "postings arrays from the built index (SURVEY.md §2.8's "
+        "postings-intersection shape; same result as and_query).",
+)
+def q_and_query_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = idx.build_index(_docs(spark, sf_dir))
+    a = index.where(F.col("term") == _T1).select(F.col("postings").alias("pa"))
+    b = index.where(F.col("term") == _T2).select(F.col("postings").alias("pb"))
+    return (
+        a.crossJoin(b)
+        .select(F.explode(F.array_intersect("pa", "pb")).alias("doc_id"))
+    )
+
+
+@register(
+    "not_query_postings",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT doc_id FROM pairs WHERE term = '{_T1}'
+    EXCEPT
+    SELECT doc_id FROM pairs WHERE term = '{_T3}'
+    """,
+    doc="Boolean NOT in array form: array_except of postings arrays.",
+)
+def q_not_query_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = idx.build_index(_docs(spark, sf_dir))
+    a = index.where(F.col("term") == _T1).select(F.col("postings").alias("pa"))
+    b = index.where(F.col("term") == _T3).select(F.col("postings").alias("pb"))
+    return (
+        a.crossJoin(b)
+        .select(F.explode(F.array_except("pa", "pb")).alias("doc_id"))
+    )
+
+
+# ------------------------------------------------------- id assignment
+
+@register(
+    "assign_dense_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+             AS assigned_id
+    FROM documents
+    """,
+    doc="Dense deterministic id assignment via row_number over a "
+        "stable key (reference doc_id parity, SURVEY.md §1.4).",
+)
+def q_assign_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.ids import assign_dense_ids
+
+    docs = _docs(spark, sf_dir)
+    return assign_dense_ids(docs, ["source", "doc_id"]).select("doc_id", "assigned_id")
+
+
+# --------------------------------------------------- defensive JSON parse
+
+@register(
+    "from_json_validation",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+             AS n_valid,
+           count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
+             AS n_corrupt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="P7 parity: schema-enforced from_json where malformed rows "
+        "null out and are counted, not failed "
+        "(reducer/src/reducer.py:97-120's log-and-skip, schematized).",
+)
+def q_from_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_valid"),
+        F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_corrupt"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+    )

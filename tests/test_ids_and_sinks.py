@@ -1,0 +1,92 @@
+"""Tests: id assignment strategies and format sinks/readers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from mapreduce_inverted_index_spark.operators.ids import (
+    assign_dense_ids,
+    assign_partition_ids,
+)
+from mapreduce_inverted_index_spark.operators.inverted_index import (
+    build_index,
+    write_index,
+)
+from mapreduce_inverted_index_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+
+def test_dense_ids_are_dense_and_ordered(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = assign_dense_ids(docs, ["source", "doc_id"])
+    ids = [r["assigned_id"] for r in out.select("assigned_id").collect()]
+    assert sorted(ids) == list(range(docs.count()))
+    # ordering parity: first id belongs to the tuple-min (source, doc_id)
+    first = out.where(F.col("assigned_id") == 0).collect()[0]
+    expected = docs.orderBy("source", "doc_id").limit(1).collect()[0]
+    assert (first["source"], first["doc_id"]) == (expected["source"], expected["doc_id"])
+
+
+def test_partition_ids_dense_unique_no_global_sort(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").repartition(8)
+    out = assign_partition_ids(docs)
+    ids = [r["assigned_id"] for r in out.select("assigned_id").collect()]
+    assert sorted(ids) == list(range(docs.count()))
+
+
+def test_json_roundtrip_and_permissive_corruption(spark, tmp_path):
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", StringType())]
+    )
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")], schema)
+    path = str(tmp_path / "j")
+    write_json(df, path, single_file=True)
+    # add a corrupt record as an extra part file (appending in place
+    # would break the hadoop .crc checksum)
+    with open(os.path.join(path, "part-extra.json"), "w") as f:
+        f.write('{"a": "not-a-number", "b": 3}\n')
+    back = read_json(spark, path, schema)
+    rows = back.collect()
+    assert len(rows) == 3  # corrupt row kept as nulls, not failed
+    assert sorted(r["a"] for r in rows if r["a"] is not None) == [1, 2]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")], schema)
+    path = str(tmp_path / "c")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_write_index_parquet_and_json_parity(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="cat sat"), Row(doc_id=1, text="cat ran")]
+    )
+    index = build_index(docs)
+    path = str(tmp_path / "idx")
+    write_index(index, path, json_parity=True)
+    back = spark.read.parquet(path)
+    assert {r["term"] for r in back.collect()} == {"cat", "sat", "ran"}
+    # json parity file carries the same index, one part (reference K2)
+    jdir = path + ".json"
+    jfiles = [p for p in os.listdir(jdir) if p.endswith(".json")]
+    assert len(jfiles) == 1
+    terms = set()
+    with open(os.path.join(jdir, jfiles[0])) as f:
+        for line in f:
+            terms.add(json.loads(line)["term"])
+    assert terms == {"cat", "sat", "ran"}

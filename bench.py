@@ -35,8 +35,10 @@ HEADLINE = (
     "window_topn_orders_per_segment",
     "exact_dedup_docs",
     "minhash_near_dup",
+    "simhash_signatures",
     "ann_cosine_topk",
     "text_quality_profile",
+    "asof_join_event_order",
 )
 
 

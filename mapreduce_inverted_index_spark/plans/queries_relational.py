@@ -650,3 +650,88 @@ def q_above_avg_acctbal_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_acctbal")
     )
+
+
+# ------------------------------------------------- time-series joins / skew
+
+@register(
+    "asof_join_event_order",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           o.o_orderdate AS asof_o_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="As-of join: each event matched to the user's most recent "
+        "order at-or-before it — union + per-key window carry-forward "
+        "(one shuffle, no range explosion); oracle = native ASOF JOIN.",
+)
+def q_asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderdate")
+    )
+    out = asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderdate"], right_key="o_custkey",
+    )
+    return out.where(F.col("asof_o_orderdate").isNotNull()).select(
+        "event_id", "user_id", "asof_o_orderdate"
+    )
+
+
+@register(
+    "range_join_close_events",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+               - CAST(floor(epoch(a.ts)) AS BIGINT)) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+              - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 600
+    """,
+    doc="Range join: same-user event pairs within 10 minutes "
+        "(equi-join on user + band filter).",
+)
+def q_range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id").alias("ua"), F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("user_id").alias("ub"), F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    gap = F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+    return (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("event_a") < F.col("event_b")))
+        .where(gap <= 600)
+        .select("event_a", "event_b", gap.cast("bigint").alias("gap_seconds"))
+    )
+
+
+@register(
+    "salted_agg_event_values",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="Salted two-phase aggregation (skew pattern): scatter hot "
+        "keys over 8 sub-keys, partial agg, merge — oracle proves "
+        "equivalence to the plain groupBy.",
+)
+def q_salted_agg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.skew import salted_sum_count
+
+    e = _t(spark, sf_dir, "events")
+    return salted_sum_count(
+        e, keys=["event_type"], value=F.col("value"), n_salts=8,
+        salt_source="event_id",
+    )

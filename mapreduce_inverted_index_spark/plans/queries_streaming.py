@@ -93,3 +93,21 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.stream_dedup_events(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_user_peaks",
+    oracle="""
+    SELECT user_id,
+           max(value) AS peak_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator via applyInPandasWithState: "
+        "per-user running (max, count) state across micro-batches; "
+        "single AvailableNow batch => snapshot equals batch agg.",
+)
+def q_stream_stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.streaming.stateful import stateful_user_peaks
+
+    return stateful_user_peaks(spark, sf_dir)

@@ -735,3 +735,114 @@ def q_salted_agg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, keys=["event_type"], value=F.col("value"), n_salts=8,
         salt_source="event_id",
     )
+
+
+# ------------------------------------------------ SQL surface & scalars
+
+# One SQL text, two engines: the engine's spark.sql() surface over
+# registered views, oracle'd by running the IDENTICAL string in
+# DuckDB (the analog of the reference exposing one registry of named
+# entry points, master/src/map_functions.py:2-9).
+_PORTABLE_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events WHERE value > 100 GROUP BY event_type
+"""
+
+
+@register(
+    "sql_passthrough",
+    oracle=_PORTABLE_SQL,
+    doc="spark.sql() over registered temp views with an ANSI-portable "
+        "SQL text — the engine's SQL-string API; oracle runs the "
+        "identical string.",
+)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(CAST(props ->> '$.k' AS BIGINT) % 10 AS BIGINT) AS k_mod
+    FROM events
+    """,
+    doc="MAP column surface: props parsed as MAP<STRING,BIGINT> via "
+        "from_json; map_keys/size/element access (P7 + map types).",
+)
+def q_map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        (m.getItem("k") % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "null_handling_funcs",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(o_orderkey, -1) AS order_or_default,
+           (o_orderkey IS NULL) AS is_orderless,
+           nullif(c_mktsegment, 'BUILDING') AS segment_or_null,
+           CASE WHEN o_totalprice IS NULL THEN 0.0
+                ELSE o_totalprice END AS price_or_zero,
+           greatest(coalesce(o_totalprice, 0.0), c_acctbal) AS best_figure
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    doc="NULL semantics through an outer join: coalesce / nullif / "
+        "IS NULL / CASE / greatest.",
+)
+def q_null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.col("o_orderkey").isNull().alias("is_orderless"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(0.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_or_zero"),
+        F.greatest(F.coalesce("o_totalprice", F.lit(0.0)), F.col("c_acctbal"))
+        .alias("best_figure"),
+    )
+
+
+@register(
+    "array_hof_funcs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long,
+           list_aggregate(list_transform(toks, t -> length(t)), 'max') AS max_len,
+           (len(list_filter(toks, t -> t = 'spark')) > 0) AS has_spark,
+           (len(list_filter(toks, t -> length(t) >= 1)) = len(toks)) AS all_nonempty
+    FROM t
+    """.replace("{toks}", "list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z\\s]', '', 'g')), '\\s+'), t -> t <> '')"),
+    doc="Array higher-order functions: filter / transform+max / "
+        "exists / forall over token arrays.",
+)
+def q_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda t: F.length(t) > 5)).cast("int").alias("n_long"),
+        F.array_max(F.transform("toks", F.length)).alias("max_len"),
+        F.exists("toks", lambda t: t == "spark").alias("has_spark"),
+        F.forall("toks", lambda t: F.length(t) >= 1).alias("all_nonempty"),
+    )

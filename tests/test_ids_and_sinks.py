@@ -90,3 +90,22 @@ def test_write_index_parquet_and_json_parity(spark, tmp_path):
         for line in f:
             terms.add(json.loads(line)["term"])
     assert terms == {"cat", "sat", "ran"}
+
+
+def test_write_index_bucketed_by_term(spark, tmp_path):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"cat dog t{i}") for i in range(20)]
+    )
+    index = build_index(docs)
+    path = str(tmp_path / "bidx")
+    write_index(index, path, buckets=4)
+    back = spark.table("inverted_index_b4")
+    assert back.count() == index.count()
+    # bucket metadata survived: joining two term-bucketed reads plans
+    # no exchange on the join key
+    joined = back.alias("a").join(spark.table("inverted_index_b4").alias("b"), "term")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(term" not in plan
+    spark.sql("DROP TABLE inverted_index_b4")

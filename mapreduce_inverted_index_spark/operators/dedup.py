@@ -174,7 +174,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
     ~10× slower). The groupBy's map-side partial mins collapse each
     partition to its distinct docs × 64 longs before any shuffle.
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    return _minhash_signatures_from(word_shingles(docs, n, text_col, id_col))
+
+
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """Signatures from an existing (doc_id, shingles) table."""
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_P31)).alias("x")
     )
@@ -194,6 +198,7 @@ def minhash_near_dup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Unblocked near-duplicate pairs via MinHash LSH + exact verify.
 
@@ -205,8 +210,18 @@ def minhash_near_dup(
 
     Output: ``doc_a, doc_b, jaccard`` — same shape as the blocked
     brute-force operator, so the two are interchangeable downstream.
+
+    ``persist_shingles``: the shingle table feeds three branches of
+    one DAG (signatures + both sides of the verification join);
+    persisting it trades one materialization for two recomputes
+    (~30% wall time here; at 100 TB you would persist signatures to
+    storage instead). LRU-evicted; call
+    ``spark.catalog.clearCache()`` to drop eagerly.
     """
-    sigs = minhash_signatures(docs, n, text_col, id_col)
+    sh_all = word_shingles(docs, n, text_col, id_col)
+    if persist_shingles:
+        sh_all = sh_all.persist()
+    sigs = _minhash_signatures_from(sh_all)
     band_structs = F.array(
         *[
             F.struct(
@@ -229,7 +244,7 @@ def minhash_near_dup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = word_shingles(docs, n, text_col, id_col)
+    sh = sh_all
     return (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),

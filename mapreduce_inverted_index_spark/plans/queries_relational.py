@@ -846,3 +846,46 @@ def q_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("toks", lambda t: t == "spark").alias("has_spark"),
         F.forall("toks", lambda t: F.length(t) >= 1).alias("all_nonempty"),
     )
+
+
+# ------------------------------------------- statistical agg & multisets
+
+@register(
+    "median_stats_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: exact median (interpolated), sample "
+        "stddev and correlation (rounded - Welford accumulation "
+        "differs in last ulps across engines).",
+)
+def q_median_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "multiset_ops_orderkeys",
+    oracle="""
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    ) GROUP BY custkey
+    """,
+    doc="Multiset INTERSECT ALL (duplicate-preserving set op) + "
+        "multiplicity counts.",
+)
+def q_multiset_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b).groupBy("custkey").agg(F.count("*").alias("n"))

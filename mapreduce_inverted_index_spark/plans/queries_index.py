@@ -278,3 +278,50 @@ def q_from_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_corrupt"),
         F.sum(F.col("p.k")).alias("sum_k"),
     )
+
+
+@register(
+    "inverted_index_struct",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id, 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             unnest({sql_terms('text', distinct=True)}) AS term
+      FROM documents
+    )
+    SELECT term,
+           array_to_string(
+             list(CAST(doc_id AS VARCHAR) || '@' || url ORDER BY doc_id), ',')
+             AS postings_csv,
+           count(*) AS df
+    FROM pairs GROUP BY term
+    """,
+    doc="Reference-shaped postings payload: ARRAY<STRUCT<doc_id,url>> "
+        "per term (mapper/src/processor.py:191-192 emits {term, "
+        "doc_id, url}); struct sort_array orders by doc_id first "
+        "(reducer/src/processor.py:66-67). url synthesized "
+        "deterministically (fixtures carry no urls).",
+)
+def q_inverted_index_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+    pairs = idx.doc_terms(docs).join(
+        docs.select("doc_id", "url"), "doc_id"
+    )
+    index = pairs.groupBy("term").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "url"))).alias("postings"),
+        F.count("*").alias("df"),
+    )
+    return index.select(
+        "term",
+        F.array_join(
+            F.transform(
+                "postings",
+                lambda p: F.concat(
+                    p["doc_id"].cast("string"), F.lit("@"), p["url"]
+                ),
+            ),
+            ",",
+        ).alias("postings_csv"),
+        "df",
+    )

@@ -345,3 +345,34 @@ def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "groupwise_zscore",
+    oracle="""
+    SELECT doc_id,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+                 / stddev_samp(n_chars) OVER (PARTITION BY source), 4)
+             AS z_chars
+    FROM documents
+    """,
+    doc="Grouped-map applyInPandas: per-source z-score of n_chars "
+        "(pandas ddof=1) — the grouped Pandas-UDF API surface; "
+        "oracle = window-function z-score.",
+)
+def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "z_chars": ((pdf["n_chars"] - mu) / sd).round(4)}
+        )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(zscore, schema="doc_id bigint, z_chars double")
+    )

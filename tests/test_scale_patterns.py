@@ -1,0 +1,73 @@
+"""Scale-pattern tests: partition-pruned reads, foreachBatch sinks,
+salted-vs-plain equivalence on skewed data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.skew import salted_sum_count
+from mapreduce_inverted_index_spark.sources.tables import load_table
+from mapreduce_inverted_index_spark.streaming.windows import events_stream
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang filter must land in PartitionFilters (pruning), not
+    # as a data filter over a full scan
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    en_count = docs.where(F.col("lang") == "en").count()
+    assert back.count() == en_count
+
+
+def test_foreach_batch_sink(spark, sf_smoke, tmp_path):
+    out_dir = str(tmp_path / "batches")
+    seen = []
+
+    def handle(batch_df, batch_id: int):
+        seen.append((batch_id, batch_df.count()))
+        batch_df.groupBy("event_type").count().write.mode("overwrite").parquet(
+            f"{out_dir}/b{batch_id}"
+        )
+
+    q = (
+        events_stream(spark, sf_smoke)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and sum(n for _, n in seen) == 1000
+    written = spark.read.parquet(f"{out_dir}/b{seen[0][0]}")
+    assert written.count() == 5  # one row per event_type
+
+
+def test_salted_equals_plain_on_skewed_data(spark):
+    # 90% of rows on one hot key
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.col("id").alias("row_id"),
+    )
+    salted = {
+        (r["k"]): (r["sum_value"], r["n_rows"])
+        for r in salted_sum_count(df, ["k"], F.col("v"), n_salts=16, salt_source="row_id").collect()
+    }
+    plain = {
+        r["k"]: (float(r["s"]), r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert salted == plain

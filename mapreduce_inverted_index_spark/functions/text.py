@@ -28,19 +28,27 @@ __all__ = ["STOPWORDS", "normalize_text", "tokenize", "terms", "stopwords_sql_li
 
 
 def normalize_text(col: Column | str) -> Column:
-    """P1+P2: lowercase, then delete every non ``[a-z\\s]`` char."""
+    """P1+P2: lowercase, then delete every non ``[a-z\\s]`` char.
+
+    ``(?U)`` makes Java's ``\\s`` match Unicode whitespace like
+    Python's ``re`` does — without it, NBSP/em-space/ideographic
+    space are *deleted* (gluing adjacent tokens) instead of acting
+    as separators, diverging from the reference's Python semantics.
+    (Residual known divergence: Python also treats ``\\x1c-\\x1f``
+    as whitespace; Unicode — and therefore Java/RE2 — does not.)
+    """
     return F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col),
-                            r"[^a-z\s]", "")
+                            r"(?U)[^a-z\s]", "")
 
 
 def tokenize(col: Column | str) -> Column:
     """P3: whitespace-split into ARRAY<STRING>, no empty tokens.
 
     Python's ``str.split()`` never yields empty strings; Spark's
-    ``split`` yields one for leading/trailing separators, so trim
-    first and drop any residual empties (the empty-text case).
+    ``split`` yields them for leading/trailing/empty input, so drop
+    empties after the split.
     """
-    return F.array_remove(F.split(F.trim(normalize_text(col)), r"\s+"), "")
+    return F.array_remove(F.split(normalize_text(col), r"(?U)\s+"), "")
 
 
 def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
@@ -58,11 +66,17 @@ def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
     return F.array_except(toks, F.lit(list(STOPWORDS)).cast("array<string>"))
 
 
+# RE2 (DuckDB) has no unicode-aware \s flag; [\s\p{Z}\x{0085}] is the
+# RE2 spelling of Java's (?U)\s (ASCII ws + separators + NEL).
+_SQL_WS = r"[\s\p{Z}\x{0085}]"
+_SQL_NOT_TOKEN = r"[^a-z\s\p{Z}\x{0085}]"
+
+
 def sql_tokens(text_expr: str = "text") -> str:
     """DuckDB twin of :func:`tokenize` (no stopword filter)."""
     return (
-        f"list_filter(string_split_regex(trim(regexp_replace(lower({text_expr}), "
-        f"'[^a-z\\s]', '', 'g')), '\\s+'), t -> t <> '')"
+        f"list_filter(string_split_regex(regexp_replace(lower({text_expr}), "
+        f"'{_SQL_NOT_TOKEN}', '', 'g'), '{_SQL_WS}+'), t -> t <> '')"
     )
 
 
@@ -73,8 +87,8 @@ def sql_terms(text_expr: str = "text", *, distinct: bool = False) -> str:
     text expression (used inside ``unnest(...)`` by oracle queries).
     """
     base = (
-        f"list_filter(string_split_regex(trim(regexp_replace(lower({text_expr}), "
-        f"'[^a-z\\s]', '', 'g')), '\\s+'), "
+        f"list_filter(string_split_regex(regexp_replace(lower({text_expr}), "
+        f"'{_SQL_NOT_TOKEN}', '', 'g'), '{_SQL_WS}+'), "
         f"t -> t <> '' AND t NOT IN ({stopwords_sql_list()}))"
     )
     if distinct:

@@ -327,7 +327,8 @@ def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id,
-             regexp_replace(trim(regexp_replace(lower(text), '[^a-z\s]', '', 'g')),
+             regexp_replace(trim(regexp_replace(lower(text),
+                            '[^a-z\s\p{Z}\x{0085}]', '', 'g')),
                             '\s+', ' ', 'g') AS norm
       FROM documents
     )

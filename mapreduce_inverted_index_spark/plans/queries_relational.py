@@ -829,7 +829,7 @@ def q_null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (len(list_filter(toks, t -> t = 'spark')) > 0) AS has_spark,
            (len(list_filter(toks, t -> length(t) >= 1)) = len(toks)) AS all_nonempty
     FROM t
-    """.replace("{toks}", "list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z\\s]', '', 'g')), '\\s+'), t -> t <> '')"),
+    """.replace("{toks}", __import__("mapreduce_inverted_index_spark.functions.text", fromlist=["sql_tokens"]).sql_tokens("text")),
     doc="Array higher-order functions: filter / transform+max / "
         "exists / forall over token arrays.",
 )

@@ -1,0 +1,87 @@
+"""Tokenizer parity: the Spark expression pipeline must reproduce the
+reference's Python semantics (``mapper/src/processor.py:163-171``:
+lower → delete [^a-z\\s] → str.split() → drop NLTK stopwords) for
+adversarial inputs — unicode, digits, apostrophes, odd whitespace,
+empty/huge strings. One Spark job for the whole corpus of cases.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+
+from mapreduce_inverted_index_spark.functions.stopwords import STOPWORDS
+from mapreduce_inverted_index_spark.functions.text import terms, tokenize
+
+_STOP = set(STOPWORDS)
+
+
+def _reference_tokenize(text: str) -> list[str]:
+    """The reference pipeline, transcribed semantics (not code):
+    P1 lower, P2 delete, P3 whitespace split."""
+    text = text.lower()
+    text = re.sub(r"[^a-z\s]", "", text)
+    return text.split()
+
+
+def _reference_terms(text: str) -> list[str]:
+    return [t for t in _reference_tokenize(text) if t not in _STOP]
+
+
+CASES = [
+    "",
+    " ",
+    "\t\n  \r ",
+    "Hello World",
+    "don't rock-n-roll 42!",
+    "l'été à Paris — café naïve",          # accents are DELETED, not mapped
+    "ὕαλον φαγεῖν δύναμαι",                # entirely non-latin -> empty
+    "中文文本 no latin here 漢字",
+    "the and is of to in that it",          # all stopwords
+    "THE CAT the cat ThE cAt",
+    "a1b2c3 d4e5",
+    "under_score snake-case dot.sep",
+    "tab\tsep\nnewline\rcarriage",
+    "  leading trailing  ",
+    "répétition répétition",
+    "emoji 😀 test ✨ done",
+    "x" * 5000,
+    ("word " * 500).strip(),
+    "can't won't shouldn't ain't y'all",
+    "T 5 % $ #",
+    "mixedCASEtoken",
+    "ends with stopword the",
+    "ñandú über fiançée",
+    "nbsp\u00a0separated\u00a0words",
+    "em\u2003space and ideo\u3000space",
+    "zero\u200bwidth stays glued",
+    "nel\u0085separator",
+]
+
+
+def test_tokenize_and_terms_match_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, t in enumerate(CASES)]
+    )
+    got = {
+        r["i"]: (r["toks"], r["trm"])
+        for r in df.select(
+            "i",
+            tokenize("text").alias("toks"),
+            terms("text", keep_duplicates=True).alias("trm"),
+        ).collect()
+    }
+    for i, text in enumerate(CASES):
+        assert got[i][0] == _reference_tokenize(text), f"tokenize case {i}: {text[:40]!r}"
+        assert got[i][1] == _reference_terms(text), f"terms case {i}: {text[:40]!r}"
+
+
+def test_distinct_terms_match_reference(spark):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(CASES)])
+    got = {
+        r["i"]: sorted(r["trm"])
+        for r in df.select("i", terms("text").alias("trm")).collect()
+    }
+    for i, text in enumerate(CASES):
+        assert got[i] == sorted(set(_reference_terms(text))), f"case {i}"

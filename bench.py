@@ -31,6 +31,8 @@ HEADLINE = (
     "tf_idf",
     "agg_pricing_summary",
     "multiway_join_region_revenue",
+    "shipping_priority_topk",
+    "forecast_revenue_filter_agg",
     "broadcast_join_part_revenue",
     "window_topn_orders_per_segment",
     "exact_dedup_docs",

@@ -889,3 +889,81 @@ def q_multiset_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = o.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
     return a.intersectAll(b).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: selective dim filter -> "
+        "two fact joins -> agg -> global top-10 "
+        "(TakeOrderedAndProject).",
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "forecast_revenue_filter_agg",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
+             AS promo_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped forecast revenue: pure filter+agg, every "
+        "predicate pushed to the parquet scan, no shuffle beyond the "
+        "single global aggregate.",
+)
+def q_forecast_revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)")),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -71,3 +71,19 @@ def test_salted_equals_plain_on_skewed_data(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_persisted_index_term_lookup_is_pruned(spark, sf_smoke, tmp_path):
+    """Two-phase flow: build index -> persist parquet -> term lookup
+    reads back with the term predicate pushed to the scan."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import build_index
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "index")
+    build_index(docs).write.mode("overwrite").parquet(path)
+
+    lookup = spark.read.parquet(path).where(F.col("term") == "join")
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,join)]" in plan
+    rows = lookup.collect()
+    assert len(rows) == 1 and rows[0]["df"] == len(rows[0]["postings"])

@@ -274,14 +274,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     of its 60-bit md5; the signature sets bits with positive sums.
     Two narrow aggregations, no UDFs. Output: ``doc_id, simhash``.
     """
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
+
+    tf = doc_term_freq(docs, text_col, id_col)
     hashed = tf.select(
         "doc_id",
         "tf",

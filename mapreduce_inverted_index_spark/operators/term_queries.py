@@ -87,14 +87,9 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     broadcast the df side when small. Score rounded so differential
     oracles compare stably across engines.
     """
-    from mapreduce_inverted_index_spark.functions.text import terms as terms_fn
+    from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(terms_fn(text_col, keep_duplicates=True)).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = doc_term_freq(docs, text_col, id_col)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     return (

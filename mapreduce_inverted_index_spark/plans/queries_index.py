@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_inverted_index_spark.functions.text import sql_terms
+from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
 from mapreduce_inverted_index_spark.operators import inverted_index as idx
 from mapreduce_inverted_index_spark.operators import term_queries as tq
 from mapreduce_inverted_index_spark.plans.registry import register
@@ -324,4 +324,28 @@ def q_inverted_index_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings_csv"),
         "df",
+    )
+
+
+@register(
+    "term_first_positions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    d AS (SELECT doc_id, toks, unnest(list_distinct(toks)) AS term FROM t)
+    SELECT doc_id, term,
+           CAST(list_position(toks, term) - 1 AS INTEGER) AS first_pos
+    FROM d
+    """,
+    doc="Positional tokenization: posexplode over the token array -> "
+        "first occurrence offset of every distinct term per doc "
+        "(position data the reference's index drops).",
+)
+def q_term_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "term")
+    )
+    return d.groupBy("doc_id", "term").agg(
+        F.min("pos").cast("int").alias("first_pos")
     )

@@ -967,3 +967,40 @@ def q_forecast_revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "calendar_axis_order_counts",
+    oracle="""
+    WITH months AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '2001-08-01',
+                                    INTERVAL 1 MONTH)) AS month_start
+    )
+    SELECT m.month_start, count(o_orderkey) AS n_orders
+    FROM months m LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = m.month_start
+    GROUP BY m.month_start
+    """,
+    doc="Generated calendar axis (sequence + explode) left-joined to "
+        "facts so empty months appear with zero counts — the dense "
+        "time-axis pattern reports need.",
+)
+def q_calendar_axis_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    return (
+        months.join(o, months["month_start"] == o["m"], "left")
+        .groupBy("month_start")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

@@ -87,3 +87,27 @@ def test_persisted_index_term_lookup_is_pruned(spark, sf_smoke, tmp_path):
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,join)]" in plan
     rows = lookup.collect()
     assert len(rows) == 1 and rows[0]["df"] == len(rows[0]["postings"])
+
+
+def test_operators_handle_empty_input(spark, sf_smoke):
+    """Every core operator must return an empty result — not raise —
+    when the corpus filters down to nothing."""
+    from mapreduce_inverted_index_spark.operators import dedup as D
+    from mapreduce_inverted_index_spark.operators import textstats as T
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        doc_freq,
+        index_stats,
+    )
+
+    empty = load_table(spark, sf_smoke, "documents").where(F.lit(False))
+    assert build_index(empty).count() == 0
+    assert doc_freq(empty).count() == 0
+    assert index_stats(empty).collect()[0]["num_postings"] == 0
+    assert D.exact_dedup(empty).count() == 0
+    assert D.minhash_near_dup(empty, persist_shingles=False).count() == 0
+    assert D.simhash_signatures(empty).count() == 0
+    assert D.ngram_jaccard_pairs(empty).count() == 0
+    assert T.language_id(empty).count() == 0
+    assert T.quality_profile(empty).count() == 0
+    assert T.fingerprints(empty).count() == 0

@@ -35,6 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; Catalyst prunes columns/pushes filters."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The fixtures store wall-time (non-UTC-adjusted) timestamps; pin
+    # the session timezone so collected values render identically in
+    # any host session (differential oracles compare wall times).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -26,6 +26,12 @@ _DEFAULTS: dict[str, str] = {
     # Local-mode shuffle width; a real cluster sets this (or leaves
     # AQE to coalesce from a high initial value).
     "spark.sql.shuffle.partitions": "32",
+    # local[*] runs driver+executors in ONE JVM: the 1g default heap
+    # is what a 32-thread run gets in total, and runtime broadcasts
+    # OOM'd the stress probe at 100k docs. Only applies at JVM start
+    # (ignored on getOrCreate of a live session); clusters size
+    # executors instead. Override via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Keep timestamps straightforward for differential tests.
     "spark.sql.session.timeZone": "UTC",
 }

@@ -1004,3 +1004,87 @@ def q_calendar_axis_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(rank()       OVER w AS INTEGER) AS bal_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS INTEGER) AS bal_quartile,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+    doc="Ranking window family: rank / dense_rank / ntile(4) / "
+        "percent_rank per market segment.",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.ntile(4).over(wt).cast("int").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
+
+
+@register(
+    "bool_agg_flags",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_or(o_orderstatus = 'F')  AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS n_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Boolean aggregates: bool_or / bool_and / count_if per group.",
+)
+def q_bool_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )
+
+
+@register(
+    "date_arithmetic_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS due_date,
+           CAST(year(age(TIMESTAMP '2002-01-01', o_orderdate)) * 12
+                + month(age(TIMESTAMP '2002-01-01', o_orderdate))
+                AS INTEGER) AS full_months_to_ref,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS order_dow,
+           last_day(o_orderdate) AS month_end
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="Date arithmetic: interval add, whole-month difference, "
+        "day-of-week, last_day.",
+)
+def q_date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("due_date"),
+        F.floor(
+            F.months_between(
+                F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+            )
+        ).cast("int").alias("full_months_to_ref"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )

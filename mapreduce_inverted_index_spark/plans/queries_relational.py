@@ -1088,3 +1088,210 @@ def q_date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
+
+# ------------------------------------------- TPC-H-shaped decision support
+
+@register(
+    "full_outer_nation_footprint",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           CAST(COALESCE(c.n_rich_customers, 0) AS BIGINT)
+             AS n_rich_customers,
+           CAST(COALESCE(s.n_rich_suppliers, 0) AS BIGINT)
+             AS n_rich_suppliers
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_rich_customers
+          FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS n_rich_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+    doc="Full outer join of two pre-aggregated sides with COALESCE key "
+        "recovery — aggregate-before-join keeps the shuffle at "
+        "O(nations), not O(rows), at any scale.",
+)
+def q_full_outer_nation_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: histogram of customers by non-urgent order "
+        "count; left join with a join-side residual predicate, then a "
+        "double aggregation (wide on c_custkey, tiny on n_orders).",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+    doc="TPC-H Q18 shape: large-volume orders via IN over a "
+        "grouped-HAVING subquery — expressed as an agg-then-semi-join "
+        "so the big lineitem table is aggregated once, and only "
+        "qualifying orderkeys (rare) flow into the 3-way join; "
+        "decimal-exact qty so the >250 cut is engine-stable.",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_sum"))
+        .where(F.col("qty_sum") > 250)
+        .select("l_orderkey", F.round("qty_sum", 2).cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+@register(
+    "quiet_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+        "recent urgent order — scalar subquery (broadcast threshold) + "
+        "correlated NOT EXISTS (left anti join on a pre-filtered, "
+        "pre-deduplicated orders side).",
+)
+def q_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_df = c.where(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "avg_bal"))
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+@register(
+    "percentile_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6)  AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles (p50/p90/p99) per return flag — "
+        "Spark `percentile` (exact, sort-based within group) vs DuckDB "
+        "quantile_cont; at 100 TB swap in approx_percentile, which is "
+        "sketch-mergeable and needs no per-group sort.",
+)
+def q_percentile_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber = 1
+    """,
+    doc="Unpivot (wide→long): three measure columns melted to "
+        "(measure, value) rows — Spark's native `unpivot` is a "
+        "narrow transformation (no shuffle, no row multiplication "
+        "beyond the 3x melt); oracle = UNION ALL of projections.",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") % 10 == 0) & (F.col("l_linenumber") == 1)
+    )
+    return li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )

@@ -377,3 +377,66 @@ def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .applyInPandas(zscore, schema="doc_id bigint, z_chars double")
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=r"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+    ),
+    cur AS (
+      SELECT d.source,
+             length(d.text) AS n_chars,
+             len(__CURTOKS__) AS n_tokens,
+             length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS alpha
+      FROM documents d JOIN keep USING (doc_id)
+      WHERE d.lang = 'en'
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+             AS est_bpe_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens
+    FROM cur
+    WHERE n_tokens >= 20 AND n_chars BETWEEN 100 AND 20000
+      AND CAST(alpha AS DOUBLE) / n_chars > 0.5
+    GROUP BY source
+    """.replace("__CURTOKS__", sql_tokens("d.text")),
+    doc="End-to-end training-data curation: exact dedup (survivors "
+        "via left-semi join on keeper ids — text never shuffles) → "
+        "language filter (metadata column; Catalyst pushes it to the "
+        "scan) → quality gates (length band, alpha ratio, token "
+        "floor) → per-source corpus stats. The composition pattern "
+        "for a 100 TB curation run: each stage is a narrow projection "
+        "or a key-only shuffle.",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    keepers = D.exact_dedup(docs).select("doc_id")
+    cur = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .where(F.col("lang") == "en")
+        .select(
+            "source",
+            F.length("text").alias("n_chars"),
+            F.size(tokenize("text")).alias("n_tokens"),
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha"),
+        )
+        .where(
+            (F.col("n_tokens") >= 20)
+            & F.col("n_chars").between(100, 20000)
+            & (F.col("alpha").cast("double") / F.col("n_chars") > 0.5)
+        )
+    )
+    return cur.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint")).alias("est_bpe_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+    )

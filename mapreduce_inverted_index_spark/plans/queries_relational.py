@@ -1295,3 +1295,196 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "time_range_window_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_90d,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+                AS DOUBLE) AS spend_trailing_90d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame: trailing-90-day order count and "
+        "spend per customer — Spark rangeBetween over epoch seconds "
+        "(UTC session, so 90 days == 7 776 000 s exactly); one shuffle "
+        "on o_custkey, sort within partition, no self-join range "
+        "explosion.",
+)
+def q_time_range_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_trailing_90d"),
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("spend_trailing_90d"),
+    )
+
+
+@register(
+    "value_window_family",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           first_value(c_name) OVER wf AS top_name,
+           last_value(c_name)  OVER wf AS bottom_name,
+           nth_value(c_name, 3) OVER wf AS third_name,
+           lag(c_acctbal) OVER wo AS prev_bal
+    FROM customer
+    WINDOW wo AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey ASC),
+           wf AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Value window family: first/last/nth_value over the full "
+        "partition frame + lag over the ordered frame; tie-broken by "
+        "c_custkey so the total order (and thus every value) is "
+        "deterministic across engines.",
+)
+def q_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    wo = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_name").over(wf).alias("top_name"),
+        F.last("c_name").over(wf).alias("bottom_name"),
+        F.nth_value("c_name", 3).over(wf).alias("third_name"),
+        F.lag("c_acctbal").over(wo).alias("prev_bal"),
+    )
+
+
+@register(
+    "width_bucket_price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 500000.0 THEN 21
+                     ELSE CAST(floor(o_totalprice / 25000.0) AS INTEGER) + 1
+                END AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY bucket
+    """,
+    doc="Equi-width histogram via width_bucket (20 buckets over "
+        "[0, 500k)) — a single map-side bucketing expression + tiny "
+        "hash agg; the scalable alternative to sort-based quantile "
+        "binning. Oracle spells out the bucket arithmetic (this "
+        "DuckDB build lacks width_bucket).",
+)
+def q_width_bucket_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "string_agg_rich_names",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_acctbal > 9950 GROUP BY c_nationkey
+    """,
+    doc="Ordered string aggregation: Spark collect_list is "
+        "order-nondeterministic after a shuffle, so sort the array "
+        "before joining — array_join(array_sort(collect_list)) is the "
+        "engine-stable equivalent of string_agg(... ORDER BY).",
+)
+def q_string_agg_rich_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9950)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping_id(): distinguishes subtotal levels "
+        "(0=detail, 1=per-flag subtotal, 3=grand total) so consumers "
+        "can filter aggregation depth without NULL-ambiguity.",
+)
+def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM x
+    )
+    SELECT user_id,
+           CAST(sess_no AS INTEGER) AS sess_no,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess_no
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag to flag "
+        "session starts, running sum to number sessions, then a "
+        "grouped rollup — the standard gaps-and-islands plan. One "
+        "shuffle on user_id serves both windows AND the final "
+        "aggregation (same key, Catalyst reuses the exchange); "
+        "second-floor epoch diffs keep the gap test engine-stable. "
+        "Batch twin of stream_session_windows.",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(ts_s).over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((ts_s - prev) > 1800), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy(
+        "user_id", F.col("sess_no").cast("int").alias("sess_no")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

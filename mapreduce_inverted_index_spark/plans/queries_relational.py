@@ -1021,7 +1021,10 @@ def q_calendar_axis_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
     """,
     doc="Ranking window family: rank / dense_rank / ntile(4) / "
-        "percent_rank per market segment.",
+        "percent_rank per market segment. Scale note: 5 segments = 5 "
+        "window partitions, a deliberate low-cardinality-key demo; at "
+        "100 TB rank within (segment, nation) or pre-bucket by "
+        "acctbal range so no single task sorts 1/5 of the table.",
 )
 def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1351,7 +1354,10 @@ def q_time_range_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Value window family: first/last/nth_value over the full "
         "partition frame + lag over the ordered frame; tie-broken by "
         "c_custkey so the total order (and thus every value) is "
-        "deterministic across engines.",
+        "deterministic across engines. Same low-cardinality-partition "
+        "scale caveat as window_rank_family: per-extremum values at "
+        "100 TB come cheaper from a min/max agg + broadcast join back "
+        "than from a 5-partition window sort.",
 )
 def q_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")

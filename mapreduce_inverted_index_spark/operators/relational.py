@@ -27,6 +27,7 @@ __all__ = [
     "global_top_k",
     "running_total",
     "lag_lead",
+    "sessionize",
 ]
 
 
@@ -95,4 +96,36 @@ def lag_lead(
     w = Window.partitionBy(*group_by).orderBy(*_cols(order_by))
     return df.withColumn(f"prev_{col}", F.lag(col).over(w)).withColumn(
         f"next_{col}", F.lead(col).over(w)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: assign ``sess_no`` per key.
+
+    A new session starts when the gap to the previous event (whole
+    seconds, epoch floor) EXCEEDS ``gap_s`` — a gap of exactly
+    ``gap_s`` stays in the session. Adds ``sess_no`` (1-based INT).
+
+    Both the lag and the running sum share one window over
+    ``key_col``; Catalyst plans a single exchange, so the whole
+    assignment costs one shuffle regardless of data size. Events with
+    equal timestamps are ordered by ``tiebreak_col`` (pass a unique
+    id for fully deterministic numbering).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ts_s).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_s - prev) > gap_s), 1).otherwise(0)
+    return df.withColumn(
+        "sess_no",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
     )

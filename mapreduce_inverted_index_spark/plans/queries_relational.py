@@ -1476,20 +1476,10 @@ def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(ts_s).over(w)
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(prev.isNull() | ((ts_s - prev) > 1800), 1).otherwise(0),
+    numbered = R.sessionize(
+        e, "user_id", "ts", gap_s=1800, tiebreak_col="event_id"
     )
-    numbered = flagged.withColumn(
-        "sess_no",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return numbered.groupBy(
-        "user_id", F.col("sess_no").cast("int").alias("sess_no")
-    ).agg(
+    return numbered.groupBy("user_id", "sess_no").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),

@@ -111,3 +111,34 @@ def test_operators_handle_empty_input(spark, sf_smoke):
     assert T.language_id(empty).count() == 0
     assert T.quality_profile(empty).count() == 0
     assert T.fingerprints(empty).count() == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap == gap_s stays in-session; gap_s+1 starts a new one; the
+    numbering is deterministic under equal timestamps via tiebreak."""
+    import datetime as dt
+
+    from mapreduce_inverted_index_spark.operators.relational import sessionize
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 0s, +1800s (same session), +1800+1801s (new session)
+        (1, 10, t0),
+        (1, 11, t0 + dt.timedelta(seconds=1800)),
+        (1, 12, t0 + dt.timedelta(seconds=3601)),
+        # user 2: single event
+        (2, 20, t0),
+        # user 3: two events at the SAME timestamp — one session,
+        # ordered by event_id
+        (3, 30, t0),
+        (3, 31, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_id INT, ts TIMESTAMP")
+    out = {
+        (r["user_id"], r["event_id"]): r["sess_no"]
+        for r in sessionize(df, "user_id", "ts", 1800, "event_id").collect()
+    }
+    assert out[(1, 10)] == 1 and out[(1, 11)] == 1  # 1800s gap: same
+    assert out[(1, 12)] == 2                        # 1801s gap: new
+    assert out[(2, 20)] == 1
+    assert out[(3, 30)] == 1 and out[(3, 31)] == 1

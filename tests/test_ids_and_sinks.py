@@ -109,3 +109,30 @@ def test_write_index_bucketed_by_term(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(term" not in plan
     spark.sql("DROP TABLE inverted_index_b4")
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    from mapreduce_inverted_index_spark.sources.formats import read_orc, write_orc
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    # columnar pushdown works on ORC too
+    assert back.where(F.col("doc_id") == 1).count() == 1
+
+
+def test_read_text_corpus_one_row_per_file(spark, tmp_path):
+    from mapreduce_inverted_index_spark.sources.formats import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc\nwith two lines")
+    (d / "b.txt").write_text("second doc")
+    out = read_text_corpus(spark, str(d)).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["source"])] == [0, 1]
+    by_name = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in out}
+    assert by_name["a.txt"] == "first doc\nwith two lines"  # whole file, not lines
+    assert by_name["b.txt"] == "second doc"

@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "ngram_jaccard_pairs",
+    "dup_components",
     "minhash_signatures",
     "minhash_near_dup",
     "simhash_signatures",
@@ -332,4 +333,62 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: cluster pairwise
+    matches into duplicate groups (the step after any similarity
+    join; the cluster min-id is the canonical keeper).
+
+    Min-label propagation, the standard Pregel-style algorithm: every
+    node starts labeled with its own id; each round, nodes adopt the
+    smallest label among themselves and their neighbors; converged
+    when no label changes. Rounds needed = graph diameter (near-dup
+    clusters are near-cliques, so 2-3 in practice).
+
+    Each round is one distributed join + min-aggregation;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't
+    grow with iterations (at cluster scale use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation instead). The driver-side loop holds
+    only a changed-row COUNT, never data.
+
+    Output: ``doc_id, component`` (= min doc_id reachable) for every
+    doc appearing in at least one pair.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

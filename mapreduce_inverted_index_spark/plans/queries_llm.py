@@ -440,3 +440,40 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_BIGRAMS}),
+    edges AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.05
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Duplicate clusters: connected components over the 0.05-"
+        "Jaccard pair graph via iterative min-label propagation "
+        "(Pregel-style join+min rounds, lineage-checkpointed). The "
+        "step that turns pairwise similarity into dedup groups; "
+        "component id = min doc_id = canonical keeper. Oracle = "
+        "DuckDB recursive-CTE reachability.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    return D.dup_components(pairs)

@@ -106,3 +106,17 @@ def test_simhash_close_for_near_dup_far_for_random(spark, sf_smoke):
     far_ids = sorted(set(sigs) - {doc_a, doc_b})[:2]
     far = bin(sigs[far_ids[0]] ^ sigs[far_ids[1]]).count("1")
     assert near < far, f"near-dup hamming {near} should beat random {far}"
+
+
+def test_dup_components_path_graph(spark):
+    """Min-label propagation must traverse the full diameter: a
+    4-node path needs 3 rounds for label 1 to reach node 4."""
+    from mapreduce_inverted_index_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["doc_id"]: r["component"] for r in dup_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}

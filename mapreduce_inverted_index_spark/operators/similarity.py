@@ -14,9 +14,18 @@ Two tiers, per the standard ANN playbook:
     Recall < 1 by construction → verified against brute force in
     tests, rows-only checked by the driver.
 
-An IVF variant would swap the signature for nearest-centroid
-assignment; the plan shape (bucket column + co-partitioned join) is
-identical, which is the part that matters at 100 TB.
+  * **IVF (inverted-file) ANN** — the other classic scale path.
+    A small k-means codebook (deterministic Lloyd iterations, all
+    broadcast joins — the driver never holds vectors) partitions the
+    corpus into cells; a probe scores only the ``n_probe`` cells
+    whose centroids are nearest the query. Probing every cell
+    degenerates to exact brute force, which the tests exploit as a
+    deterministic equality check.
+
+All three share one output shape (``query_id, vec_id, cos_sim,
+rank``) so they are interchangeable downstream; at 100 TB the cell /
+bucket column becomes the storage partition key and a probe is a
+partition-pruned scan.
 """
 
 from __future__ import annotations
@@ -26,7 +35,14 @@ from pyspark.sql import functions as F
 
 from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
 
-__all__ = ["brute_force_topk", "embedding_near_dup", "lsh_bucket_topk"]
+__all__ = [
+    "brute_force_topk",
+    "embedding_near_dup",
+    "lsh_bucket_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
 
@@ -133,6 +149,121 @@ def lsh_bucket_topk(
     )
     scored = (
         cand.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means codebook: ``(cell, centroid)``.
+
+    Seeds are the ``n_cells`` lowest-id vectors (reproducible without
+    randomness); each Lloyd iteration assigns every vector to its
+    max-cosine centroid (crossJoin against the BROADCAST ``n_cells``-
+    row codebook — the corpus never shuffles for assignment) and
+    recomputes centroids as the element-wise mean via posexplode →
+    (cell, dim) avg → re-assemble. ``iters`` is a small fixed
+    constant, so the driver loop holds only tiny codebook plans,
+    never data. Empty cells drop out of the codebook.
+    """
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = (
+        e.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cell"),
+            F.col("v").cast("array<double>").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
+            F.max_by(
+                "cell", F.struct(cosine_similarity("v", "centroid"), -F.col("cell"))
+            ).alias("cell")
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag every vector with its nearest (max-cosine) cell. At scale
+    this is the build step: write the result partitioned by ``cell``
+    so probes become partition-pruned scans."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    return e.crossJoin(F.broadcast(cents)).groupBy("vec_id", "vec").agg(
+        F.max_by(
+            "cell", F.struct(cosine_similarity("vec", "centroid"), -F.col("cell"))
+        ).alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` cells whose
+    centroids are nearest each query.
+
+    Candidate work drops from Q × N to ~Q × N · n_probe/n_cells; the
+    probe list is a tiny (query × n_probe) broadcast joined on the
+    cell key. With ``n_probe >= n_cells`` every cell is probed and
+    the result equals :func:`brute_force_topk` exactly (test anchor).
+    Output shape matches the other two tiers.
+    """
+    cents = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "cell",
+            cosine_similarity("query_vec", "centroid").alias("cos_c"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

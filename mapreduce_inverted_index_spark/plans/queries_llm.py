@@ -218,6 +218,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10)
 
 
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; full-probe == brute
+    # force equality + recall bound tested in tests/.
+    doc="IVF ANN top-10: deterministic k-means codebook (broadcast "
+        "Lloyd iterations), vectors assigned to max-cosine cells, "
+        "search scores only the 4 cells nearest each query.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10,
+        n_cells=16, n_probe=4,
+    )
+
+
 # ------------------------------------------------------------- text stats
 
 _MARKER_SQL = {

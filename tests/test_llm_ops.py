@@ -120,3 +120,41 @@ def test_dup_components_path_graph(spark):
         r["doc_id"]: r["component"] for r in dup_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_smoke):
+    """Probing every cell must reduce IVF to exact brute force —
+    same rows, same ranks (the codebook only partitions work)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_probe_subset_and_recall(spark, sf_smoke):
+    """n_probe < n_cells: results are a subset of the scored space
+    with decent recall@5 against brute force on the clustered
+    fixture embeddings."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f} below floor"

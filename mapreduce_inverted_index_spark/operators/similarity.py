@@ -182,6 +182,8 @@ def ivf_centroids(
     never data. Empty cells drop out of the codebook.
     """
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # the unpartitioned window runs AFTER limit(n_cells): a single
+    # partition of n_cells rows, constant-size at any corpus scale
     cents = (
         e.orderBy("vid")
         .limit(n_cells)

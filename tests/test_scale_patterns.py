@@ -142,3 +142,25 @@ def test_sessionize_gap_boundary(spark):
     assert out[(1, 12)] == 2                        # 1801s gap: new
     assert out[(2, 20)] == 1
     assert out[(3, 30)] == 1 and out[(3, 31)] == 1
+
+
+def test_persisted_ivf_index_probe_is_pruned(spark, sf_smoke, tmp_path):
+    """The IVF scale path: cell assignments persisted partitionBy
+    cell make a probe a partition-pruned scan, and probing the
+    persisted index scores identically to the in-memory operator."""
+    from mapreduce_inverted_index_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = S.ivf_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    S.ivf_assign(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    probe_cells = [0, 1, 2]
+    probed = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan
+    in_mem = S.ivf_assign(emb, cents).where(F.col("cell").isin(probe_cells))
+    assert probed.count() == in_mem.count() > 0
+    assert {r["vec_id"] for r in probed.select("vec_id").collect()} == {
+        r["vec_id"] for r in in_mem.select("vec_id").collect()
+    }

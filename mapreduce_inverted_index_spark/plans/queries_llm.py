@@ -219,6 +219,55 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_norm_profile",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(round(sqrt(list_aggregate(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                 'sum')), 6) AS DECIMAL(18,6)) AS norm,
+             CAST(len(embedding) AS INTEGER) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(norm) AS DOUBLE) / count(*), 4) AS avg_norm,
+           CAST(min(norm) AS DOUBLE) AS min_norm,
+           CAST(max(norm) AS DOUBLE) AS max_norm,
+           CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           min(dim) AS min_dim,
+           max(dim) AS max_dim
+    FROM n GROUP BY label
+    """,
+    doc="Embedding hygiene profile: per-label vector counts, L2-norm "
+        "spread, zero-vector count, and dim consistency — the sanity "
+        "gate before any similarity/dedup pass (unnormalized or "
+        "degenerate vectors silently poison cosine math). Norms are "
+        "JVM-side aggregate folds; decimal sums keep the oracle "
+        "comparison bit-exact.",
+)
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.vectors import l2_norm
+
+    norm6 = F.round(l2_norm("embedding"), 6).cast("decimal(18,6)")
+    e = _emb(spark, sf_dir).select(
+        "label", norm6.alias("norm"), F.size("embedding").alias("dim")
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("norm").cast("double") / F.count("*"), 4
+        ).alias("avg_norm"),
+        F.min("norm").cast("double").alias("min_norm"),
+        F.max("norm").cast("double").alias("max_norm"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+    )
+
+
+@register(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction; full-probe == brute
     # force equality + recall bound tested in tests/.

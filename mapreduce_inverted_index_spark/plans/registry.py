@@ -23,12 +23,17 @@ _REGISTRY: dict[str, "Query"] = {}
 
 # Modules that define queries; imported lazily on first access so the
 # registry has no import-order footguns.
+#
+# ORDER MATTERS: the driver's correctness window walks the catalog in
+# registration order and may cap out before the end, so the
+# north-star families (index parity, LLM data pipeline, streaming,
+# multimodal) register BEFORE the long relational tail.
 _QUERY_MODULES = (
     "mapreduce_inverted_index_spark.plans.queries_index",
-    "mapreduce_inverted_index_spark.plans.queries_relational",
     "mapreduce_inverted_index_spark.plans.queries_llm",
     "mapreduce_inverted_index_spark.plans.queries_streaming",
     "mapreduce_inverted_index_spark.plans.queries_multimodal",
+    "mapreduce_inverted_index_spark.plans.queries_relational",
 )
 
 

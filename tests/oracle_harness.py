@@ -33,6 +33,8 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # collapse -0.0: the f-string would keep the sign
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return repr(v)

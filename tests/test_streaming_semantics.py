@@ -1,0 +1,137 @@
+"""Streaming semantics beyond single-batch equality: exact-boundary
+session merging (pins the oracle's comparison operator) and a
+two-micro-batch watermark test proving late data is actually gated —
+a single AvailableNow batch can't distinguish watermarking from plain
+batch aggregation, two batches with an advanced watermark can.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _sessions(spark, rows, gap="30 minutes"):
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"),
+                F.col("w.end").cast("string").alias("end"), "n")
+    )
+    return sorted(out.collect())
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Events exactly ``gap`` apart MERGE (inclusive boundary): Spark's
+    session assignment extends a session whose end equals the next
+    event's time. This pins the semantics the stream_session_windows
+    oracle encodes with ``<= INTERVAL 30 MINUTE`` (gaps-and-islands):
+    both treat the exact-boundary event as the same session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = _sessions(
+        spark, [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")]
+    )
+    assert got == [("2024-01-01 00:00:00", "2024-01-01 01:00:00", 2)]
+
+
+def test_session_window_past_gap_boundary_splits(spark):
+    """One second past the gap -> two sessions (the complement bound)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = _sessions(
+        spark, [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:01")]
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:30:00", 1),
+        ("2024-01-01 00:30:01", "2024-01-01 01:00:01", 1),
+    ]
+
+
+def _write_events_file(path: str, rows: list[tuple[int, str]], mtime: float) -> None:
+    import datetime as dt
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_event_across_micro_batches(spark, tmp_path):
+    """Multi-micro-batch watermark gating (maxFilesPerTrigger=1 under
+    AvailableNow): batch 1 carries an event at 02:00, advancing the 1h
+    watermark to 01:00 and finalizing the [00:00, 00:30) window with 2
+    events; a later batch replays a LATE event at 00:10. Its window is
+    already closed, so the sink must still show n=2 — proving the
+    watermark actually gates late data (a single-batch run can't
+    distinguish watermarking from plain batch aggregation).
+
+    Empirical Spark detail this pins: the watermark commit lags one
+    batch (batch N filters with the watermark derived from data seen
+    through batch N-1's COMMIT), so the late file arrives two batches
+    after the advancing event, with a buffer batch between.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    now = 1_700_000_000.0
+    # File order = modification time for the file stream source.
+    _write_events_file(
+        str(src / "b1.parquet"),
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:20:00"),
+         (3, "2024-01-01 02:00:00")],  # advances wm to 01:00
+        mtime=now,
+    )
+    _write_events_file(  # buffer batch: lets the wm commit take effect
+        str(src / "b2.parquet"), [(9, "2024-01-01 02:10:00")], mtime=now + 60
+    )
+    _write_events_file(
+        str(src / "b3.parquet"),
+        [(4, "2024-01-01 00:10:00"),  # LATE: watermark is past 01:00
+         (5, "2024-01-01 02:30:00")],
+        mtime=now + 120,
+    )
+    _write_events_file(  # flush: emit remaining closed windows
+        str(src / "b4.parquet"), [(6, "2024-01-01 04:00:00")], mtime=now + 180
+    )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mii_watermark_gate_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3, "expected at least 4 micro-batches"
+
+    sink = spark.table("mii_watermark_gate_sink").select(
+        F.col("w.start").cast("string").alias("start"), "n"
+    )
+    rows = {r["start"]: r["n"] for r in sink.collect()}
+    # The late event at 00:10 must NOT have bumped the closed window.
+    assert rows["2024-01-01 00:00:00"] == 2
+    # ... and the on-time events in the same late batch still counted.
+    assert rows["2024-01-01 02:30:00"] == 1

@@ -24,7 +24,15 @@ from mapreduce_inverted_index_spark.functions.stopwords import (
     stopwords_sql_list,
 )
 
-__all__ = ["STOPWORDS", "normalize_text", "tokenize", "terms", "stopwords_sql_list"]
+__all__ = [
+    "STOPWORDS",
+    "normalize_text",
+    "tokenize",
+    "terms",
+    "stopwords_sql_list",
+    "strip_html",
+    "sql_strip_html",
+]
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -70,6 +78,94 @@ def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
 # RE2 spelling of Java's (?U)\s (ASCII ws + separators + NEL).
 _SQL_WS = r"[\s\p{Z}\x{0085}]"
 _SQL_NOT_TOKEN = r"[^a-z\s\p{Z}\x{0085}]"
+
+
+# --- S2 parity: HTML → text projection ------------------------------
+#
+# The reference's fetch step (``mapper/src/processor.py:146-155``)
+# takes ``div#mw-content-text``, decomposes ``table``/``script``/
+# ``style`` subtrees, and joins the remaining text nodes with " ".
+# This is that projection as a builtin regexp cascade — identical
+# pattern text runs on Java regex (Spark, whole-stage codegen) and
+# RE2 (DuckDB oracle), so the operator is differentially checkable
+# and never leaves the JVM.
+#
+# Honest limits vs a real parser (documented, golden-tested):
+#   * the content-div subtree is approximated as "opening tag → LAST
+#     </div>" (regexes can't balance tags); exact when the content
+#     div is the page's final closing div, as on the reference's
+#     Wikipedia pages;
+#   * a dropped tag nested inside ITSELF (table-in-table) ends at the
+#     first closing tag — one nesting level leaks its tail text.
+# At 100 TB scale the same contract holds: this is a narrow map-stage
+# projection with zero shuffle impact.
+
+_HTML_DROP_TAGS = ("script", "style", "table")
+
+# (pattern, replacement), applied in order. Subtree drops run before
+# comment removal (their bodies may contain '<!--'), comments before
+# the generic tag strip. Replacement is a space = BeautifulSoup's
+# ``get_text(separator=" ")``.
+_HTML_TAG_STEPS: tuple[tuple[str, str], ...] = tuple(
+    [
+        (rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+        for tag in _HTML_DROP_TAGS
+    ]
+    + [
+        (r"(?s)<!--.*?-->", " "),  # comment nodes have no text
+        (r"(?s)<[^>]*>", " "),  # every remaining tag → separator
+    ]
+)
+
+# Minimal entity set; '&amp;' must come last or it would re-create
+# decodable entities ('&amp;lt;' → '&lt;' → '<').
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _div_pattern(content_div_id: str) -> str:
+    return (
+        rf"(?is)<div[^>]*\bid\s*=\s*[\"']?{content_div_id}[\"']?[^>]*>(.*)</div>"
+    )
+
+
+def strip_html(col: Column | str, *, content_div_id: str | None = None) -> Column:
+    """HTML → whitespace-normalized text (the reference's S2 fetch
+    projection). With ``content_div_id``, text outside that div is
+    dropped and a page without the div yields ``''`` (reference
+    parity: "no content div" → empty document).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if content_div_id is not None:
+        c = F.regexp_extract(c, _div_pattern(content_div_id), 1)
+    for pat, rep in _HTML_TAG_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for search, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(search), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_strip_html(text_expr: str, *, content_div_id: str | None = None) -> str:
+    """DuckDB twin of :func:`strip_html` — same cascade, RE2 flavor."""
+    e = text_expr
+    if content_div_id is not None:
+        e = f"regexp_extract({e}, {_sql_str(_div_pattern(content_div_id))}, 1)"
+    for pat, rep in _HTML_TAG_STEPS:
+        e = f"regexp_replace({e}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    for search, rep in _HTML_ENTITIES:
+        e = f"replace({e}, {_sql_str(search)}, {_sql_str(rep)})"
+    return f"trim(regexp_replace({e}, '{_SQL_WS}+', ' ', 'g'))"
 
 
 def sql_tokens(text_expr: str = "text") -> str:

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
+from mapreduce_inverted_index_spark.functions.text import (
+    sql_strip_html,
+    sql_terms,
+    sql_tokens,
+    strip_html,
+)
 from mapreduce_inverted_index_spark.operators import inverted_index as idx
 from mapreduce_inverted_index_spark.operators import term_queries as tq
 from mapreduce_inverted_index_spark.plans.registry import register
@@ -348,4 +353,94 @@ def q_term_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("doc_id", "term").agg(
         F.min("pos").cast("int").alias("first_pos")
+    )
+
+
+# --- S2 parity: HTML projection feeding the index -------------------
+#
+# A deterministic HTML wrapper turns the documents table into a fake
+# web corpus: content div + heading/list markup that SHOULD index,
+# plus style/script/table/comment/footer content that must NOT. Both
+# engines build the same string and run the same strip cascade, so
+# the whole projection is value-hash checkable.
+
+_HTML_PREFIX = (
+    '<html><head><title>Ignored Title</title><style>p {color: red}</style>'
+    '</head><body><!-- nav chrome --><div id="mw-content-text">'
+    "<h2>Corpus Heading</h2><p>"
+)
+_HTML_SUFFIX = (
+    "</p><script>track(1 < 2);</script><ul><li>List &amp; item</li></ul>"
+    '<table class="infobox"><tr><td>dropped cell</td></tr></table></div>'
+    "<footer>dropped footer</footer></body></html>"
+)
+_SQL_HTML = f"'{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}'"
+
+
+def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents wrapped as HTML pages, then stripped back to text
+    via the S2 projection (reference mapper/src/processor.py:146-155:
+    content div -> drop table/script/style -> space-joined text)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        strip_html(
+            F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)),
+            content_div_id="mw-content-text",
+        ).alias("text"),
+    )
+
+
+_SQL_CLEAN_DOCS = (
+    "SELECT doc_id, "
+    + sql_strip_html("html", content_div_id="mw-content-text")
+    + f" AS text FROM (SELECT doc_id, {_SQL_HTML} AS html FROM documents)"
+)
+
+
+@register(
+    "html_strip_clean",
+    oracle=f"""
+    WITH c AS ({_SQL_CLEAN_DOCS})
+    SELECT doc_id,
+           md5(text) AS clean_md5,
+           CAST(len({sql_tokens('text')}) AS INTEGER) AS n_tokens
+    FROM c
+    """,
+    doc="S2 HTML projection, value-exact: per-doc md5 of the stripped "
+        "text + token count. Pins the whole cascade (content-div "
+        "extraction, subtree drops, comment/tag strip, entity decode, "
+        "whitespace collapse) bit-for-bit against the RE2 twin.",
+)
+def q_html_strip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    return _html_docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+
+
+@register(
+    "html_corpus_index",
+    oracle=f"""
+    WITH c AS ({_SQL_CLEAN_DOCS}),
+    pairs AS (
+      SELECT doc_id, unnest({sql_terms('text', distinct=True)}) AS term FROM c
+    )
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs GROUP BY term
+    """,
+    doc="End-to-end web-corpus pipeline: HTML page -> S2 strip "
+        "projection -> tokenize -> inverted index. The reference's "
+        "actual crawl data plane (fetch_page_content feeding "
+        "map_terms_to_documents) over the columnar corpus.",
+)
+def q_html_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idx.build_index(_html_docs(spark, sf_dir)).select(
+        "term",
+        F.array_join("postings", ",").alias("postings_csv"),
+        "df",
     )

@@ -32,6 +32,7 @@ __all__ = [
     "normalize_for_dedup",
     "exact_dedup",
     "word_shingles",
+    "bounded_block_join",
     "ngram_jaccard_pairs",
     "dup_components",
     "minhash_signatures",
@@ -132,6 +133,61 @@ def _jaccard(a, b) -> F.Column:
     return F.round(inter / union, 6)
 
 
+def bounded_block_join(
+    a: DataFrame,
+    b: DataFrame,
+    blk: str,
+    id_a: str,
+    id_b: str,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Self-join plumbing for blocked pair generators: all (a, b) row
+    pairs sharing ``blk`` with ``a[id_a] < b[id_b]``.
+
+    With ``max_block_rows`` set, a block of n rows is split into
+    k = ceil(n / max_block_rows) hash-chunks and each side is
+    replicated k× so the join key becomes (blk, chunk_a, chunk_b) —
+    the k² sub-joins of an oversized block land on k² different
+    reducers with (n/k)² expected work each, instead of one straggler
+    task doing n². EXACT semantics: every qualifying pair matches in
+    exactly one (chunk_a, chunk_b) cell (each side pins its own chunk
+    and enumerates the other's), so results are identical to the
+    unbounded join — this bounds per-task time, not total work, which
+    is inherent to exact all-pairs output. ``None`` keeps the plain
+    single-key join (no counts pass, no replication).
+    """
+    if max_block_rows is None:
+        return a.join(b, [blk]).where(F.col(id_a) < F.col(id_b))
+    counts = a.groupBy(blk).agg(
+        F.greatest(
+            F.ceil(F.count("*") / F.lit(max_block_rows)).cast("int"), F.lit(1)
+        ).alias("_k")
+    )
+    a_rep = (
+        a.join(counts, blk)
+        .select(
+            "*",
+            F.pmod(F.xxhash64(F.col(id_a)), F.col("_k")).cast("int").alias("_ca"),
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("_cb"),
+        )
+        .drop("_k")
+    )
+    b_rep = (
+        b.join(counts, blk)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("_ca"),
+            F.pmod(F.xxhash64(F.col(id_b)), F.col("_k")).cast("int").alias("_cb"),
+        )
+        .drop("_k")
+    )
+    return (
+        a_rep.join(b_rep, [blk, "_ca", "_cb"])
+        .where(F.col(id_a) < F.col(id_b))
+        .drop("_ca", "_cb")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.35,
@@ -140,6 +196,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Blocked n-gram Jaccard similarity join.
 
@@ -150,6 +207,12 @@ def ngram_jaccard_pairs(
     ``shingles``: optional prebuilt ``(doc_id, <block_col>, shingles)``
     table (e.g. persisted once and shared across several dedup passes);
     built from ``docs`` when omitted.
+
+    ``max_block_rows`` bounds per-task time when one block is hot (a
+    dominant provenance would otherwise re-create the quadratic
+    straggler): oversized blocks split into hash-chunk sub-joins via
+    :func:`bounded_block_join`, results unchanged. Work is still
+    Σ_b |b|² — for truly unblockable corpora use the MinHash/LSH path.
     """
     sh = (
         shingles
@@ -166,7 +229,7 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("sh_b"),
     )
-    pairs = a.join(b, ["blk"]).where(F.col("doc_a") < F.col("doc_b"))
+    pairs = bounded_block_join(a, b, "blk", "doc_a", "doc_b", max_block_rows)
     return (
         pairs.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -329,6 +392,7 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sigs: DataFrame | None = None,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidates: blocked pairs with Hamming(simhash) ≤ k.
 
@@ -337,6 +401,8 @@ def simhash_candidate_pairs(
     on simhash prefixes/rotations instead — same plan shape.)
 
     ``sigs``: optional prebuilt ``(doc_id, simhash)`` signature table.
+    ``max_block_rows``: hot-block task-time bound (see
+    :func:`bounded_block_join`).
     """
     sigs = (sigs if sigs is not None else simhash_signatures(docs, text_col, id_col)).join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")),
@@ -345,8 +411,7 @@ def simhash_candidate_pairs(
     a = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (
-        a.join(b, ["blk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        bounded_block_join(a, b, "blk", "doc_a", "doc_b", max_block_rows)
         .select(
             "doc_a",
             "doc_b",

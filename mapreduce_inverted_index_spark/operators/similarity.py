@@ -84,19 +84,25 @@ def embedding_near_dup(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked to bound the
     pair space (same blocking argument as text dedup).
     Output: ``vec_a, vec_b, cos_sim``.
+
+    ``max_block_rows`` bounds per-task time when one block dominates:
+    oversized blocks are hash-chunked into exact sub-joins (see
+    ``dedup.bounded_block_join``); results are unchanged.
     """
+    from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
+
     e = embeddings.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     a = e.select(F.col("blk"), F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("blk"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, ["blk"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        bounded_block_join(a, b, "blk", "vec_a", "vec_b", max_block_rows)
         .select(
             "vec_a",
             "vec_b",
@@ -166,31 +172,41 @@ def lsh_bucket_topk(
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
-    iters: int = 2,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic k-means codebook: ``(cell, centroid)``.
 
-    Seeds are the ``n_cells`` lowest-id vectors (reproducible without
-    randomness); each Lloyd iteration assigns every vector to its
-    max-cosine centroid (crossJoin against the BROADCAST ``n_cells``-
-    row codebook — the corpus never shuffles for assignment) and
+    Seeds are hash-spread: vectors are bucketed by
+    ``xxhash64(id) mod n_cells`` and each bucket's min-hash vector
+    seeds one cell — deterministic with no RNG state, and dispersed
+    across the id space (the lowest-id-N alternative degenerates when
+    low ids cluster, e.g. ingestion order correlates with content).
+    Each Lloyd iteration assigns every vector to its max-cosine
+    centroid (crossJoin against the BROADCAST ``n_cells``-row
+    codebook — the corpus never shuffles for assignment) and
     recomputes centroids as the element-wise mean via posexplode →
     (cell, dim) avg → re-assemble. ``iters`` is a small fixed
     constant, so the driver loop holds only tiny codebook plans,
     never data. Empty cells drop out of the codebook.
     """
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    # the unpartitioned window runs AFTER limit(n_cells): a single
-    # partition of n_cells rows, constant-size at any corpus scale
-    cents = (
-        e.orderBy("vid")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cell"),
-            F.col("v").cast("array<double>").alias("centroid"),
+    seeds = (
+        e.select(
+            F.pmod(F.xxhash64("vid"), F.lit(n_cells)).alias("bucket"),
+            F.xxhash64("vid").alias("h"),
+            "vid",
+            "v",
         )
+        .groupBy("bucket")
+        .agg(F.min_by("v", F.struct("h", "vid")).alias("v"))
+    )
+    # the unpartitioned window orders the AGGREGATED seed table: one
+    # partition of ≤ n_cells rows, constant-size at any corpus scale
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
+        F.col("v").cast("array<double>").alias("centroid"),
     )
     for _ in range(iters):
         assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
@@ -236,7 +252,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
-    iters: int = 2,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -189,15 +189,38 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    # HLL sketch values are engine-specific, so the checkable surface
+    # is a TOLERANCE contract: emit the exact count (hash-comparable)
+    # plus a within-3-rsd boolean the oracle asserts as TRUE. If the
+    # sketch ever drifts outside the band, within_tol flips false and
+    # the row goes red — a real check, not a rows-only count.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HLL++): the 100 TB substitute for "
-        "exact COUNT DISTINCT — no expand, one pass, mergeable sketch.",
+        "exact COUNT DISTINCT — no expand, one pass, mergeable "
+        "sketch. Checked against the exact count with a 3*rsd "
+        "relative-error band.",
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    rsd = 0.02
+    agg = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+    err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return agg.select(
+        "event_type", "exact_users", (err <= 3 * rsd).alias("within_tol")
     )
 
 

@@ -64,18 +64,26 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+def read_text_corpus(spark: SparkSession, path: str, *, dense: bool = False) -> DataFrame:
     """Raw-document ingestion: one row per text FILE (not per line),
     ``(doc_id BIGINT, source STRING, text STRING)``.
 
     The engine analog of the reference's fetch-per-URL source
     (``mapper/src/processor.py:135-161``): each file is one document,
-    its path the provenance. doc_ids come from a ``row_number`` over
-    the file path — stable across reruns because paths are unique and
-    totally ordered. For 100 TB corpora prefer
-    ``operators.ids.assign_partition_ids`` (no single-partition
-    window); the ordered ids here mirror the reference's
-    deterministic, dense assignment (``master/src/coordinator.py:57``).
+    its path the provenance.
+
+    doc_ids default to the SCALE-SAFE assignment
+    (``operators.ids.assign_partition_ids``: per-partition offsets +
+    local increment — the reference's actual ``doc_id_start``
+    mechanism, ``master/src/coordinator.py:57``, with no
+    single-partition stage anywhere in the plan). Ids are dense and
+    unique; they follow Spark's file-split order.
+
+    ``dense=True`` opts into the reference-parity global ordering
+    (``row_number`` over the file path — stable across reruns because
+    paths are unique and totally ordered) at the cost of funneling
+    the final numbering through ONE task; reserve it for corpora
+    small enough that a single task can see every row.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -89,6 +97,11 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
             F.col("value").alias("text"),
         )
     )
+    if not dense:
+        from mapreduce_inverted_index_spark.operators.ids import assign_partition_ids
+
+        tagged = assign_partition_ids(files, id_name="doc_id")
+        return tagged.select("doc_id", "source", "text")
     w = Window.orderBy("source")
     return files.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("doc_id"),

@@ -131,8 +131,17 @@ def test_read_text_corpus_one_row_per_file(spark, tmp_path):
     d.mkdir()
     (d / "a.txt").write_text("first doc\nwith two lines")
     (d / "b.txt").write_text("second doc")
-    out = read_text_corpus(spark, str(d)).collect()
-    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["source"])] == [0, 1]
+    df = read_text_corpus(spark, str(d))
+    out = df.collect()
+    # default (scale-safe) ids: dense and unique, split-ordered
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
     by_name = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in out}
     assert by_name["a.txt"] == "first doc\nwith two lines"  # whole file, not lines
     assert by_name["b.txt"] == "second doc"
+    # the scale-safe default must have NO global window stage (the
+    # single-partition row_number funnel is opt-in only)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    dense = read_text_corpus(spark, str(d), dense=True).collect()
+    assert [r["doc_id"] for r in sorted(dense, key=lambda r: r["source"])] == [0, 1]

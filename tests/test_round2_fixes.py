@@ -90,3 +90,69 @@ def test_asof_join_no_match_yields_nulls(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["asof_payload"] is None
+
+
+def test_bounded_block_join_exact_under_hot_block(spark):
+    """One block holding 80% of rows (the skew case that re-creates a
+    quadratic straggler): the bounded join must return EXACTLY the
+    unbounded pairs while splitting the hot block across chunked join
+    keys so no single task owns the whole |hot|^2 workload."""
+    import math
+
+    rows = [("hot" if i < 80 else f"cold{i % 4}", i) for i in range(100)]
+    t = spark.createDataFrame(rows, "blk string, id bigint")
+    a = t.select("blk", F.col("id").alias("ida"))
+    b = t.select("blk", F.col("id").alias("idb"))
+
+    from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
+
+    unb = bounded_block_join(a, b, "blk", "ida", "idb", None)
+    bnd = bounded_block_join(a, b, "blk", "ida", "idb", 10)
+    pu = sorted((r["ida"], r["idb"]) for r in unb.collect())
+    pb = sorted((r["ida"], r["idb"]) for r in bnd.collect())
+    assert pu == pb
+    assert len(pb) == math.comb(80, 2) + 4 * math.comb(5, 2)
+
+    # The bounded plan carries the chunk keys; the unbounded plan is
+    # the plain single-key join, unchanged for small-block callers.
+    assert "_ca" in bnd._jdf.queryExecution().executedPlan().toString()
+    assert "_ca" not in unb._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_jaccard_bounded_matches_unbounded(spark):
+    """End-to-end operator equality: the task-time bound must not
+    change a single (pair, score) row even when it actually splits
+    (cap of 3 rows forces chunking on the fixture's sources)."""
+    from mapreduce_inverted_index_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        (i, "hot", f"the quick brown fox jumps over dog number {i % 3}")
+        for i in range(12)
+    ] + [(100 + i, "cold", "completely different words here") for i in range(4)]
+    docs = spark.createDataFrame(texts, "doc_id bigint, source string, text string")
+    unb = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=None)
+    bnd = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=3)
+    ru = sorted(map(tuple, unb.collect()))
+    rb = sorted(map(tuple, bnd.collect()))
+    assert ru == rb
+    assert len(ru) > 0
+
+
+def test_ivf_seed_dispersion(spark):
+    """Degenerate low-id cluster: ids 0..15 share ONE vector. Lowest-
+    id-N seeding would collapse the whole codebook onto it; hash-
+    spread seeding must still draw seeds from across the id space
+    (raw seeds, iters=0, so this isolates seed selection)."""
+    from mapreduce_inverted_index_spark.operators.similarity import ivf_centroids
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(16)] + [
+        (16 + i, [0.0, 1.0, float(i % 7)]) for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = ivf_centroids(emb, n_cells=8, iters=0)
+    centroids = [tuple(r["centroid"]) for r in cents.collect()]
+    assert len(centroids) >= 2
+    distinct = set(centroids)
+    # more than one distinct seed vector => seeds were not all drawn
+    # from the identical low-id cluster
+    assert len(distinct) > 1

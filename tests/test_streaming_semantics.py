@@ -135,3 +135,37 @@ def test_watermark_drops_late_event_across_micro_batches(spark, tmp_path):
     assert rows["2024-01-01 00:00:00"] == 2
     # ... and the on-time events in the same late batch still counted.
     assert rows["2024-01-01 02:30:00"] == 1
+
+
+def test_incremental_ingest_walker(spark, tmp_path):
+    """S1 walker parity: three AvailableNow passes over a growing
+    directory. Pass 1 ingests the initial files, pass 2 ingests ONLY
+    the new arrival (checkpoint = the walker's cursor), pass 3 with
+    nothing new is a no-op — exactly-once per file, like the
+    reference master's seen-page bookkeeping."""
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        ingest_available_now,
+        stream_text_corpus,
+    )
+
+    src = tmp_path / "landing"
+    sink = str(tmp_path / "corpus_sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    (src / "page1.txt").write_text("alpha doc")
+    (src / "page2.txt").write_text("beta doc")
+
+    ingest_available_now(stream_text_corpus(spark, str(src)), sink, ckpt)
+    first = spark.read.parquet(sink).collect()
+    assert sorted(r["text"] for r in first) == ["alpha doc", "beta doc"]
+
+    (src / "page3.txt").write_text("gamma doc")
+    ingest_available_now(stream_text_corpus(spark, str(src)), sink, ckpt)
+    second = spark.read.parquet(sink).collect()
+    assert sorted(r["text"] for r in second) == [
+        "alpha doc", "beta doc", "gamma doc"
+    ]
+
+    ingest_available_now(stream_text_corpus(spark, str(src)), sink, ckpt)
+    third = spark.read.parquet(sink).collect()
+    assert len(third) == 3  # no duplicates: nothing new arrived

@@ -450,48 +450,62 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     convergence is O(log d) rounds, not O(d) — a chain of 10k docs
     converges in ~14 rounds, far under the default cap.
     """
+    spark = pairs.sparkSession
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).persist()
-    labels = (
-        sym.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    n_edges = sym.count()
+    # Size each round's shuffles to the GRAPH, not the session
+    # default: a small pair graph must not pay hundreds of near-empty
+    # tasks per round (the iteration runs ~2 jobs x multiple stages
+    # per round, so per-task overhead multiplies), while a huge one
+    # keeps the session's full parallelism (~50k edges per task).
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    parts = max(1, min(int(orig_parts), n_edges // 50_000 + 1))
+    spark.conf.set(conf_key, str(parts))
     changed = 0
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym.doc_a == labels.node).select(
-            F.col("doc_b").alias("node"), "label"
-        )
-        prop = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # Pointer-jump: follow label -> that label's own label. Every
-        # label is itself a node (labels start as node ids and only
-        # ever take mins of them), so the lookup always hits; chain
-        # depth halves per round.
-        lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
-        new_labels = (
-            prop.join(lut, prop.label == F.col("_ln"), "left")
-            .select("node", F.coalesce("_ll", "label").alias("label"))
+    try:
+        labels = (
+            sym.select(F.col("doc_a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym.doc_a == labels.node).select(
+                F.col("doc_b").alias("node"), "label"
+            )
+            prop = (
+                labels.union(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # Pointer-jump: follow label -> that label's own label.
+            # Every label is itself a node (labels start as node ids
+            # and only ever take mins of them), so the lookup always
+            # hits; chain depth halves per round.
+            lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+            new_labels = (
+                prop.join(lut, prop.label == F.col("_ln"), "left")
+                .select("node", F.coalesce("_ll", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(conf_key, orig_parts)
+        sym.unpersist()
     if changed:
         raise RuntimeError(
             f"dup_components: labels still changing ({changed} nodes) after "

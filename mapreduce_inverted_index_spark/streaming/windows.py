@@ -40,6 +40,14 @@ __all__ = [
 
 _SINK_IDS = itertools.count()
 
+# Stateful streaming operators instantiate one state-store per
+# shuffle partition PER MICRO-BATCH — near-fixed overhead that
+# dwarfs the work on modest streams (measured 3x wall on the
+# correctness fixtures at the session's 32). 8 covers the fixture
+# volumes; a production stream sizes this to sustained load
+# (state bytes / partition target), not to the session default.
+STATE_PARTITIONS = 8
+
 # Parquet streaming sources need an explicit schema. ``ts`` arrives as
 # INT64 nanoseconds (see sources.tables._load_events) and is converted
 # to a microsecond timestamp in the stream's first projection.
@@ -68,19 +76,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_table(
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> DataFrame:
     """Execute a streaming aggregation with AvailableNow into a memory
-    sink; block until done; return the sink as a DataFrame."""
-    name = f"mii_stream_sink_{next(_SINK_IDS)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    sink; block until done; return the sink as a DataFrame.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions``
+    for the query's lifetime (state-store count is pinned at the
+    FIRST start of a stream; see ``STATE_PARTITIONS``). ``None``
+    keeps the session value.
+    """
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        name = f"mii_stream_sink_{next(_SINK_IDS)}"
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, orig)
+    return spark.table(name)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,7 +353,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
     Classic Charikar construction: each term votes ±tf on every bit
     of its 60-bit md5; the signature sets bits with positive sums.
-    Two narrow aggregations, no UDFs. Output: ``doc_id, simhash``.
+
+    Plan shape mirrors MinHash: ONE ``groupBy(doc_id)`` carrying 60
+    codegen'd conditional-sum aggregates (one per bit) — no per-bit
+    explode (which would shuffle 60× the term rows) and no second
+    aggregation; map-side partial sums collapse each partition to its
+    docs × 60 longs before the only shuffle. Output: ``doc_id,
+    simhash``.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
@@ -363,26 +369,20 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         "tf",
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
-    bits = hashed.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    )
-    # pyspark's shiftleft/shiftright helpers only take int shift
-    # amounts; the SQL forms accept a column.
-    votes = bits.groupBy("doc_id", "bit").agg(
+    votes = [
         F.sum(
-            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf"))
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("tf"))
             .otherwise(-F.col("tf"))
-        ).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_candidate_pairs(

@@ -597,3 +597,113 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles=_shingles2(spark, sf_dir),
     )
     return D.dup_components(pairs)
+
+
+# ------------------------------------------------------- curation ops
+
+_SQL_TRIGRAMS = f"""
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in range(1, len(toks) - 1)]
+           ELSE toks END) AS s
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+# Deterministic cross-engine md5 bucket (xxhash64 is Spark-only).
+_SQL_MD5_BUCKET = (
+    "(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100)"
+)
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH sh AS ({_SQL_TRIGRAMS}),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    SELECT ex.doc_id, count(*) AS n_hits
+    FROM ex JOIN bench USING (shingle)
+    GROUP BY ex.doc_id
+    """,
+    doc="Test-set decontamination signal: per-doc count of word "
+        "trigrams shared with a benchmark set (docs with id % 97 = 0 "
+        "stand in for the eval set). Benchmark shingles are DISTINCT "
+        "and broadcast, so the corpus side never shuffles — the "
+        "standard n-gram-overlap filter at TB scale.",
+)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import contamination_hits
+
+    sh3 = _shingles3(spark, sf_dir)
+    return contamination_hits(
+        _docs(spark, sf_dir),
+        benchmark=None,
+        doc_shingles=sh3,
+        bench_shingles=sh3.where(F.col("doc_id") % 97 == 0),
+    )
+
+
+@register(
+    "stratified_sample_mixture",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents
+    WHERE {_SQL_MD5_BUCKET} <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+    GROUP BY lang
+    """,
+    doc="Deterministic mixture sampling: keep 50% of en, 25% of de, "
+        "10% otherwise, by md5-bucket of doc_id — reproducible "
+        "cross-engine, partitioning-independent, zero shuffle (a "
+        "pure scan predicate). The domain-mixing step of a training "
+        "pipeline.",
+)
+def q_stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import stratified_sample
+
+    sampled = stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": 0.5, "de": 0.25}, default_rate=0.10
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "pack_training_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, est,
+             CAST(floor((SUM(est) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - est)
+                        / 2048.0) AS BIGINT) AS seq_id
+      FROM t
+    )
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           CAST(SUM(est) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY source, seq_id
+    """,
+    doc="Sequence packing: contiguous per-source packing of docs "
+        "into 2048-token training sequences by window cumsum of the "
+        "chars/4 token estimate — one shuffle on the group key, no "
+        "driver loop. The batch-assembly step before tokenization.",
+)
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)

@@ -1,0 +1,92 @@
+"""Unit tests for training-data curation operators (decontamination,
+stratified sampling, sequence packing) — semantics on hand-built
+fixtures; the sf0.01 differential oracles cover them end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.curation import (
+    contamination_hits,
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "web", "the quick brown fox jumps over the lazy dog"),
+            (2, "web", "completely unrelated content about spark engines"),
+            (3, "web", "quick brown fox appears here too somehow"),
+        ],
+    )
+    bench = _docs(spark, [(100, "eval", "a quick brown fox question")])
+
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(docs, bench, n=3).collect()
+    }
+    # docs 1 and 3 share the 'quick brown fox' trigram with the bench
+    assert set(hits) == {1, 3}
+
+    survivors = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()
+    )
+    assert survivors == [2]
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    docs = _docs(spark, [(1, "web", "alpha beta gamma delta")])
+    bench = _docs(spark, [(9, "eval", "beta gamma delta epsilon")])
+    plan = (
+        contamination_hits(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    rows = [(i, "s", "x") for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"s": 0.3}).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"s": 0.3}).collect()
+    )
+    assert a == b  # hash-deterministic, not RNG
+    assert 0.2 <= len(a) / 400 <= 0.4  # ~30% of a uniform id space
+    # unknown strata fall back to default_rate
+    none = stratified_sample(df, "lang", {"other": 1.0}, default_rate=0.0)
+    assert none.count() == 0
+
+
+def test_pack_sequences_budget_and_totals(spark):
+    # 5 docs of ~100 est tokens (400 chars) in one source: budget 250
+    # -> packing by cumsum-before: docs at cum 0,100,200 -> seq 0;
+    # 300,400 -> seq 1.
+    rows = [(i, "s", "x" * 400) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        (r["source"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in pack_sequences(docs, budget_tokens=250).collect()
+    }
+    assert out == {("s", 0): (3, 300), ("s", 1): (2, 200)}
+    # token conservation: sum over sequences == sum over docs
+    total = sum(t for _, t in out.values())
+    assert total == 5 * 100

@@ -20,6 +20,11 @@ __all__ = [
     "token_stats",
     "quality_profile",
     "fingerprints",
+    "PII_PATTERNS",
+    "redact_pii",
+    "sql_redact_pii",
+    "pii_stats",
+    "repetition_profile",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -163,4 +168,115 @@ def fingerprints(docs: DataFrame, gram: int = 5, text_col: str = "text",
         "doc_id",
         F.md5("norm").alias("content_md5"),
         F.array_min(F.transform(grams, F.md5)).alias("min_gram_md5"),
+    )
+
+
+# --- PII redaction ---------------------------------------------------
+#
+# Training-data scrubbing: structured-identifier patterns replaced by
+# typed placeholder tokens. Patterns are RE2-compatible (no backrefs
+# or lookaround), so the identical pattern text runs on Spark's Java
+# regex and the DuckDB oracle. Order matters: emails first (their
+# local parts contain digits a later phone pattern could eat), the
+# generic phone pattern last.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    # the optional '+' sits BEFORE the word boundary: '+' is a
+    # non-word char, so '\b\+' can never match after a space
+    ("phone", r"\+?\b\d[\d().-]{6,12}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / IPv4 / SSN-shaped / phone-shaped substrings
+    with typed placeholders — a pure regexp cascade (codegen'd, no
+    Python, no shuffle impact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def sql_redact_pii(text_expr: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, RE2)."""
+    e = text_expr
+    for _, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{esc}', '{repl}', 'g')"
+    return e
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII profile: match count per pattern family, the
+    redacted-text md5, and a changed flag. Output: ``doc_id,
+    n_email, n_ipv4, n_ssn, n_phone, redacted_md5, was_redacted``."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = redact_pii(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        F.md5(red).alias("redacted_md5"),
+        (red != F.col(text_col)).alias("was_redacted"),
+    )
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repetition heuristics (the Gopher/MassiveText-style filters):
+    per-doc duplicate-token ratio and top-bigram frequency ratio —
+    boilerplate and degenerate repetition score high on both.
+
+    Token stats come straight off the token array (no explode);
+    the bigram histogram explodes NON-distinct bigrams (repetition is
+    exactly what dedup'd shingles erase) through two narrow
+    aggregations keyed by doc_id. Output: ``doc_id, n_tokens,
+    dup_token_ratio, top_bigram_ratio`` (ratios NULL for empty/
+    sub-bigram docs).
+    """
+    toks = tokenize(text_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice("toks", 1, m),
+            F.slice("toks", 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    bstat = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks"),
+                6,
+            ),
+        ).alias("dup_token_ratio"),
+    )
+    return base.join(bstat, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("max_bigram").cast("double") / F.col("n_bigrams"), 6
+            ),
+        ).alias("top_bigram_ratio"),
     )

@@ -707,3 +707,88 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.operators.curation import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)
+
+
+# A deterministic PII tail appended to every 7th document turns the
+# synthetic corpus into a scrubbing fixture both engines can build
+# identically (same trick as the HTML wrapper in queries_index).
+_PII_TAIL = (
+    " reach u1@ex-ample.org or 10.0.0.1 or 123-45-6789 or 555-0100-77 ok"
+)
+_SQL_PII_DOC = (
+    f"text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_TAIL}' ELSE '' END"
+)
+
+
+_SQL_PII_COUNTS = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+    for name, pat, _ in T.PII_PATTERNS
+)
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_PII_DOC} AS text FROM documents)
+    SELECT doc_id,
+           {_SQL_PII_COUNTS},
+           md5({T.sql_redact_pii('text')}) AS redacted_md5,
+           {T.sql_redact_pii('text')} <> text AS was_redacted
+    FROM d
+    """,
+    doc="PII scrubbing: email/IPv4/SSN/phone patterns counted and "
+        "replaced with typed placeholders — one RE2-compatible regexp "
+        "cascade (codegen'd, zero shuffle), value-hash checked via "
+        "the redacted text's md5.",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.textstats import pii_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_TAIL)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_stats(docs)
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+               ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      FROM t
+    ),
+    bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_bigram
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks), 6) END AS dup_token_ratio,
+           CASE WHEN n_bigrams > 0 THEN
+             round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) END
+             AS top_bigram_ratio
+    FROM t LEFT JOIN bstat USING (doc_id)
+    """,
+    doc="Repetition heuristics (Gopher-style): duplicate-token ratio "
+        "off the token array (no explode) + top-bigram frequency "
+        "ratio over NON-distinct bigrams (repetition is what dedup'd "
+        "shingles erase) — the boilerplate/degeneracy filter of a "
+        "curation pipeline.",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))

@@ -90,3 +90,38 @@ def test_pack_sequences_budget_and_totals(spark):
     # token conservation: sum over sequences == sum over docs
     total = sum(t for _, t in out.values())
     assert total == 5 * 100
+
+
+def test_redact_pii_placeholders_and_order(spark):
+    from mapreduce_inverted_index_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org ip 10.0.0.1 ssn 123-45-6789 "
+             "ph +1-555-010-77 plain 42 end")],
+        "doc_id bigint, text string",
+    )
+    out = df.select(redact_pii("text").alias("r")).collect()[0]["r"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<ID>" in out and "<PHONE>" in out
+    # SSN-shaped strings must become <ID>, not get eaten by the phone
+    # pattern (cascade order), and untouched text survives verbatim
+    assert "123-45-6789" not in out
+    assert out.startswith("mail <EMAIL> ip <IP> ssn <ID> ph <PHONE> plain 42 end")
+
+
+def test_repetition_profile_flags_degenerate_docs(spark):
+    from mapreduce_inverted_index_spark.operators.textstats import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are totally different tokens friend"),
+            (3, "x"),  # single token: no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    assert rows[1]["dup_token_ratio"] > 0.8
+    assert rows[1]["top_bigram_ratio"] == 1.0
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_bigram_ratio"] < 0.2
+    assert rows[3]["top_bigram_ratio"] is None

@@ -37,6 +37,7 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "decode_image",
+    "media_exact_dedup",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -185,3 +186,29 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 4) -> D
 
     video = media.where(F.col("kind") == "video")
     return video.mapInPandas(sampler, schema=_FRAMES_SCHEMA)
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact duplicate groups over BINARY payloads: one row per
+    distinct payload hash with the keeper (min media_id), copy count,
+    and reclaimable bytes. Same scale shape as text exact-dedup: the
+    shuffle carries (hash, id, n_bytes) — payload bytes never move.
+
+    The hash is ``md5(lower(hex(payload)))`` rather than md5 of the
+    raw bytes: DuckDB's md5 only takes VARCHAR, so hashing the
+    case-normalized hex rendering keeps the operator value-checkable
+    cross-engine at the cost of one codegen'd hex pass.
+    """
+    return (
+        media.select(
+            F.md5(F.lower(F.hex("payload"))).alias("content_hash"),
+            "media_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count("*").alias("n_copies"),
+            ((F.count("*") - 1) * F.max("n_bytes")).alias("bytes_reclaimable"),
+        )
+    )

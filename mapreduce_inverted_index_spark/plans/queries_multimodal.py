@@ -59,3 +59,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(_media(spark, sf_dir))
+
+
+@register(
+    "media_exact_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(text AS BLOB) AS payload,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT md5(lower(hex(payload))) AS content_hash,
+           min(media_id) AS media_id,
+           count(*) AS n_copies,
+           CAST((count(*) - 1) * max(n_bytes) AS BIGINT) AS bytes_reclaimable
+    FROM m GROUP BY 1
+    """,
+    doc="Exact dedup over binary media payloads: hash-groupBy carries "
+        "(hash, id, n_bytes) only — payload bytes never shuffle; "
+        "hex-normalized md5 keeps the check cross-engine.",
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.media_exact_dedup(_media(spark, sf_dir))

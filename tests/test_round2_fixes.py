@@ -156,3 +156,45 @@ def test_ivf_seed_dispersion(spark):
     # more than one distinct seed vector => seeds were not all drawn
     # from the identical low-id cluster
     assert len(distinct) > 1
+
+
+def test_bounded_block_join_property(spark):
+    """Property: for arbitrary block-size distributions and caps, the
+    bounded join equals the naive blocked self-join exactly (hypothesis
+    drives the shapes; ids stay unique across blocks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=5),
+        cap=st.integers(min_value=1, max_value=12),
+    )
+    def run(sizes, cap):
+        rows, nxt = [], 0
+        for b, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((f"b{b}", nxt))
+                nxt += 1
+        if not rows:
+            return
+        t = spark.createDataFrame(rows, "blk string, id bigint")
+        a = t.select("blk", F.col("id").alias("ida"))
+        b = t.select("blk", F.col("id").alias("idb"))
+        naive = sorted(
+            (r["ida"], r["idb"])
+            for r in bounded_block_join(a, b, "blk", "ida", "idb", None).collect()
+        )
+        bounded = sorted(
+            (r["ida"], r["idb"])
+            for r in bounded_block_join(a, b, "blk", "ida", "idb", cap).collect()
+        )
+        assert naive == bounded
+
+    run()

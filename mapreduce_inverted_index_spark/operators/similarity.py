@@ -42,6 +42,8 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "quantize_embeddings",
+    "dequantize",
 ]
 
 N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
@@ -294,3 +296,43 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale =
+    max(|v_i|)/127, codes = floor(v_i/scale + 0.5) ∈ [-127, 127].
+    ~4× memory/IO reduction for an ANN candidate store — at 100 TB
+    the quantized table is what the probe scans; exact re-ranking on
+    the float vectors touches only the shortlist.
+
+    floor(x + 0.5) instead of round(): Spark and DuckDB disagree on
+    double round() tie-breaking, floor arithmetic is bit-identical.
+    Zero vectors keep scale 0 and all-zero codes (dequantize maps
+    them back to zeros). Output: ``(vec_id, *extra_cols, scale,
+    qvec ARRAY<INT>)``.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / 127.0
+    qvec = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") / scale + 0.5).cast("int")
+        )
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        *extra_cols,
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def dequantize(qvec: F.Column | str, scale: F.Column | str) -> F.Column:
+    """Reconstruct ARRAY<DOUBLE> from int8 codes + per-vector scale."""
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    s = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(q, lambda x: x.cast("double") * s)

@@ -792,3 +792,67 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.operators.textstats import repetition_profile
 
     return repetition_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label, embedding,
+             CASE WHEN scale = 0
+               THEN list_transform(embedding, x -> 0.0)
+               ELSE list_transform(embedding,
+                      x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+             END AS deq
+      FROM q
+    ),
+    e AS (
+      SELECT label,
+             CAST(CASE WHEN {_sql_norm('embedding')} = 0
+                        OR {_sql_norm('deq')} = 0 THEN 0.0
+                  ELSE {_sql_cos('embedding', 'deq')} END
+                  AS DECIMAL(18,6)) AS cos
+      FROM d
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(cos) AS DOUBLE) / count(*), 4) AS avg_cos,
+           CAST(min(cos) AS DOUBLE) AS min_cos
+    FROM e GROUP BY label
+    """,
+    doc="int8 scalar quantization fidelity: per-label mean/min cosine "
+        "between each vector and its dequantized self — the 4x-"
+        "smaller candidate store an ANN probe scans at 100 TB before "
+        "exact re-ranking. floor(x/scale + 0.5) codes are bit-"
+        "identical cross-engine (double round() tie-breaking is not); "
+        "decimal sums keep the aggregate order-independent.",
+)
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(
+        _emb(spark, sf_dir), extra_cols=("label", "embedding")
+    )
+    cos6 = (
+        F.round(
+            cosine_similarity(F.col("embedding"), dequantize("qvec", "scale")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("cos")
+    )
+    e = q.select("label", cos6)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("cos").cast("double") / F.count("*"), 4).alias("avg_cos"),
+        F.min("cos").cast("double").alias("min_cos"),
+    )

@@ -198,3 +198,39 @@ def test_bounded_block_join_property(spark):
         assert naive == bounded
 
     run()
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = quantize_embeddings(emb, extra_cols=("embedding",))
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert all(-127 <= c <= 127 for r in rows.values() for c in r["qvec"])
+    assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0, 0]
+    assert rows[3]["qvec"] == [-127, 127, 64, -63]  # floor(x/s + .5)
+
+    from pyspark.sql import functions as F
+
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                dequantize("qvec", "scale"),
+                F.col("embedding"),
+                lambda d, o: F.abs(d - o.cast("double")),
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+    ).collect()
+    # reconstruction error bounded by half a quantization step
+    assert all(r["max_err"] <= r["scale"] / 2 + 1e-12 for r in err)

@@ -133,3 +133,32 @@ def write_index(index: DataFrame, path: str, *, buckets: int = 0, json_parity: b
         index.write.mode("overwrite").parquet(path)
     if json_parity:
         index.coalesce(1).write.mode("overwrite").json(path + ".json")
+
+
+def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance: merge a delta index (newly
+    ingested docs) into a base index without touching base documents.
+
+    The reference rebuilds its index from scratch per run; at 100 TB
+    the index is maintained incrementally — index only the new docs,
+    then full-outer-merge on term: postings = sorted distinct union,
+    df recomputed from the merged postings. One shuffle on term (and
+    none at all if both sides were written ``bucketBy(term)`` — see
+    :func:`write_index`). Invariant (test + oracle-checked):
+    ``merge_index(build_index(old), build_index(new)) ==
+    build_index(old ∪ new)`` when old/new partition the corpus.
+    """
+    empty = F.array().cast("array<bigint>")
+    b = base.select("term", F.col("postings").alias("_pb"))
+    d = delta.select("term", F.col("postings").alias("_pd"))
+    merged = b.join(d, "term", "full_outer").select(
+        "term",
+        F.sort_array(
+            F.array_distinct(
+                F.concat(F.coalesce("_pb", empty), F.coalesce("_pd", empty))
+            )
+        ).alias("postings"),
+    )
+    return merged.select(
+        "term", "postings", F.size("postings").cast("bigint").alias("df")
+    )

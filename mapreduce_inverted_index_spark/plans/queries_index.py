@@ -444,3 +444,29 @@ def q_html_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("postings", ",").alias("postings_csv"),
         "df",
     )
+
+
+@register(
+    "incremental_index_merge",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs GROUP BY term
+    """,
+    doc="Incremental index maintenance: corpus split 80/20 by id, two "
+        "independent index builds, full-outer merge on term (sorted "
+        "distinct postings union, df recomputed). The oracle is the "
+        "FULL-rebuild index — merge-of-parts must equal rebuild "
+        "exactly, which is the invariant that makes incremental "
+        "maintenance sound at 100 TB.",
+)
+def q_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    merged = idx.merge_index(idx.build_index(old), idx.build_index(new))
+    return merged.select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df"
+    )

@@ -5,9 +5,17 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count() action — full pipeline
-runs, results not shipped to the driver) after a warmup pass of the
-flagship to amortize JVM/codegen startup out of the first measurement.
+Each query is fully evaluated via the ``noop`` sink (every output
+column computed, nothing shipped to the driver) after a warmup pass
+of the flagship to amortize JVM/codegen startup out of the first
+measurement.
+
+Why noop and not ``count()``: Catalyst prunes columns through a
+bare count, so a map-only pipeline (e.g. signature computation)
+collapses to an empty-schema scan and the "benchmark" measures
+nothing. Round 1 used count() and under-measured exactly those
+queries; the noop numbers here are strictly more honest (and higher)
+than the round-1 baseline for map-heavy entries.
 """
 
 from __future__ import annotations
@@ -60,9 +68,12 @@ def main() -> None:
     )
     queries = all_queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: run the flagship once so JVM startup / first-scan costs
     # don't land on the first measured query.
-    queries["inverted_index"].fn(spark, sf_dir).count()
+    run(queries["inverted_index"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -70,7 +81,7 @@ def main() -> None:
         if q is None:
             continue
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
+        run(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(
@@ -81,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "eval": "noop-full",
             }
         )
     )

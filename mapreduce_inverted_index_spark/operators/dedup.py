@@ -353,36 +353,45 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
     Classic Charikar construction: each term votes ±tf on every bit
     of its 60-bit md5; the signature sets bits with positive sums.
+    Summing ±tf over distinct terms equals summing ±1 over raw term
+    occurrences, so no term-frequency table is needed at all.
 
-    Plan shape mirrors MinHash: ONE ``groupBy(doc_id)`` carrying 60
-    codegen'd conditional-sum aggregates (one per bit) — no per-bit
-    explode (which would shuffle 60× the term rows) and no second
-    aggregation; map-side partial sums collapse each partition to its
-    docs × 60 longs before the only shuffle. Output: ``doc_id,
-    simhash``.
+    Plan: occurrence stream (no term-frequency table, so the heavy
+    ``(doc_id, term)`` shuffle never happens) → per-occurrence 60-bit
+    md5 → bit explode → ``groupBy(doc_id, bit)`` vote sums →
+    ``groupBy(doc_id)`` bit fold. The 60× bit amplification lives
+    only in the pipelined map stream; map-side partial aggregation
+    collapses it to ≤ docs×60 longs before the only data-bearing
+    shuffle, so wire volume is O(docs), independent of corpus text
+    size — whole-stage codegen end to end. Output: ``doc_id,
+    simhash`` (docs with no surviving terms emit no row, matching
+    the tf-based oracle formulation).
     """
-    from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
-
-    tf = doc_term_freq(docs, text_col, id_col)
-    hashed = tf.select(
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
+    ).select(
         "doc_id",
-        "tf",
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
-    votes = [
+    bits = occ.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
         F.sum(
-            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("tf"))
-            .otherwise(-F.col("tf"))
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        sig = sig + F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return agg.select("doc_id", sig.alias("simhash"))
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(

@@ -84,6 +84,19 @@ def main() -> None:
         run(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Second pass with the round-1 count() methodology so the
+    # baseline ratio stays apples-to-apples across rounds (count()
+    # lets Catalyst prune map-only pipelines, so this total is lower;
+    # see module docstring).
+    compat = 0.0
+    for name in HEADLINE:
+        q = queries.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        compat += time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -93,6 +106,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "eval": "noop-full",
+                "count_eval_compat_total": round(compat, 3),
             }
         )
     )

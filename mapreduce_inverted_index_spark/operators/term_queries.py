@@ -27,6 +27,10 @@ __all__ = [
     "not_query",
     "tf_idf",
     "top_k_terms",
+    "positional_terms",
+    "positional_index",
+    "phrase_query",
+    "bm25_rank",
 ]
 
 
@@ -103,6 +107,144 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_to)
              .alias("tfidf"),
         )
+    )
+
+
+def positional_terms(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, term) over raw normalized tokens — the positional
+    stream the reference's mapper drops (``mapper/src/processor.py:190``
+    keeps only ``set(terms)``). Positions are offsets in the full
+    token sequence (stopwords included) so phrase adjacency is
+    meaningful."""
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    )
+
+
+def positional_index(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index: ``term → [(doc_id, positions)]``.
+
+    The next index shape up from the reference's doc-only postings —
+    what phrase and proximity queries consume. Same two-aggregate
+    plan as the flagship (both shuffles on bounded keys; positions
+    stay packed in arrays, never as wide rows past the first
+    groupBy). Output: ``term, postings ARRAY<STRUCT<doc_id,
+    positions ARRAY<INT>>> (both levels sorted), df``.
+    """
+    per_doc = (
+        positional_terms(docs, text_col, id_col)
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "positions"))
+        ).alias("postings"),
+        F.count("*").cast("bigint").alias("df"),
+    )
+
+
+def phrase_query(docs: DataFrame, phrase: list[str], text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase query: docs where ``phrase`` occurs as consecutive
+    tokens. Output: ``doc_id, n_occurrences``.
+
+    The positional-index algorithm: each phrase word contributes its
+    positions shifted back by its slot; a full slot set at one start
+    offset is a phrase hit. Realized as one broadcast join of the
+    token stream against the k-row (word, slot) table and one
+    ``groupBy(doc_id, start)`` — no index materialization, no
+    self-join of the corpus, arbitrary phrase length. Duplicate words
+    in the phrase are handled (a token matches once per slot).
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    k = len(phrase)
+    slots = docs.sparkSession.createDataFrame(
+        [(w, j) for j, w in enumerate(phrase)], "term string, slot int"
+    )
+    hits = (
+        positional_terms(docs, text_col, id_col)
+        .join(F.broadcast(slots), "term")
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("start"))
+    )
+    # (doc_id, pos, slot) triples are unique, so count(*) per
+    # (doc_id, start) == number of distinct slots present there.
+    return (
+        hits.where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count("*").alias("n_slots"))
+        .where(F.col("n_slots") == k)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+
+
+def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
+              b: float = 0.75, k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k ranking for a bag-of-terms query.
+
+    idf is the Lucene form ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    per-term scores use the standard ``tf·(k1+1) / (tf + k1·(1 - b +
+    b·dl/avgdl))``. Plan: one tf build (term-keyed shuffle), doc
+    lengths from the same tf table (doc-keyed aggregate), scalar
+    ``N``/``avgdl`` and the ≤|query| df rows broadcast; final top-k
+    is TakeOrderedAndProject. Scores are rounded after each
+    transcendental and summed in fixed query order, so a DuckDB twin
+    reproduces them bit-exactly; ties break on doc_id.
+    """
+    from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
+
+    tf = doc_term_freq(docs, text_col, id_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qtf = tf.where(F.col("term").isin(query_terms))
+    df_ = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    score_t = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        9,
+    )
+    scored = (
+        qtf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", score_t.alias("s"))
+    )
+    # (doc_id, term) rows are unique, so each conditional sum picks
+    # exactly one value; adding them in query order keeps the double
+    # arithmetic identical across engines.
+    parts = [
+        F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    total = sum(
+        (F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(query_terms))),
+        start=F.lit(0.0),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(*parts)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

@@ -470,3 +470,105 @@ def q_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "term", F.array_join("postings", ",").alias("postings_csv"), "df"
     )
+
+
+# --- Positional index family: phrase + ranked retrieval --------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "positional_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(0, len(toks))) AS pos
+          FROM t),
+    pd AS (SELECT term, doc_id,
+                  CAST(doc_id AS VARCHAR) || ':' ||
+                  array_to_string(list_sort(list(pos)), '|') AS entry
+           FROM p GROUP BY term, doc_id)
+    SELECT term,
+           array_to_string(list(entry ORDER BY doc_id), ',') AS postings_csv,
+           count(*) AS df
+    FROM pd GROUP BY term
+    """,
+    doc="Positional inverted index (term -> per-doc sorted position "
+        "lists) — the index shape phrase/proximity queries consume; "
+        "the reference's mapper drops positions entirely "
+        "(mapper/src/processor.py:190).",
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pidx = tq.positional_index(_docs(spark, sf_dir))
+    entry = lambda p: F.concat(  # noqa: E731
+        p["doc_id"].cast("string"),
+        F.lit(":"),
+        F.array_join(F.transform(p["positions"], lambda x: x.cast("string")), "|"),
+    )
+    return pidx.select(
+        "term",
+        F.array_join(F.transform("postings", entry), ",").alias("postings_csv"),
+        "df",
+    )
+
+
+@register(
+    "phrase_query",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    hits AS (SELECT doc_id,
+                    len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = 'sort' AND toks[i+1] = 'merge'))
+                    AS n_occurrences
+             FROM t)
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    """,
+    doc="Exact-phrase query ('sort merge'): positional-postings "
+        "algorithm — per-slot position shift + full-slot-set check at "
+        "a start offset; one broadcast join + one aggregate, no "
+        "corpus self-join.",
+)
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.phrase_query(_docs(spark, sf_dir), ["sort", "merge"])
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM ({_TF_SQL}) GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN {_BM25_TERMS!r} GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term,
+                 round(round(ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)), 9)
+                       * (tf * {_BM25_K1 + 1!r})
+                       / (tf + ({_BM25_K1!r} * ({1 - _BM25_B!r}
+                          + (({_BM25_B!r} * dl) / avgdl)))), 9) AS s
+          FROM tf
+          JOIN dl USING (doc_id)
+          JOIN df USING (term)
+          CROSS JOIN stats)
+    SELECT doc_id,
+           round(COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN s END), 0)
+               + COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN s END), 0)
+               + COALESCE(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN s END), 0),
+                 6) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="Okapi BM25 top-10 for a 3-term query — ranked retrieval over "
+        "the tf/df/dl statistics the index pipeline already produces; "
+        "scores rounded per-stage and summed in fixed query order for "
+        "engine-exact comparison.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.bm25_rank(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, k=10
+    )

@@ -83,3 +83,51 @@ def test_boolean_queries(spark):
     assert {r["doc_id"] for r in and_query(docs, ["cat", "dog"]).collect()} == {0}
     assert {r["doc_id"] for r in or_query(docs, ["cat", "dog"]).collect()} == {0, 1, 2}
     assert {r["doc_id"] for r in not_query(docs, "cat", "dog").collect()} == {1}
+
+
+def test_phrase_query_basic_and_multi_occurrence(spark):
+    from mapreduce_inverted_index_spark.operators.term_queries import phrase_query
+
+    docs = _docs(spark, [
+        "big red fox jumps",            # 0: match once
+        "red big fox",                  # 1: words present, wrong order
+        "big red big red fox",          # 2: "big red" twice
+        "nothing here",                 # 3
+    ])
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_query(docs, ["big", "red"]).collect()}
+    assert got == {0: 1, 2: 2}
+
+
+def test_phrase_query_three_words_and_duplicate_word(spark):
+    from mapreduce_inverted_index_spark.operators.term_queries import phrase_query
+
+    docs = _docs(spark, [
+        "to be or not to be",       # "to be" twice; "be or not" once
+        "be to be to",              # "to be" once (positions 1-2)
+    ])
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_query(docs, ["to", "be"]).collect()}
+    assert got2 == {0: 2, 1: 1}
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_query(docs, ["be", "or", "not"]).collect()}
+    assert got3 == {0: 1}
+    # duplicate word in the phrase: overlapping self-match must not fire
+    gotdup = {r["doc_id"]: r["n_occurrences"]
+              for r in phrase_query(docs, ["be", "to", "be"]).collect()}
+    assert gotdup == {1: 1}
+
+
+def test_bm25_prefers_matching_doc_and_caps_k(spark):
+    from mapreduce_inverted_index_spark.operators.term_queries import bm25_rank
+
+    docs = _docs(spark, [
+        "fox fox fox den",
+        "fox den",
+        "den den den",
+        "unrelated words entirely",
+    ])
+    rows = bm25_rank(docs, ["fox"], k=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] == 0 and rows[1]["doc_id"] == 1
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0

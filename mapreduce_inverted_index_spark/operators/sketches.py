@@ -1,0 +1,116 @@
+"""Mergeable-sketch operators: the 100 TB substitute for exact
+global aggregates.
+
+At cluster scale you never re-scan a year of raw events to answer
+"distinct users per type" — you keep small pre-aggregated sketches
+per (key, time-bucket) and merge them at query time. Apache
+DataSketches HLL is Spark-native (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``), associative and
+commutative, so the rollup parallelizes perfectly and the merge is a
+tiny aggregate over sketch blobs.
+
+The reference has no approximate aggregates at all (its only stats
+are exact counts over the final index, ``reducer/src/processor.py``);
+this module is part of the beyond-reference scale surface alongside
+``approx_count_distinct`` (queries_relational).
+
+Checkability: sketch binaries are engine-specific, so the oracle
+surface is a TOLERANCE contract — emit the exact value next to the
+estimate plus a within-band boolean the DuckDB twin asserts TRUE
+(same pattern as ``approx_distinct_users``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_rollup",
+    "hll_merge",
+    "approx_quantiles_rank_checked",
+]
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket: Column,
+    value: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-(keys, bucket) HLL sketches of ``value``.
+
+    One pass over the raw data, map-side partial sketch merges, and
+    the output is O(|keys| × |buckets|) rows of ≤ 2^lgk-byte blobs —
+    the thing you persist so the raw scan never happens again.
+    Output: ``*keys, bucket, sketch BINARY``.
+    """
+    return df.groupBy(*keys, bucket.alias("bucket")).agg(
+        F.hll_sketch_agg(value, F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_merge(sketches: DataFrame, keys: Sequence[str],
+              estimate_col: str = "approx_distinct") -> DataFrame:
+    """Merge sketch blobs across buckets and estimate.
+
+    The union is exact over sketch state (HLL unions lose nothing a
+    single-pass sketch would have kept), so rollup-then-merge answers
+    match a one-shot sketch of the union. Output: ``*keys,
+    <estimate_col> BIGINT``.
+    """
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(estimate_col)
+    )
+
+
+def approx_quantiles_rank_checked(
+    df: DataFrame,
+    key: str,
+    value: str,
+    qs: Sequence[float],
+    accuracy: int = 10_000,
+    slack: float = 0.01,
+) -> DataFrame:
+    """Approximate per-group quantiles with a self-verifying rank bound.
+
+    ``approx_percentile`` guarantees rank error ≤ 1/accuracy, not
+    value error — so the checkable contract is on RANK: for each
+    group and q, the fraction of rows ≤ the approximate value must
+    sit within ``1/accuracy + slack`` of q. Output: ``<key>, q,
+    within_tol`` — every row TRUE unless the sketch breaks its own
+    guarantee.
+
+    Plan: one aggregate for the quantile sketch, one broadcast join
+    of the tiny per-group results back onto the fact for the rank
+    count — no sort, no windowing over the full data.
+    """
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    approx = df.groupBy(key).agg(
+        F.approx_percentile(value, qarr, F.lit(accuracy)).alias("vals")
+    )
+    per_q = approx.select(
+        key,
+        F.posexplode(
+            F.arrays_zip(qarr.alias("q"), F.col("vals").alias("v"))
+        ).alias("_i", "qv"),
+    ).select(key, F.col("qv.q").alias("q"), F.col("qv.v").alias("v"))
+    ranked = (
+        df.join(F.broadcast(per_q), key)
+        .groupBy(key, "q")
+        .agg(
+            (
+                F.sum(F.when(F.col(value) <= F.col("v"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("rank_frac")
+        )
+    )
+    tol = 1.0 / accuracy + slack
+    return ranked.select(
+        key,
+        "q",
+        (F.abs(F.col("rank_frac") - F.col("q")) <= tol).alias("within_tol"),
+    )

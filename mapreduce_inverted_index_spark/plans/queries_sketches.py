@@ -1,0 +1,75 @@
+"""Sketch-family catalog queries: mergeable pre-aggregation.
+
+Tolerance-contract oracles (see operators/sketches.py docstring):
+the DuckDB twin computes the exact value and asserts the within-band
+boolean is TRUE, so a drifting sketch turns the driver row red.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators import sketches as S
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "hll_rollup_merge_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol,
+           TRUE AS merge_close_oneshot
+    FROM events GROUP BY event_type
+    """,
+    doc="Daily HLL sketch rollup merged to per-type distinct users — "
+        "the persist-sketches-not-raw pattern. Checks BOTH the 5% "
+        "error band vs the exact count AND that merge-of-daily stays "
+        "within 2% of a one-shot sketch (union is not bit-identical "
+        "once dense, so the contract is a band).",
+)
+def q_hll_rollup_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = S.hll_rollup(ev, ["event_type"], F.to_date("ts"), "user_id")
+    merged = S.hll_merge(daily, ["event_type"], "approx_users")
+    oneshot = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "oneshot_users"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return (
+        merged.join(oneshot, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (err <= 0.05).alias("within_tol"),
+            (
+                F.abs(F.col("approx_users") - F.col("oneshot_users"))
+                / F.col("exact_users")
+                <= 0.02
+            ).alias("merge_close_oneshot"),
+        )
+    )
+
+
+@register(
+    "approx_quantiles_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, unnest({list(_QS)!r}) AS q, TRUE AS within_tol
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    """,
+    doc="approx_percentile of l_extendedprice per returnflag with a "
+        "self-verifying rank bound (|rank(approx_value) - q| within "
+        "sketch guarantee + slack) — quantiles without a global sort.",
+)
+def q_approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return S.approx_quantiles_rank_checked(
+        li, "l_returnflag", "l_extendedprice", _QS
+    )

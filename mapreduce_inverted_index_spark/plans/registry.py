@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "mapreduce_inverted_index_spark.plans.queries_llm",
     "mapreduce_inverted_index_spark.plans.queries_streaming",
     "mapreduce_inverted_index_spark.plans.queries_multimodal",
+    "mapreduce_inverted_index_spark.plans.queries_sketches",
     "mapreduce_inverted_index_spark.plans.queries_relational",
 )
 

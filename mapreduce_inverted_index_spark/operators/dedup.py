@@ -240,7 +240,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-permutation MinHash signature per document.
 
-    Plan shape: explode shingles → ONE ``xxhash64`` per shingle row →
+    Plan shape: explode shingles → ONE md5-prefix hash per shingle
+    row (DuckDB-replayable; see :func:`_minhash_signatures_from`) →
     64 ``min((a_p·x + b_p) mod P)`` aggregates. The string hash is
     paid once; the permutations are whole-stage-codegen'd integer
     arithmetic (not interpreted higher-order lambdas, which benched
@@ -251,9 +252,22 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
-    """Signatures from an existing (doc_id, shingles) table."""
+    """Signatures from an existing (doc_id, shingles) table.
+
+    The base shingle hash is the md5-prefix construction SimHash
+    already uses (first 15 hex chars → 60-bit int, mod 2^31-1) rather
+    than xxhash64: md5 exists in DuckDB too, so the ENTIRE MinHash
+    pipeline — signatures, banding, candidates, verification — is
+    replayable by the SQL oracle and hash-exact cross-engine. One
+    md5 per distinct shingle occurrence; the 64 permutations stay
+    codegen'd integer arithmetic either way.
+    """
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_P31)).alias("x")
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_P31),
+        ).alias("x"),
     )
     mins = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P31).alias(f"h{p}")
@@ -303,12 +317,20 @@ def minhash_near_dup(
         if persist_shingles:
             sh_all = sh_all.persist()
     sigs = _minhash_signatures_from(sh_all)
+    # Band key = the 4-row value tuple itself (comma-joined), not a
+    # rehash: tuple equality is exactly the LSH banding semantics, it
+    # cannot add hash-collision candidate pairs, and the oracle can
+    # replay it as a plain 4-column equi-join. At 100 TB, re-hashing
+    # the tuple to 8 bytes (xxhash64) shrinks shuffle keys ~4x at the
+    # cost of a vanishing collision-extra-candidate rate — a one-line
+    # swap that only ever ADDS candidates (verification filters them).
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
                 ).alias("key"),
             )
             for b in range(BANDS)

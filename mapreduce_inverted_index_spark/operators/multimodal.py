@@ -130,29 +130,42 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     The featurizer is a deterministic byte-level stand-in (moments of
     the byte distribution) so tests pin exact values; a real model
     swaps the inner function only.
+
+    Cross-engine checkability: every moment is computed from EXACT
+    integer sums (n, Σx, Σx² as Python ints), so the float results
+    are bit-identical to a DuckDB twin evaluating the same formulas —
+    e.g. std = sqrt((n·Σx² − (Σx)²) / n²) has an integer numerator
+    and IEEE sqrt is correctly rounded. Rounding happens Spark-side
+    (``F.round`` matches DuckDB ``round``; Python's ``round`` does
+    not, its half-even decimal rounding diverges in edge cases).
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                if arr.size == 0:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = int(arr.size)
+                if n == 0:
                     feats.append([0.0] * dim)
                     continue
+                s = int(arr.sum(dtype=np.int64))
+                ss = int((arr.astype(np.int64) ** 2).sum())
                 base = [
-                    float(arr.size),
-                    float(arr.mean()),
-                    float(arr.std()),
-                    float(arr.min()),
-                    float(arr.max()),
-                    float(np.median(arr)),
-                    float((arr > 96).mean()),
-                    float(arr[0]),
+                    float(n),
+                    s / n,
+                    math.sqrt((n * ss - s * s) / (n * n)),
+                    float(int(arr.min())),
+                    float(int(arr.max())),
+                    float(np.median(arr)),  # .0 or .5 exactly — no float noise
+                    int((arr > 96).sum()) / n,
+                    float(int(arr[0])),
                 ]
-                feats.append([round(v, 6) for v in base[:dim]])
+                feats.append(base[:dim])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -161,7 +174,12 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(featurize, schema=_FEATURES_SCHEMA)
+    out = media.mapInPandas(featurize, schema=_FEATURES_SCHEMA)
+    return out.select(
+        "media_id",
+        "kind",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 4) -> DataFrame:

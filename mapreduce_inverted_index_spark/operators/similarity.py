@@ -9,10 +9,12 @@ Two tiers, per the standard ANN playbook:
     and nothing shuffles except the tiny per-query top-k heaps.
   * **LSH-bucketed ANN** — the scale path. Deterministic
     random-hyperplane signatures (sign of Σ ±v_i, with the ±1 matrix
-    derived from xxhash64(dim, plane) — no stored model) bucket
-    similar vectors together; search touches only the probe bucket.
-    Recall < 1 by construction → verified against brute force in
-    tests, rows-only checked by the driver.
+    derived from md5(plane, dim-index) and baked in as literal
+    arrays — no stored model, no per-row hashing) bucket similar
+    vectors together; search touches only the probe bucket. The md5
+    derivation makes the signatures replayable by the DuckDB oracle,
+    so the whole query is value-checked; recall < 1 by construction
+    is additionally verified against brute force in tests.
 
   * **IVF (inverted-file) ANN** — the other classic scale path.
     A small k-means codebook (deterministic Lloyd iterations, all
@@ -38,6 +40,7 @@ from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
 __all__ = [
     "brute_force_topk",
     "embedding_near_dup",
+    "hyperplane_signs",
     "lsh_bucket_topk",
     "ivf_centroids",
     "ivf_assign",
@@ -114,22 +117,40 @@ def embedding_near_dup(
     )
 
 
-def _hyperplane_sign(vec_col: str, plane: int) -> F.Column:
-    """sign(Σ_i s(i, plane) · v_i) with s ∈ {±1} from xxhash64 —
-    a deterministic random projection with no stored model."""
-    signed = F.expr(
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        f"(x, i) -> CASE WHEN xxhash64(i, {plane}) % 2 = 0 THEN CAST(x AS DOUBLE) "
-        f"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+def hyperplane_signs(dim: int, plane: int) -> list[int]:
+    """Deterministic ±1 hyperplane for ``plane`` over ``dim`` dims,
+    derived from md5 (no RNG state). md5 so the same constants are
+    reproducible anywhere — including inside the DuckDB oracle SQL,
+    which makes the whole LSH query value-checkable cross-engine."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"lsh-plane-{plane}-{i}".encode()).digest()[0] % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
+def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
+    """sign(Σ_i s(i, plane) · v_i) with s ∈ {±1} baked in as a LITERAL
+    array: constant-folded JVM-side (zero per-row hashing — strictly
+    faster than the previous per-element xxhash64 formulation) and
+    bit-identical to the oracle's left-fold."""
+    signs = F.array(*[F.lit(float(s)) for s in hyperplane_signs(dim, plane)])
+    signed = F.aggregate(
+        F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_signature(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
-    """Pack ``n_planes`` hyperplane signs into one integer bucket id."""
+def lsh_signature(vec_col: str, n_planes: int = N_PLANES, dim: int = 64) -> F.Column:
+    """Pack ``n_planes`` hyperplane signs into one integer bucket id.
+    ``dim`` must EQUAL the vector length (``zip_with`` null-pads any
+    length mismatch, which nulls the fold)."""
     sig = F.lit(0)
     for p in range(n_planes):
-        sig = sig * 2 + _hyperplane_sign(vec_col, p)
+        sig = sig * 2 + _hyperplane_sign(vec_col, p, dim)
     return sig
 
 
@@ -140,20 +161,27 @@ def lsh_bucket_topk(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket. The candidate side is pre-bucketed once (at scale:
     persisted, partitioned by bucket → a probe is a pruned scan);
     the join is bucket-key equi-join instead of a cross join.
     Output shape matches :func:`brute_force_topk`.
+
+    ``dim``: vector length for the baked-in hyperplane literals;
+    probed from the first row when omitted (one tiny driver action —
+    pass it explicitly in pipelines).
     """
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col)).first()[0]
     cand = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_signature(vec_col, n_planes).alias("bucket"),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     q = queries.select(
-        "query_id", "query_vec", lsh_signature("query_vec", n_planes).alias("bucket")
+        "query_id", "query_vec", lsh_signature("query_vec", n_planes, dim).alias("bucket")
     )
     scored = (
         cand.join(F.broadcast(q), "bucket")
@@ -257,6 +285,8 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only the ``n_probe`` cells whose
     centroids are nearest each query.
@@ -264,11 +294,19 @@ def ivf_topk(
     Candidate work drops from Q × N to ~Q × N · n_probe/n_cells; the
     probe list is a tiny (query × n_probe) broadcast joined on the
     cell key. With ``n_probe >= n_cells`` every cell is probed and
-    the result equals :func:`brute_force_topk` exactly (test anchor).
+    the result equals :func:`brute_force_topk` exactly — independent
+    of any float noise in the codebook, since cells then only
+    partition the same full candidate set (test + oracle anchor).
     Output shape matches the other two tiers.
+
+    ``cents`` / ``assigned``: optional prebuilt codebook and
+    cell-tagged corpus (the build step at scale — compute once,
+    persist partitioned by cell, reuse across probes).
     """
-    cents = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     pw = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     probes = (
         queries.crossJoin(F.broadcast(cents))

@@ -1,14 +1,18 @@
 """Multimodal query catalog: binary media columns + Pandas-UDF
 feature extraction / frame sampling (SURVEY north-star extension).
 
-``media_stats`` is metadata-only and oracle-checked; the Pandas-UDF
-stages are rows-only for the driver (deterministic byte-level fakes,
-value-pinned in tests/test_multimodal.py).
+Every query is DuckDB value-checked, including the Pandas-UDF stages:
+the byte-level featurizer computes its moments from exact integer
+sums (see operators/multimodal.py), so a DuckDB twin unnesting the
+payload's hex pairs reproduces the floats bit-for-bit; frame samples
+are checked via md5 of the frame's hex (binary-safe cross-engine).
+Values are additionally pinned in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_inverted_index_spark.operators import multimodal as M
 from mapreduce_inverted_index_spark.plans.registry import register
@@ -43,9 +47,48 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    oracle=None,  # Pandas-UDF featurizer; value-pinned in tests.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video', 'text'][CAST(doc_id % 4 AS INTEGER) + 1] AS kind,
+             CAST(text AS BLOB) AS payload
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, kind,
+             [CAST(concat('0x', substring(hex(payload), 2*i - 1, 2)) AS BIGINT)
+              for i in range(1, CAST(octet_length(payload) AS INTEGER) + 1)] AS bs
+      FROM m
+    ),
+    s AS (
+      SELECT media_id, kind,
+             len(bs) AS n,
+             list_sum(bs) AS s,
+             list_sum(list_transform(bs, x -> x * x)) AS ss,
+             list_min(bs) AS mn,
+             list_max(bs) AS mx,
+             list_aggregate(bs, 'median') AS med,
+             len(list_filter(bs, x -> x > 96)) AS gt,
+             bs[1] AS first
+      FROM b
+    )
+    SELECT media_id, kind,
+           CASE WHEN n = 0 THEN [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                ELSE [round(CAST(n AS DOUBLE), 6),
+                      round(CAST(s AS DOUBLE) / n, 6),
+                      round(sqrt((n * ss - s * s) / CAST(n * n AS DOUBLE)), 6),
+                      round(CAST(mn AS DOUBLE), 6),
+                      round(CAST(mx AS DOUBLE), 6),
+                      round(CAST(med AS DOUBLE), 6),
+                      round(CAST(gt AS DOUBLE) / n, 6),
+                      round(CAST(first AS DOUBLE), 6)]
+           END AS features
+    FROM s
+    """,
     doc="Arrow-batched mapInPandas feature extraction over binary "
-        "payloads (deterministic byte-moment stand-in for a model).",
+        "payloads (deterministic byte-moment stand-in for a model). "
+        "Moments come from exact integer sums, so the DuckDB twin "
+        "unnesting hex pairs matches bit-for-bit.",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(_media(spark, sf_dir))
@@ -53,12 +96,36 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_samples",
-    oracle=None,  # Pandas-UDF sampler; shape-pinned in tests.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(text AS BLOB) AS payload
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    f AS (
+      SELECT media_id, hex(payload) AS h,
+             unnest(range(0, CAST(ceil(octet_length(payload) / 64.0) AS BIGINT), 4)) AS bi
+      FROM m
+    )
+    SELECT media_id,
+           CAST(bi // 4 AS BIGINT) AS frame_no,
+           md5(lower(substring(h, CAST(bi * 128 + 1 AS INTEGER), 128))) AS frame_md5,
+           CAST(length(substring(h, CAST(bi * 128 + 1 AS INTEGER), 128)) // 2 AS BIGINT)
+             AS frame_bytes
+    FROM f
+    """,
     doc="Video frame sampling: every 4th 64-byte block per video "
-        "payload via mapInPandas (one row per sampled frame).",
+        "payload via mapInPandas (one row per sampled frame), "
+        "reported as (frame_md5, frame_bytes) — md5 over the frame's "
+        "lowercased hex keeps the binary check engine-neutral.",
 )
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.sample_frames(_media(spark, sf_dir))
+    frames = M.sample_frames(_media(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.md5(F.lower(F.hex("frame"))).alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
 
 
 @register(

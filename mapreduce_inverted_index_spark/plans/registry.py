@@ -69,8 +69,50 @@ def _load() -> None:
                 raise
 
 
+# The driver's correctness window checks only the FIRST 50 catalog
+# entries per round, so catalog order is driver-evidence policy.
+# Rounds 1-3 covered 85 of the 110 names; these 25 never fell inside
+# any round's window (multimodal + sketches + the relational tail).
+# They lead the catalog this round so every name has a driver row;
+# the rest follow in registration order, which re-checks the
+# flagship index family in the remaining window slots.
+_DRIVER_PRIORITY = (
+    "media_stats",
+    "media_features",
+    "media_frame_samples",
+    "media_exact_dedup",
+    "hll_rollup_merge_users",
+    "approx_quantiles_lineitem",
+    "multiset_ops_orderkeys",
+    "shipping_priority_topk",
+    "forecast_revenue_filter_agg",
+    "calendar_axis_order_counts",
+    "window_rank_family",
+    "bool_agg_flags",
+    "date_arithmetic_orders",
+    "full_outer_nation_footprint",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "quiet_rich_customers",
+    "percentile_quantity_by_flag",
+    "unpivot_lineitem_measures",
+    "time_range_window_orders",
+    "value_window_family",
+    "width_bucket_price_histogram",
+    "string_agg_rich_names",
+    "grouping_id_rollup",
+    "sessionize_events",
+)
+
+
 def all_queries() -> dict[str, Query]:
-    """The full catalog (loads query modules on first call)."""
+    """The full catalog (loads query modules on first call).
+
+    Iteration order = ``_DRIVER_PRIORITY`` first, then registration
+    order; see the comment on ``_DRIVER_PRIORITY``.
+    """
     if not _REGISTRY:
         _load()
-    return dict(_REGISTRY)
+    prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    prioritized.update(_REGISTRY)
+    return prioritized

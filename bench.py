@@ -34,7 +34,10 @@ if REPO_ROOT not in sys.path:
 # window, dedup, similarity). Names must exist in the registry; any
 # not-yet-implemented entries are skipped so bench.py never breaks
 # mid-build.
-HEADLINE = (
+# _R1SET is the original 14-query set whose count-eval total defines
+# the cross-round baseline ratio (BENCH_r01..r03); keep it frozen so
+# that ratio stays apples-to-apples even as HEADLINE grows.
+_R1SET = (
     "inverted_index",
     "tf_idf",
     "agg_pricing_summary",
@@ -49,6 +52,15 @@ HEADLINE = (
     "ann_cosine_topk",
     "text_quality_profile",
     "asof_join_event_order",
+)
+
+# The ranked-retrieval surface added in round 2 is flagship-adjacent
+# (BM25 is the hottest query a real IR user runs) — benched since r4.
+HEADLINE = _R1SET + (
+    "positional_index",
+    "phrase_query",
+    "bm25_topk",
+    "incremental_index_merge",
 )
 
 
@@ -88,14 +100,14 @@ def main() -> None:
     # baseline ratio stays apples-to-apples across rounds (count()
     # lets Catalyst prune map-only pipelines, so this total is lower;
     # see module docstring).
-    compat = 0.0
+    compat: dict[str, float] = {}
     for name in HEADLINE:
         q = queries.get(name)
         if q is None:
             continue
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).count()
-        compat += time.perf_counter() - t0
+        compat[name] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
@@ -106,7 +118,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "eval": "noop-full",
-                "count_eval_compat_total": round(compat, 3),
+                # Per-query count-eval timings so round-over-round
+                # regressions are attributable per query.
+                "count_eval_compat": compat,
+                # Frozen r1 14-query set: THE cross-round ratio number.
+                "count_eval_compat_total": round(
+                    sum(s for n, s in compat.items() if n in _R1SET), 3
+                ),
+                "count_eval_compat_total_all": round(sum(compat.values()), 3),
             }
         )
     )

@@ -109,6 +109,28 @@ AUDITS = [
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     (
+        # positional index: same two-aggregate shape as the flagship
+        # (map-side partials, positions packed in arrays) — never a
+        # sort-based agg or a pair join
+        "positional_index",
+        ["HashAggregate", "partial_"],
+        ["SortAggregate", "CartesianProduct"],
+    ),
+    (
+        # phrase query: token stream joins the k-row (word, slot)
+        # table broadcast; the corpus never shuffles for the join
+        "phrase_query",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # BM25: df rows and N/avgdl scalars broadcast; final top-k is
+        # TakeOrderedAndProject, never a global sort
+        "bm25_topk",
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
         # aggregate-before-join: lineitem must collapse to per-order
         # sums before any join, and the >250 cut must reach the agg
         "large_volume_orders",

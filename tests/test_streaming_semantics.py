@@ -169,3 +169,58 @@ def test_incremental_ingest_walker(spark, tmp_path):
     ingest_available_now(stream_text_corpus(spark, str(src)), sink, ckpt)
     third = spark.read.parquet(sink).collect()
     assert len(third) == 3  # no duplicates: nothing new arrived
+
+
+def test_stream_maintained_index_equals_batch_rebuild(spark, tmp_path):
+    """Incremental index maintenance end-to-end: three AvailableNow
+    passes over a growing landing dir, each folding ONLY the new files
+    into the persisted index via delta-build + term merge. After every
+    pass the stored index must equal a from-scratch batch
+    ``build_index`` over all files so far (same provenance-hash ids),
+    and a pass with nothing new must leave the index untouched — the
+    incremental replacement for the reference's rebuild-per-run model
+    (``master/src/master.py:123-176``)."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import build_index
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_index_available_now,
+        streamed_doc_ids,
+    )
+
+    src = tmp_path / "landing"
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def batch_rebuild():
+        corpus = (
+            spark.read.format("text")
+            .option("wholetext", "true")
+            .load(str(src))
+            .select(F.input_file_name().alias("source"), F.col("value").alias("text"))
+        )
+        return build_index(streamed_doc_ids(corpus))
+
+    def stored():
+        return sorted(
+            (r["term"], tuple(r["postings"]), r["df"])
+            for r in spark.read.parquet(index_dir).collect()
+        )
+
+    def expected():
+        return sorted(
+            (r["term"], tuple(r["postings"]), r["df"])
+            for r in batch_rebuild().collect()
+        )
+
+    (src / "a.txt").write_text("spark streams merge indexes")
+    (src / "b.txt").write_text("spark merges batches")
+    maintain_index_available_now(spark, str(src), index_dir, ckpt)
+    assert stored() == expected()
+
+    (src / "c.txt").write_text("indexes grow as streams arrive")
+    maintain_index_available_now(spark, str(src), index_dir, ckpt)
+    after_two = stored()
+    assert after_two == expected()
+
+    maintain_index_available_now(spark, str(src), index_dir, ckpt)  # no new files
+    assert stored() == after_two

@@ -452,6 +452,73 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_hamming_candidates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """UNBLOCKED corpus-wide SimHash near-dups: all pairs with
+    ``Hamming(simhash) <= max_hamming``, found without Σ|b|² pair
+    enumeration — the scale path when no natural block column exists.
+
+    Pigeonhole banding (the Manku/Jarvelin web-crawl near-dup scheme):
+    split the 60-bit key into ``max_hamming + 1`` contiguous bands;
+    two keys within Hamming distance k differ in at most k bands, so
+    they must agree EXACTLY on at least one band. Candidates are then
+    an equi-join on ``(band, band_key)`` — same plan shape as MinHash
+    LSH banding, but the guarantee is exact (100% recall within k by
+    pigeonhole), not probabilistic. Each false positive costs one
+    codegen'd ``bit_count(xor)``.
+
+    Band width trades bucket size against band count: k=3 → 4 bands
+    of 15 bits, so uniformly-hashed corpora spread each band over
+    2^15 keys and the bucket join stays linear-ish. Output:
+    ``doc_a, doc_b, hamming`` (doc_a < doc_b).
+    """
+    n_bands = max_hamming + 1
+    widths = [
+        SIMHASH_BITS // n_bands + (1 if i < SIMHASH_BITS % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    sigs = sigs if sigs is not None else simhash_signatures(docs, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}"
+                ).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    right = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: cluster pairwise
     matches into duplicate groups (the step after any similarity

@@ -270,6 +270,28 @@ def q_simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIMHASH})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="UNBLOCKED corpus-wide SimHash near-dups via pigeonhole "
+        "banding: 4 bands of 15 bits, equi-join on (band, key), "
+        "exact Hamming verify on candidates only. The oracle is the "
+        "all-pairs brute force, so a green row PROVES the banding's "
+        "100%-recall-within-k guarantee, not just plausibility.",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_hamming_candidates(
+        _docs(spark, sf_dir), max_hamming=3,
+        sigs=_simhash_sigs(spark, sf_dir),
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 @register(
@@ -630,20 +652,53 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
 
 
-@register(
-    "groupwise_zscore",
-    oracle="""
+_ZSCORE_ORACLE = """
     SELECT doc_id,
            round((n_chars - avg(n_chars) OVER (PARTITION BY source))
                  / stddev_samp(n_chars) OVER (PARTITION BY source), 4)
              AS z_chars
     FROM documents
-    """,
-    doc="Grouped-map applyInPandas: per-source z-score of n_chars "
-        "(pandas ddof=1) — the grouped Pandas-UDF API surface; "
-        "oracle = window-function z-score.",
+    """
+
+
+@register(
+    "groupwise_zscore",
+    oracle=_ZSCORE_ORACLE,
+    doc="Canonical per-source z-score of n_chars: two window "
+        "aggregates over one source-keyed exchange, all JVM-side "
+        "whole-stage codegen. THIS is how to z-score at 100 TB; the "
+        "grouped-Pandas formulation of the same result lives at "
+        "groupwise_zscore_pandas_api as an API demo.",
 )
 def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars")
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_chars") - F.avg("n_chars").over(w))
+                / F.stddev_samp("n_chars").over(w),
+                4,
+            ).alias("z_chars"),
+        )
+    )
+
+
+@register(
+    "groupwise_zscore_pandas_api",
+    oracle=_ZSCORE_ORACLE,
+    doc="Grouped-map applyInPandas demo: per-source z-score of "
+        "n_chars (pandas ddof=1), Arrow-vectorized per group. "
+        "Exercises the grouped Pandas-UDF API surface ONLY — the "
+        "builtin window twin (groupwise_zscore) is the canonical "
+        "scale path; use this shape when per-group logic genuinely "
+        "can't be expressed with window/agg builtins.",
+)
+def q_groupwise_zscore_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -158,3 +158,44 @@ def test_ivf_probe_subset_and_recall(spark, sf_smoke):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall@5 {recall:.2f} below floor"
+
+
+def test_simhash_hamming_banding_exact_vs_brute_force(spark, sf_smoke):
+    """Pigeonhole banding is EXACT within k: on an unblocked corpus
+    the banded candidate join must return precisely the brute-force
+    all-pairs result for Hamming <= k — no misses (pigeonhole
+    guarantee) and no extras (verify step). Also bounds the bucket
+    fan-out: 15-bit band keys spread a uniform corpus so no single
+    (band, key) bucket grows past a small constant."""
+    docs = _docs(spark, sf_smoke)
+    sigs = D.simhash_signatures(docs)
+
+    k = 3
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_hamming_candidates(docs, max_hamming=k, sigs=sigs).collect()
+    }
+    s = sigs.collect()
+    brute = {
+        (a["doc_id"], b["doc_id"], bin(a["simhash"] ^ b["simhash"]).count("1"))
+        for a in s
+        for b in s
+        if a["doc_id"] < b["doc_id"]
+        and bin(a["simhash"] ^ b["simhash"]).count("1") <= k
+    }
+    assert banded == brute
+
+    # Bucket bound: the 4x15-bit banding must not concentrate an
+    # unblocked uniform corpus into mega-buckets (linear-ish join).
+    n_docs = sigs.count()
+    max_bucket = max(
+        r["c"]
+        for i in range(4)
+        for r in sigs.select(
+            F.expr(f"shiftright(simhash, {i * 15}) & {(1 << 15) - 1}").alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert max_bucket <= max(8, n_docs // 20)

@@ -131,6 +131,14 @@ AUDITS = [
         ["CartesianProduct"],
     ),
     (
+        # unblocked SimHash near-dups: candidates must come from the
+        # (band, key) equi-join — never a pair explosion — and the
+        # verify bit_count runs on candidates only
+        "simhash_hamming_pairs",
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
         # aggregate-before-join: lineitem must collapse to per-order
         # sums before any join, and the >250 cut must reach the agg
         "large_volume_orders",

@@ -339,6 +339,14 @@ def minhash_near_dup(
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # Persist the band table: BOTH sides of the self-join below are
+    # derived from it, and without a persist Spark recomputes the
+    # whole signature pipeline (md5 + 64 min-aggregates over every
+    # shingle occurrence) once per side. The band table is tiny —
+    # docs × BANDS rows of (long, int, string) — while the pipeline
+    # that produces it is the most expensive stage of the operator,
+    # so this persist halves signature cost for ~16 rows/doc of cache.
+    bands = bands.persist()
     left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
     candidates = (

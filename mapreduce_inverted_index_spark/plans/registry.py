@@ -71,8 +71,9 @@ def _load() -> None:
 
 # The driver's correctness window checks only the FIRST 50 catalog
 # entries per round, so catalog order is driver-evidence policy.
-# Rounds 1-3 covered 85 of the 110 names; these 25 never fell inside
-# any round's window (multimodal + sketches + the relational tail).
+# Rounds 1-3 covered 85 of the 112 names; these 27 never fell inside
+# any round's window (multimodal + sketches + the relational tail +
+# two round-3 additions).
 # They lead the catalog this round so every name has a driver row;
 # the rest follow in registration order, which re-checks the
 # flagship index family in the remaining window slots.
@@ -102,6 +103,10 @@ _DRIVER_PRIORITY = (
     "string_agg_rich_names",
     "grouping_id_rollup",
     "sessionize_events",
+    # Round-3 additions that postdate the reorder — they too have
+    # never been inside a driver window.
+    "simhash_hamming_pairs",
+    "groupwise_zscore_pandas_api",
 )
 
 

@@ -73,25 +73,34 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT media_id, kind,
-           CASE WHEN n = 0 THEN [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-                ELSE [round(CAST(n AS DOUBLE), 6),
-                      round(CAST(s AS DOUBLE) / n, 6),
-                      round(sqrt((n * ss - s * s) / CAST(n * n AS DOUBLE)), 6),
-                      round(CAST(mn AS DOUBLE), 6),
-                      round(CAST(mx AS DOUBLE), 6),
-                      round(CAST(med AS DOUBLE), 6),
-                      round(CAST(gt AS DOUBLE) / n, 6),
-                      round(CAST(first AS DOUBLE), 6)]
-           END AS features
+           round(CAST(coalesce(n, 0) AS DOUBLE), 6) AS f_len,
+           round(coalesce(CAST(s AS DOUBLE) / n, 0.0), 6) AS f_mean,
+           round(coalesce(sqrt((n * ss - s * s) / CAST(n * n AS DOUBLE)), 0.0), 6)
+             AS f_std,
+           round(coalesce(CAST(mn AS DOUBLE), 0.0), 6) AS f_min,
+           round(coalesce(CAST(mx AS DOUBLE), 0.0), 6) AS f_max,
+           round(coalesce(CAST(med AS DOUBLE), 0.0), 6) AS f_median,
+           round(coalesce(CAST(gt AS DOUBLE) / n, 0.0), 6) AS f_gt96,
+           round(coalesce(CAST(first AS DOUBLE), 0.0), 6) AS f_first
     FROM s
     """,
     doc="Arrow-batched mapInPandas feature extraction over binary "
         "payloads (deterministic byte-moment stand-in for a model). "
         "Moments come from exact integer sums, so the DuckDB twin "
-        "unnesting hex pairs matches bit-for-bit.",
+        "unnesting hex pairs matches bit-for-bit. The catalog query "
+        "unpacks the feature vector into scalar columns so the "
+        "driver's row-sort canonicalization (which cannot order "
+        "array cells) applies; the array form stays the operator API.",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.extract_features(_media(spark, sf_dir))
+    feats = M.extract_features(_media(spark, sf_dir))
+    names = ["f_len", "f_mean", "f_std", "f_min", "f_max",
+             "f_median", "f_gt96", "f_first"]
+    return feats.select(
+        "media_id",
+        "kind",
+        *[F.col("features")[i].alias(n) for i, n in enumerate(names)],
+    )
 
 
 @register(

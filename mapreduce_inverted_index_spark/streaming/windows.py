@@ -48,32 +48,49 @@ _SINK_IDS = itertools.count()
 # (state bytes / partition target), not to the session default.
 STATE_PARTITIONS = 8
 
-# Parquet streaming sources need an explicit schema. ``ts`` arrives as
-# INT64 nanoseconds (see sources.tables._load_events) and is converted
-# to a microsecond timestamp in the stream's first projection.
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Parquet streaming sources need an explicit schema. ``ts`` has
+# shipped in two fixture encodings (see sources.tables._load_events):
+# INT64 nanoseconds (read as LongType + integer-division convert) or
+# a plain microsecond TIMESTAMP (read directly). The stream schema
+# must match the file's physical type, so events_stream probes the
+# batch reader's view of the footer and picks the right variant —
+# keeping stream and batch ts semantics identical by construction.
+
+
+def _events_raw_schema(ts_is_long: bool) -> StructType:
+    from pyspark.sql.types import TimestampType
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # footer probe (no data read): nanos fixtures surface ts as bigint,
+    # micro fixtures as timestamp.
+    ts_is_long = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
     # the file stream source requires a directory path; filter the
     # listing down to the events table.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _run_to_table(

@@ -388,17 +388,30 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
     Plan: occurrence stream (no term-frequency table, so the heavy
     ``(doc_id, term)`` shuffle never happens) → per-occurrence 60-bit
-    md5 → ONE ``groupBy(doc_id)`` with 60 codegen'd ±1 vote
-    accumulators (one per bit) → bit fold in the projection. The 60×
-    bit amplification never becomes rows at all — it's 60 agg columns
-    whose partials collapse map-side, so the only shuffle carries
-    docs×60 longs and wire volume is O(docs), independent of corpus
-    text size. (A prior formulation exploded a row per bit through a
-    ``groupBy(doc_id, bit)``; the accumulator form computes the same
-    sums ~40% faster by skipping the 60× row churn.) Output:
-    ``doc_id, simhash`` (docs with no surviving terms emit no row,
-    matching the tf-based oracle formulation).
+    md5 → ONE ``groupBy(doc_id)`` with *bit-sliced* popcount
+    accumulators → bit fold in the projection. The 60× bit
+    amplification never becomes rows at all — it's agg columns whose
+    partials collapse map-side, so the only shuffle carries a few
+    dozen longs per doc and wire volume is O(docs), independent of
+    corpus text size.
+
+    Bit-sliced accumulators: the ±1 vote sum for bit i is positive
+    iff ``2·ones_i > n`` (ones_i = occurrences with bit i set), and
+    ones for bits i and i+30 pack into ONE int64 sum —
+    ``sum((h >> i) & (1 | 1<<30))`` accumulates ones_i in the low
+    30-bit field and ones_{i+30} in the high field with no carries
+    while a document has < 2^30 term occurrences (a ~5 GB single doc;
+    far past any real document). 31 branchless shift-and-mask
+    aggregates replace the prior 60 CASE WHEN sums — ~2× less
+    whole-stage-codegen to compile and run for identical output.
+    (An even earlier formulation exploded a row per bit through a
+    ``groupBy(doc_id, bit)``; the accumulator forms skip the 60× row
+    churn entirely.) Output: ``doc_id, simhash`` (docs with no
+    surviving terms emit no row, matching the tf-based oracle
+    formulation).
     """
+    half = SIMHASH_BITS // 2  # 30: bits i and i+30 share an agg
+    field_mask = (1 << half) - 1
     occ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
@@ -406,23 +419,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         "doc_id",
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
+    packed_mask = 1 | (1 << half)
     votes = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_occ"),
         *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+            F.sum(F.expr(f"shiftright(h, {i}) & {packed_mask}")).alias(f"s{i}")
+            for i in range(half)
+        ],
     )
     simhash = None
-    for i in range(SIMHASH_BITS):
-        bit = (
-            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-        simhash = bit if simhash is None else simhash + bit
+    for i in range(half):
+        lo = F.expr(f"s{i} & {field_mask}")  # ones_i
+        hi = F.expr(f"shiftright(s{i}, {half})")  # ones_(i+half)
+        for bit_pos, ones in ((i, lo), (i + half, hi)):
+            bit = F.when(
+                ones * 2 > F.col("n_occ"), F.lit(1 << bit_pos).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            simhash = bit if simhash is None else simhash + bit
     return votes.select("doc_id", simhash.alias("simhash"))
 
 

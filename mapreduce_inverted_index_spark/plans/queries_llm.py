@@ -129,6 +129,20 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return df
 
 
+def reset_shared_cache() -> None:
+    """Unpersist and forget every shared intermediate. The bench
+    harness calls this between timed passes so each query measures its
+    full standalone cost instead of a hit on another query's cache
+    (and so repeated passes can't accumulate persisted tables into
+    storage-memory pressure)."""
+    for df in _SHARED.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHARED.clear()
+
+
 def _shingles2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, source, shingles) word-bigram table — shared
     by the blocked Jaccard join and the dedup-components graph."""

@@ -11,6 +11,8 @@ parallelism for free, which is the whole point at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 # The star schema + text/vector/event tables the driver materializes
@@ -31,6 +33,52 @@ TABLES: tuple[str, ...] = (
 )
 
 
+# Scans whose parquet footer exposes fewer row groups than this can't
+# be split by the reader (splits are row-group-granular), so a narrow
+# fixture file serializes every downstream map stage on one core.
+# Files below the byte floor aren't worth a shuffle to widen (dims).
+_WIDEN_MIN_BYTES = 256 << 10
+
+# Only the compute-dense tables are worth widening: tokenize / hash /
+# shingle / vector math amplifies work per input byte by orders of
+# magnitude, so a one-time shuffle of a narrow scan buys 32× on every
+# downstream map stage. Relational tables get no such amplification —
+# their first groupBy/join shuffles anyway, and paying a full-row
+# shuffle before an already-cheap columnar partial-agg is a net loss
+# (measured on the TPC-H-style headline set).
+_WIDEN_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _widen_narrow_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin-repartition a scan that parquet row-group layout
+    makes unsplittable (single-row-group fixture files → 1-task scans
+    on a 32-thread session, serializing tokenize/hash/explode work).
+
+    Scale posture: this is a FIXTURE-shape mitigation with a gate that
+    a production lake never trips — real datasets ship many files and
+    ~128 MB row groups, so ``row_groups >= cores`` holds and the scan
+    is already wide; the repartition then never fires and plans are
+    untouched. When it does fire, the cost is one shuffle of a small
+    file's rows — strictly cheaper than leaving 31/32 cores idle for
+    every downstream map stage. Filters/pruning still reach the scan
+    (Catalyst pushes predicates and column pruning through
+    Repartition).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if target <= 2:
+        return df
+    try:
+        import pyarrow.parquet as pq
+
+        n_groups = pq.ParquetFile(path).metadata.num_row_groups
+        n_bytes = os.path.getsize(path)
+    except Exception:
+        return df
+    if n_groups >= max(2, target // 2) or n_bytes < _WIDEN_MIN_BYTES:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; Catalyst prunes columns/pushes filters."""
     if name not in TABLES:
@@ -39,9 +87,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the session timezone so collected values render identically in
     # any host session (differential oracles compare wall times).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _WIDEN_TABLES:
+        df = _widen_narrow_scan(spark, df, path)
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ __all__ = [
     "hll_rollup",
     "hll_merge",
     "approx_quantiles_rank_checked",
+    "frequent_items",
 ]
 
 
@@ -64,6 +65,73 @@ def hll_merge(sketches: DataFrame, keys: Sequence[str],
     """
     return sketches.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(estimate_col)
+    )
+
+
+def frequent_items(
+    items: DataFrame, col: str, phi: float, counters_factor: int = 2
+) -> DataFrame:
+    """EXACT φ-heavy hitters (every item with frequency ≥ φ·N) found
+    without ever shuffling the full key space — the two-phase
+    sketch-then-verify pattern that replaces a full ``groupBy(key)``
+    at 100 TB, where the distinct-key count (vocabulary) can be
+    billions but the answer is tiny.
+
+    Phase 1 — candidates: one narrow ``mapInPandas`` pass runs a
+    Misra-Gries summary per partition (k = counters_factor/φ
+    counters; batch-level exact counts merged with the standard
+    MG-merge: add, subtract the (k+1)-th largest, drop ≤ 0). MG
+    undercounts by at most n_p/(k+1), and an item with global
+    frequency ≥ φ·N has frequency ≥ φ·n_p in at least one partition
+    (averaging), so with k+1 > 1/φ the union of partition summaries
+    is a GUARANTEED superset of the true heavy hitters. Wire cost:
+    ≤ k rows per partition, no shuffle of the stream.
+
+    Phase 2 — verify: exact counts restricted to the candidate set
+    via a broadcast semi-join (the only shuffle carries candidate
+    keys), filtered to ≥ ceil(φ·N). False candidates die here, so
+    the output equals brute-force ``GROUP BY HAVING`` exactly — the
+    sketch buys the plan shape, not an approximation.
+
+    Output: ``<col>, n_occ BIGINT`` (exact).
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = int(math.ceil(counters_factor / phi))
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf.iloc[:, 0].value_counts().items():
+                if item is None:
+                    continue
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                # MG merge step: subtract the (k+1)-th largest count,
+                # drop non-positive — keeps the undercount bound.
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = (
+        items.select(F.col(col).alias("item"))
+        .mapInPandas(mg_partition, schema="item string")
+        .distinct()
+    )
+    total = items.agg(F.count(col).alias("_n"))
+    return (
+        items.join(F.broadcast(candidates), items[col] == candidates.item)
+        .groupBy(col)
+        .agg(F.count("*").alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occ") >= F.ceil(F.col("_n") * phi))
+        .select(col, "n_occ")
     )
 
 

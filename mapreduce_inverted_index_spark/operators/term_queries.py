@@ -31,6 +31,7 @@ __all__ = [
     "positional_index",
     "phrase_query",
     "bm25_rank",
+    "tfidf_cosine_pairs",
 ]
 
 
@@ -245,6 +246,82 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
         .select("doc_id", F.round(total, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs document cosine similarity over tf-idf vectors via a
+    posting-list join — the classic sparse similarity join (and the
+    semantic cousin of the shingle-Jaccard dedup family: same output
+    shape, different notion of "near").
+
+    Plan: tf build (one term-keyed shuffle) → df per term with a
+    ``max_df`` cap — the scale knob: joining postings on term costs
+    Σ_t df(t)², so dropping ubiquitous terms (which carry ~zero idf
+    weight anyway) is what keeps the pair space bounded; it's the
+    df-cut every all-pairs-similarity system applies (prefix-filter
+    family). Then postings self-join on term → one ``groupBy(doc_a,
+    doc_b)`` dot product → join per-doc norms → threshold filter.
+
+    Cross-engine exactness: weights quantize to DECIMAL(19,9) after
+    the one rounded transcendental (``ln``), so dot products and
+    norm² are *exact integer-scaled sums* — order-independent,
+    bit-identical in any engine — and the final
+    ``dot / (norm_a · norm_b)`` is two IEEE ops on exact inputs.
+    Zero-weight rows (df == N) are excluded so every participating
+    doc has a positive norm (no NaN cosines, whose ordering semantics
+    differ across engines).
+
+    Output: ``doc_a, doc_b, cosine`` (doc_a < doc_b).
+    """
+    from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
+
+    tf = doc_term_freq(docs, text_col, id_col)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") < F.col("n_docs"))  # ln(N/df) > 0
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
+            )
+            .cast("decimal(19,9)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = w.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double") / (F.col("na.nrm") * F.col("nb.nrm")), 6
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -178,6 +178,50 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ({_TF_SQL}) GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 100
+    ),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9)
+                  AS DECIMAL(19,9)) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN total
+      WHERE df < n_docs
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON dots.doc_a = na.doc_id
+    JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+    doc="All-pairs tf-idf cosine similarity via df-capped posting-list "
+        "self-join (Σ df² bounded by the max_df cut); DECIMAL-quantized "
+        "weights make dot/norm sums order-independent and bit-exact "
+        "cross-engine.",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.3, max_df=100)
+
+
+@register(
     "top_k_terms",
     oracle=f"""
     WITH pairs AS ({_PAIRS_SQL}),

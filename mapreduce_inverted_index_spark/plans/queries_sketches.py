@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_inverted_index_spark.functions.text import sql_tokens, tokenize
 from mapreduce_inverted_index_spark.operators import sketches as S
 from mapreduce_inverted_index_spark.plans.registry import register
 from mapreduce_inverted_index_spark.sources.tables import load_table
@@ -56,6 +57,42 @@ def q_hll_rollup_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_close_oneshot"),
         )
     )
+
+
+@register(
+    "frequent_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+             AS bigram
+      FROM t
+    ),
+    total AS (SELECT count(*) AS n FROM b)
+    SELECT bigram, count(*) AS n_occ
+    FROM b CROSS JOIN total
+    GROUP BY bigram, total.n
+    HAVING count(*) >= ceil(total.n * 0.0015)
+    """,
+    doc="EXACT phi-heavy-hitter bigrams via per-partition Misra-Gries "
+        "candidates + broadcast-verified exact recount — the "
+        "no-full-keyspace-shuffle frequency pattern; output equals "
+        "brute-force GROUP BY HAVING, so the oracle is exact.",
+)
+def q_frequent_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Project tokens once before slicing so the tokenize regex runs
+    # one time per row (see word_shingles on CollapseProject inlining).
+    t = docs.select(tokenize("text").alias("toks"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    occ = t.select(F.explode(bigrams).alias("bigram"))
+    return S.frequent_items(occ, "bigram", phi=0.0015)
 
 
 @register(

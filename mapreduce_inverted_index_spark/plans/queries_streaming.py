@@ -83,6 +83,28 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Watermarked stream-stream interval join (click -> same-user "
+        "purchase within 1h); single AvailableNow batch makes it "
+        "equal to the batch interval join, so it is value-checkable.",
+)
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.stream_attribution_join(spark, sf_dir)
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     SELECT event_type, count(DISTINCT event_id) AS n_unique_events

@@ -36,6 +36,7 @@ __all__ = [
     "sliding_avg_value",
     "session_windows",
     "stream_dedup_events",
+    "stream_attribution_join",
 ]
 
 _SINK_IDS = itertools.count()
@@ -189,6 +190,60 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
         "n_events",
+    )
+
+
+def stream_attribution_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins the
+    same user's purchases landing within ``horizon`` after it — the
+    canonical attribution query, and the streaming operator family
+    (two buffered sides + event-time range condition) that windowed
+    aggs can't express.
+
+    State bounds: BOTH sides carry a watermark and the join condition
+    bounds purchase_ts to (click_ts, click_ts + horizon], so Spark
+    can evict buffered rows once the watermark passes — state is
+    O(events within watermark + horizon), not O(stream). With a
+    single AvailableNow batch nothing is late, so the result equals
+    the batch interval join, which is what makes the operator fully
+    oracle-checkable. Output: ``user_id, click_id, purchase_id,
+    lag_us`` (microseconds from click to purchase).
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts > click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    )
+    out = _run_to_table(joined, mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
 
 

@@ -165,6 +165,22 @@ AUDITS = [
         ["Window"],
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    (
+        # all-pairs cosine: candidates come from the term equi-join
+        # (Σ df² bounded by the df cap), never a pair explosion; the
+        # scalar N is broadcast
+        "tfidf_cosine_pairs",
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        # heavy hitters: candidate set must broadcast into the verify
+        # join (the only shuffle carries candidate keys), and the MG
+        # pass is an Arrow-batched python map, not a per-row UDF
+        "frequent_bigrams",
+        ["BroadcastHashJoin", "MapInPandas"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

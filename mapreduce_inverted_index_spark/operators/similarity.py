@@ -47,6 +47,8 @@ __all__ = [
     "ivf_topk",
     "quantize_embeddings",
     "dequantize",
+    "label_centroids",
+    "label_centroid_cosines",
 ]
 
 N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
@@ -374,3 +376,79 @@ def dequantize(qvec: F.Column | str, scale: F.Column | str) -> F.Column:
     q = F.col(qvec) if isinstance(qvec, str) else qvec
     s = F.col(scale) if isinstance(scale, str) else scale
     return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid components, computed order-independently.
+
+    ``posexplode`` → quantize each component to DECIMAL(18,6) → one
+    ``groupBy(label, dim)`` with an exact decimal sum — the float
+    summation order never matters, so the result is deterministic
+    under any partitioning/retry and bit-identical cross-engine. The
+    centroid itself is two IEEE ops on exact inputs (cast + divide),
+    then re-quantized so downstream centroid algebra (cosines) stays
+    exact too.
+
+    Scale shape: one narrow explode (rows × dim) into one partial-agg
+    shuffle keyed (label, dim) — labels × dim output rows. This is
+    the building block for semantic-class audits (which clusters are
+    close?) and for seeding IVF-style codebooks from labeled data.
+    Output: ``label, dim, c DECIMAL(18,9)`` (centroid component).
+    """
+    comp = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias("w"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.round(F.sum("w").cast("double") / F.count("*"), 9)
+        .cast("decimal(18,9)")
+        .alias("c")
+    )
+
+
+def label_centroid_cosines(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    class-confusability matrix of a labeled embedding corpus.
+
+    Joins the (label, dim, c) centroid table to itself on dim
+    (labels² × dim intermediate — labels are few by construction) and
+    folds exact decimal products, so the output is engine-exact like
+    the centroids themselves. Output: ``label_a, label_b, cosine``
+    (label_a < label_b).
+    """
+    cent = label_centroids(embeddings, label_col, vec_col)
+    a = cent.select(
+        "dim", F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        "dim", F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    cos = F.round(
+        F.col("dot").cast("double") / (F.col("na.nrm") * F.col("nb.nrm")), 6
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("label_a") == F.col("na.label"))
+        .join(norms.alias("nb"), F.col("label_b") == F.col("nb.label"))
+        .select("label_a", "label_b", cos.alias("cosine"))
+    )

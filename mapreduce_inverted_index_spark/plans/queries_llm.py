@@ -406,6 +406,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroid_cosines",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM embeddings, unnest(range(len(embedding))) AS u(i)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(round(CAST(SUM(w) AS DOUBLE) / count(*), 9)
+                  AS DECIMAL(18,9)) AS c
+      FROM comp GROUP BY label, dim
+    ),
+    norms AS (
+      SELECT label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+      FROM cent GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+      FROM cent a JOIN cent b USING (dim)
+      WHERE a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON dots.label_a = na.label
+    JOIN norms nb ON dots.label_b = nb.label
+    """,
+    doc="Class-confusability matrix: pairwise cosine between "
+        "per-label embedding centroids. Decimal-quantized components "
+        "make every sum order-independent, so centroids and cosines "
+        "are bit-exact cross-engine (and deterministic under "
+        "any partitioning/retry).",
+)
+def q_label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroid_cosines(_emb(spark, sf_dir))
+
+
+@register(
     "embedding_norm_profile",
     oracle="""
     WITH n AS (

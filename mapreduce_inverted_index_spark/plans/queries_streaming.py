@@ -105,6 +105,27 @@ def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_enriched_segment_counts",
+    oracle=f"""
+    SELECT e.event_type,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           {_SQL_SUM_VALUE} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join (events stream x broadcast "
+        "customer dim) + running per-(type, segment) aggregate; the "
+        "dim is re-read per micro-batch, only the aggregate is "
+        "stateful.",
+)
+def q_stream_enriched_segment_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return W.stream_enriched_segment_counts(spark, sf_dir)
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     SELECT event_type, count(DISTINCT event_id) AS n_unique_events

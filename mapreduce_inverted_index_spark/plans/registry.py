@@ -86,6 +86,8 @@ _DRIVER_PRIORITY = (
     "tfidf_cosine_pairs",
     "frequent_bigrams",
     "stream_attribution_join",
+    "stream_enriched_segment_counts",
+    "label_centroid_cosines",
     # streaming family: re-evidence after the fixture ts change
     "stream_tumbling_counts",
     "stream_sliding_avg",

@@ -37,6 +37,7 @@ __all__ = [
     "session_windows",
     "stream_dedup_events",
     "stream_attribution_join",
+    "stream_enriched_segment_counts",
 ]
 
 _SINK_IDS = itertools.count()
@@ -245,6 +246,38 @@ def stream_attribution_join(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def stream_enriched_segment_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment: the events stream joins the static
+    customer dimension (broadcast — the stream side never shuffles
+    for the join), then aggregates per (event_type, market segment).
+
+    This is the third streaming join family next to the interval join
+    and windowed aggs: the dimension is read fresh per micro-batch
+    (so slowly-changing dims pick up updates), no state is kept for
+    the join itself, and only the tiny running aggregate is stateful.
+    Output: ``event_type, c_mktsegment, n_events, sum_value``.
+    """
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return _run_to_table(agg, mode="complete")
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:

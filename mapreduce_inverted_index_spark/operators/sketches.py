@@ -117,16 +117,18 @@ def frequent_items(
                 counters = {
                     i: c - cut for i, c in counters.items() if c - cut > 0
                 }
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame({"_mg_cand": list(counters.keys())})
 
     candidates = (
-        items.select(F.col(col).alias("item"))
-        .mapInPandas(mg_partition, schema="item string")
+        items.select(F.col(col).alias("_mg_cand"))
+        .mapInPandas(mg_partition, schema="_mg_cand string")
         .distinct()
     )
     total = items.agg(F.count(col).alias("_n"))
     return (
-        items.join(F.broadcast(candidates), items[col] == candidates.item)
+        items.join(
+            F.broadcast(candidates), items[col] == candidates["_mg_cand"]
+        )
         .groupBy(col)
         .agg(F.count("*").alias("n_occ"))
         .crossJoin(F.broadcast(total))

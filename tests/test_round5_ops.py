@@ -1,0 +1,129 @@
+"""Round-5 operator semantics beyond the registry differential:
+
+* frequent_items: the Misra-Gries TRIMMING path (dict > k counters)
+  never fires at sf0.01 (916 distinct bigrams < the default k), so a
+  synthetic skewed stream with k << distinct-keys proves the
+  candidate superset guarantee and the exact-recount equality.
+* tfidf_cosine_pairs: identical documents must score cosine 1.0,
+  disjoint documents must not pair at all.
+* label_centroids: identical results under different partitionings
+  (the decimal-sum order-independence claim).
+* stream_attribution_join: streaming result equals the same interval
+  join computed in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.sketches import frequent_items
+from mapreduce_inverted_index_spark.operators.similarity import label_centroids
+from mapreduce_inverted_index_spark.operators.term_queries import (
+    tfidf_cosine_pairs,
+)
+
+
+def test_frequent_items_trims_and_stays_exact(spark):
+    # 3 heavy keys (600 occurrences each) buried in 2000 singleton
+    # keys; phi=0.1 over ~3800 rows -> threshold 380, k = 20 counters
+    # per partition << 2003 distinct keys, so MG trimming fires on
+    # every partition.
+    rows = [(f"hot{i % 3}",) for i in range(1800)] + [
+        (f"cold{i}",) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    out = frequent_items(df, "item", phi=0.1).collect()
+    got = {(r["item"], r["n_occ"]) for r in out}
+    assert got == {("hot0", 600), ("hot1", 600), ("hot2", 600)}
+
+
+def test_frequent_items_equals_bruteforce_on_uniformish(spark):
+    # Near-uniform stream with a phi low enough that many keys
+    # qualify: output must equal GROUP BY ... HAVING exactly.
+    rows = [(f"k{i % 40}",) for i in range(4000)] + [
+        (f"rare{i}",) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = sorted(
+        (r["item"], r["n_occ"])
+        for r in frequent_items(df, "item", phi=0.02).collect()
+    )
+    import math
+
+    threshold = math.ceil(4500 * 0.02)
+    brute = sorted(
+        (r["item"], r["n"])
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= threshold)
+        .collect()
+    )
+    assert got == brute and len(got) == 40
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): float(r["cosine"])
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert out == {(0, 1): 1.0}  # disjoint docs share no term -> no pair
+
+
+def test_label_centroids_partition_invariant(spark, sf_smoke):
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = sorted(map(tuple, label_centroids(emb).collect()))
+    b = sorted(map(tuple, label_centroids(emb.repartition(17)).collect()))
+    assert a == b
+
+
+def test_stream_attribution_equals_batch(spark, sf_smoke):
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+    from mapreduce_inverted_index_spark.streaming.windows import (
+        stream_attribution_join,
+    )
+
+    got = sorted(
+        map(tuple, stream_attribution_join(spark, sf_smoke).collect())
+    )
+    ev = load_table(spark, sf_smoke, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts > click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                # batch loader surfaces ts as TIMESTAMP_NTZ; session TZ
+                # is pinned UTC so the cast is identity
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("lag_us"),
+        )
+    )
+    assert got == sorted(map(tuple, batch.collect()))

@@ -56,11 +56,16 @@ _R1SET = (
 
 # The ranked-retrieval surface added in round 2 is flagship-adjacent
 # (BM25 is the hottest query a real IR user runs) — benched since r4.
+# Round 5 adds the posting-list similarity join, the heavy-hitter
+# verify, and the stream-stream interval join.
 HEADLINE = _R1SET + (
     "positional_index",
     "phrase_query",
     "bm25_topk",
     "incremental_index_merge",
+    "tfidf_cosine_pairs",
+    "frequent_bigrams",
+    "stream_attribution_join",
 )
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "normalize_text",
     "tokenize",
     "terms",
+    "python_terms",
     "stopwords_sql_list",
     "strip_html",
     "sql_strip_html",
@@ -72,6 +73,30 @@ def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
     if keep_duplicates:
         return F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
     return F.array_except(toks, F.lit(list(STOPWORDS)).cast("array<string>"))
+
+
+def python_terms(text: str | None, *, keep_duplicates: bool = False) -> list[str]:
+    """Pure-Python twin of :func:`terms` (P1-P4/P5) — the reference's
+    row-at-a-time semantics verbatim (``mapper/src/processor.py:163-171``).
+
+    Used by the UDTF API demo and by parity tests; the builtin
+    column-expression path is the production pipeline. Python's ``re``
+    treats ``\\x1c-\\x1f`` as whitespace where Java/(?U) does not — the
+    one documented residual divergence (see :func:`normalize_text`);
+    identical on any ASCII corpus.
+    """
+    import re
+
+    if text is None:
+        return []
+    toks = re.sub(r"[^a-z\s]", "", text.lower()).split()
+    kept = [t for t in toks if t not in _STOPWORD_SET]
+    if keep_duplicates:
+        return kept
+    return list(dict.fromkeys(kept))  # distinct, first-occurrence order
+
+
+_STOPWORD_SET = frozenset(STOPWORDS)
 
 
 # RE2 (DuckDB) has no unicode-aware \s flag; [\s\p{Z}\x{0085}] is the

@@ -178,6 +178,35 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_terms_udtf_api",
+    oracle=f"WITH pairs AS ({_PAIRS_SQL}) SELECT doc_id, term FROM pairs",
+    doc="Python UDTF API demo (SURVEY §2.6): the reference's "
+        "one-URL-to-many-term-rows map function as a registered "
+        "LATERAL table function — Arrow-batched, same output as the "
+        "builtin explode path (doc_terms), which remains the "
+        "production pipeline. Completes the UDF/UDAF/UDTF surface "
+        "next to the grouped-Pandas UDAF demo.",
+)
+def q_doc_terms_udtf_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from mapreduce_inverted_index_spark.functions.text import python_terms
+
+    @udtf(returnType="doc_id bigint, term string", useArrow=True)
+    class TermsUDTF:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001 — UDTF contract
+            for t in python_terms(text):
+                yield doc_id, t
+
+    spark.udtf.register("mii_terms_udtf", TermsUDTF)
+    _docs(spark, sf_dir).createOrReplaceTempView("_mii_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.term "
+        "FROM _mii_udtf_docs, LATERAL mii_terms_udtf(doc_id, text) s"
+    )
+
+
+@register(
     "tfidf_cosine_pairs",
     oracle=f"""
     WITH tf AS (

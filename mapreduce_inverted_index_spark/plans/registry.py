@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = (
     "stream_attribution_join",
     "stream_enriched_segment_counts",
     "label_centroid_cosines",
+    "doc_terms_udtf_api",
     # streaming family: re-evidence after the fixture ts change
     "stream_tumbling_counts",
     "stream_sliding_avg",

@@ -255,6 +255,7 @@ def tfidf_cosine_pairs(
     max_df: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_weights: bool = True,
 ) -> DataFrame:
     """All-pairs document cosine similarity over tf-idf vectors via a
     posting-list join — the classic sparse similarity join (and the
@@ -279,10 +280,21 @@ def tfidf_cosine_pairs(
     differ across engines).
 
     Output: ``doc_a, doc_b, cosine`` (doc_a < doc_b).
+
+    ``persist_weights``: the tf table feeds two branches (df counts +
+    the weight join) and the weight table feeds three (norms + both
+    sides of the pair join) — unpersisted, Spark re-derives the whole
+    tokenize/tf pipeline per branch (12 corpus scans in the physical
+    plan). Persisting both collapses that to one scan; at 100 TB you
+    would write the weighted postings to storage instead (they are
+    the reusable index). LRU-evicted; ``spark.catalog.clearCache()``
+    drops them eagerly.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
     tf = doc_term_freq(docs, text_col, id_col)
+    if persist_weights:
+        tf = tf.persist()
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_df is not None:
@@ -303,6 +315,8 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
+    if persist_weights:
+        w = w.persist()
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )

@@ -462,7 +462,14 @@ def simhash_candidate_pairs(
         docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")),
         "doc_id",
     )
-    a = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    # Three derivations read this (doc_id, simhash, blk) table: both
+    # self-join sides and the hot-block counts pass — persist the
+    # 3-scalar-per-doc table instead of recomputing the signature
+    # pipeline per branch (same reasoning as the MinHash band table).
+    sigs = sigs.persist()
+    a = sigs.select(
+        F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
     b = sigs.select(F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (
         bounded_block_join(a, b, "blk", "doc_a", "doc_b", max_block_rows)

@@ -239,13 +239,19 @@ def ivf_centroids(
     cents = seeds.select(
         (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
         F.col("v").cast("array<double>").alias("centroid"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
             F.max_by(
                 "cell", F.struct(cosine_similarity("v", "centroid"), -F.col("cell"))
             ).alias("cell")
         )
+        # Eager localCheckpoint on the ≤ n_cells-row codebook truncates
+        # the lineage each round — without it iteration k's plan embeds
+        # every earlier iteration's corpus pass, so one evaluation of
+        # the final codebook re-scans the corpus O(iters²) times
+        # instead of O(iters). Same pattern as dup_components; at
+        # cluster scale use checkpoint() on a fault-tolerant dir.
         cents = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -257,6 +263,7 @@ def ivf_centroids(
                     lambda s: s["m"],
                 ).alias("centroid")
             )
+            .localCheckpoint(eager=True)
         )
     return cents
 

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_near_dup",
     "simhash_signatures",
     "simhash_candidate_pairs",
+    "fuzzy_key_pairs",
 ]
 
 # MinHash configuration: 64 permutations in 16 bands of 4 rows →
@@ -479,6 +480,45 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def fuzzy_key_pairs(
+    docs: DataFrame,
+    max_dist: int = 5,
+    key_len: int = 32,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block_rows: int | None = 10_000,
+) -> DataFrame:
+    """Edit-distance fuzzy matching: blocked pairs whose normalized
+    text PREFIX keys are within ``max_dist`` Levenshtein edits — the
+    typo-tolerant member of the dedup family (catches OCR noise and
+    near-identical titles that shingle Jaccard misses when the edit
+    falls inside most shingles).
+
+    The key is the first ``key_len`` chars of the whitespace-collapsed
+    lowercase text: Levenshtein is O(len²) per pair, so bounding the
+    key bounds per-pair cost — the standard fuzzy-join key trick.
+    Spark's thresholded ``levenshtein(a, b, k)`` short-circuits above
+    ``k`` (banded DP, O(len·k)) and returns -1 there, so the filter
+    keeps exactly the pairs a plain distance ``<= k`` would. Blocking
+    + hot-block chunking bound the pair space like every other
+    blocked pair generator here. Output: ``doc_a, doc_b, distance``.
+    """
+    keyed = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("doc_id"),
+        F.substring(normalize_for_dedup(text_col), 1, key_len).alias("k"),
+    )
+    a = keyed.select("blk", F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"))
+    b = keyed.select("blk", F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"))
+    dist = F.levenshtein("ka", "kb", max_dist)
+    return (
+        bounded_block_join(a, b, "blk", "doc_a", "doc_b", max_block_rows)
+        .select("doc_a", "doc_b", dist.cast("int").alias("distance"))
+        .where((F.col("distance") >= 0) & (F.col("distance") <= max_dist))
     )
 
 

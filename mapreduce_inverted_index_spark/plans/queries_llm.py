@@ -199,6 +199,29 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_key_pairs",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT source AS blk, doc_id,
+             substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       1, 20) AS k
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS INTEGER) AS distance
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 10
+    """,
+    doc="Edit-distance fuzzy matching on bounded normalized-prefix "
+        "keys (blocked, hot-block chunked; Spark's thresholded "
+        "levenshtein short-circuits above k) — the typo-tolerant "
+        "dedup member that shingle Jaccard misses.",
+)
+def q_fuzzy_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_key_pairs(_docs(spark, sf_dir), max_dist=10, key_len=20)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({_SQL_BIGRAMS})

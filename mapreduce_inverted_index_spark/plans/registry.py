@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "stream_enriched_segment_counts",
     "label_centroid_cosines",
     "doc_terms_udtf_api",
+    "fuzzy_key_pairs",
     # streaming family: re-evidence after the fixture ts change
     "stream_tumbling_counts",
     "stream_sliding_avg",

@@ -77,6 +77,27 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
     assert out == {(0, 1): 1.0}  # disjoint docs share no term -> no pair
 
 
+def test_fuzzy_key_pairs_catches_typos_jaccard_misses(spark):
+    from mapreduce_inverted_index_spark.operators.dedup import fuzzy_key_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dogs", "a"),
+            (1, "the quikc brwon fox jumps over dogs", "a"),  # 4 edits
+            (2, "completely different content here now", "a"),
+            (3, "the quick brown fox jumps over dogs", "b"),  # other block
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["distance"]
+        for r in fuzzy_key_pairs(docs, max_dist=5, key_len=32).collect()
+    }
+    assert (0, 1) in out and 0 < out[(0, 1)] <= 5  # typo pair found
+    assert (0, 3) not in out  # blocking respected
+    assert all(2 not in pair for pair in out)  # unrelated text excluded
+
+
 def test_label_centroids_partition_invariant(spark, sf_smoke):
     from mapreduce_inverted_index_spark.sources.tables import load_table
 

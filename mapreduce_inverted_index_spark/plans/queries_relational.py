@@ -1507,3 +1507,36 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "dq_profile_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS column, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_null,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+    doc="Data-quality column profile (completeness, cardinality, "
+        "range) in ONE aggregate pass + unpivot — the ingestion "
+        "health gate; scan prunes to exactly the profiled columns.",
+)
+def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import column_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(li, ["l_orderkey", "l_returnflag", "l_shipdate"])

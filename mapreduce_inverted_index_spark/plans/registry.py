@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "label_centroid_cosines",
     "doc_terms_udtf_api",
     "fuzzy_key_pairs",
+    "dq_profile_lineitem",
     # streaming family: re-evidence after the fixture ts change
     "stream_tumbling_counts",
     "stream_sliding_avg",

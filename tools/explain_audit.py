@@ -181,6 +181,14 @@ AUDITS = [
         ["BroadcastHashJoin", "MapInPandas"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # fuzzy matching: blocked pair join with hot-block chunk keys
+        # active; the levenshtein runs on bounded prefix keys inside
+        # the join filter — never a pair explosion
+        "fuzzy_key_pairs",
+        ["_ca", "levenshtein"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 

@@ -207,6 +207,7 @@ def ivf_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic k-means codebook: ``(cell, centroid)``.
 
@@ -222,7 +223,19 @@ def ivf_centroids(
     (cell, dim) avg → re-assemble. ``iters`` is a small fixed
     constant, so the driver loop holds only tiny codebook plans,
     never data. Empty cells drop out of the codebook.
+
+    ``checkpoint=True`` (default) eagerly ``localCheckpoint``s the
+    ≤ n_cells-row codebook each round, truncating lineage so one
+    evaluation re-scans the corpus O(iters) not O(iters²) times —
+    but it runs iters+1 jobs at BUILD time (laziness lost) and
+    stores non-fault-tolerant executor blocks. Cluster callers that
+    need laziness or executor-loss tolerance pass ``checkpoint=
+    False`` and take the lineage cost, or wrap the per-round
+    codebook in a reliable ``checkpoint()``/write themselves.
     """
+    _maybe_ckpt = (
+        (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    )
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     seeds = (
         e.select(
@@ -236,23 +249,19 @@ def ivf_centroids(
     )
     # the unpartitioned window orders the AGGREGATED seed table: one
     # partition of ≤ n_cells rows, constant-size at any corpus scale
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
-        F.col("v").cast("array<double>").alias("centroid"),
-    ).localCheckpoint(eager=True)
+    cents = _maybe_ckpt(
+        seeds.select(
+            (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
+            F.col("v").cast("array<double>").alias("centroid"),
+        )
+    )
     for _ in range(iters):
         assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
             F.max_by(
                 "cell", F.struct(cosine_similarity("v", "centroid"), -F.col("cell"))
             ).alias("cell")
         )
-        # Eager localCheckpoint on the ≤ n_cells-row codebook truncates
-        # the lineage each round — without it iteration k's plan embeds
-        # every earlier iteration's corpus pass, so one evaluation of
-        # the final codebook re-scans the corpus O(iters²) times
-        # instead of O(iters). Same pattern as dup_components; at
-        # cluster scale use checkpoint() on a fault-tolerant dir.
-        cents = (
+        cents = _maybe_ckpt(
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("m"))
@@ -263,7 +272,6 @@ def ivf_centroids(
                     lambda s: s["m"],
                 ).alias("centroid")
             )
-            .localCheckpoint(eager=True)
         )
     return cents
 

@@ -91,40 +91,54 @@ def frequent_items(
     via a broadcast semi-join (the only shuffle carries candidate
     keys), filtered to ≥ ceil(φ·N). False candidates die here, so
     the output equals brute-force ``GROUP BY HAVING`` exactly — the
-    sketch buys the plan shape, not an approximation.
+    sketch buys the plan shape, not an approximation. The threshold
+    multiplies by φ as an EXACT decimal (``Decimal(str(phi))``), so
+    ``ceil`` agrees with a SQL oracle's decimal literal even when
+    φ·N lands on an integer (double rounding could shift ceil by 1).
+
+    Candidate schema follows the input column's type (string keys
+    yield string candidates, bigint keys bigint), so the verify
+    equi-join never casts through string.
 
     Output: ``<col>, n_occ BIGINT`` (exact).
     """
+    import decimal
     import math
 
     import pandas as pd
+    from pyspark.sql.types import StructField, StructType
 
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     k = int(math.ceil(counters_factor / phi))
 
     def mg_partition(batches):
-        counters: dict = {}
+        # Counters live in a pandas Series (index = item, value =
+        # MG count): batch counts come from value_counts and merge
+        # via Series.add — vectorized end-to-end, no per-item loop.
+        counters = None
         for pdf in batches:
-            for item, cnt in pdf.iloc[:, 0].value_counts().items():
-                if item is None:
-                    continue
-                counters[item] = counters.get(item, 0) + int(cnt)
+            vc = pdf.iloc[:, 0].value_counts()  # drops nulls
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
             if len(counters) > k:
                 # MG merge step: subtract the (k+1)-th largest count,
                 # drop non-positive — keeps the undercount bound.
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    i: c - cut for i, c in counters.items() if c - cut > 0
-                }
-        yield pd.DataFrame({"_mg_cand": list(counters.keys())})
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            # The index preserves the source dtype, so bigint keys
+            # arrive at Arrow as int64, strings as object.
+            yield pd.DataFrame({"_mg_cand": counters.index})
 
+    cand_schema = StructType([StructField("_mg_cand", items.schema[col].dataType)])
     candidates = (
         items.select(F.col(col).alias("_mg_cand"))
-        .mapInPandas(mg_partition, schema="_mg_cand string")
+        .mapInPandas(mg_partition, schema=cand_schema)
         .distinct()
     )
     total = items.agg(F.count(col).alias("_n"))
+    phi_exact = F.lit(decimal.Decimal(str(phi)))
     return (
         items.join(
             F.broadcast(candidates), items[col] == candidates["_mg_cand"]
@@ -132,7 +146,7 @@ def frequent_items(
         .groupBy(col)
         .agg(F.count("*").alias("n_occ"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("n_occ") >= F.ceil(F.col("_n") * phi))
+        .where(F.col("n_occ") >= F.ceil(F.col("_n") * phi_exact))
         .select(col, "n_occ")
     )
 

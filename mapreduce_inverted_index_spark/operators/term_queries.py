@@ -188,7 +188,8 @@ def phrase_query(docs: DataFrame, phrase: list[str], text_col: str = "text",
 
 def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
               b: float = 0.75, k: int = 10, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              persist_weights: bool = True) -> DataFrame:
     """Okapi BM25 top-k ranking for a bag-of-terms query.
 
     idf is the Lucene form ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
@@ -199,11 +200,25 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
     is TakeOrderedAndProject. Scores are rounded after each
     transcendental and summed in fixed query order, so a DuckDB twin
     reproduces them bit-exactly; ties break on doc_id.
+
+    ``persist_weights``: ``tf`` feeds three branches (doc lengths,
+    query-term rows, and through ``dl`` the corpus stats) and ``dl``
+    feeds two (stats + the score join) — unpersisted, the whole
+    tokenize/explode/groupBy corpus pipeline is re-derived per branch
+    (3-4 corpus scans in the physical plan). Persisting both collapses
+    that to one corpus scan. At 100 TB read ``tf``/``dl`` from the
+    materialized index tables instead (they ARE the index); persist is
+    the single-session analog. LRU-evicted; ``spark.catalog
+    .clearCache()`` drops them eagerly.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
     tf = doc_term_freq(docs, text_col, id_col)
+    if persist_weights:
+        tf = tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if persist_weights:
+        dl = dl.persist()
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -270,7 +285,7 @@ def tfidf_cosine_pairs(
     family). Then postings self-join on term → one ``groupBy(doc_a,
     doc_b)`` dot product → join per-doc norms → threshold filter.
 
-    Cross-engine exactness: weights quantize to DECIMAL(19,9) after
+    Cross-engine exactness: weights quantize to DECIMAL(18,9) after
     the one rounded transcendental (``ln``), so dot products and
     norm² are *exact integer-scaled sums* — order-independent,
     bit-identical in any engine — and the final
@@ -311,7 +326,12 @@ def tfidf_cosine_pairs(
                 * F.log(F.col("n_docs").cast("double") / F.col("df")),
                 9,
             )
-            .cast("decimal(19,9)")
+            # (18,9) not (19,9): products of two (18,9) are (37,18) —
+            # exact in both Spark (≤38) and DuckDB. At (19,9) products
+            # need precision 39 > 38 and Spark silently rounds to
+            # scale 17 under allowPrecisionLoss while DuckDB stays
+            # exact — a latent ~1e-18/term divergence.
+            .cast("decimal(18,9)")
             .alias("w"),
         )
     )

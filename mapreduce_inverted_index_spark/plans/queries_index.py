@@ -220,7 +220,7 @@ def q_doc_terms_udtf_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT doc_id, term,
              CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9)
-                  AS DECIMAL(19,9)) AS w
+                  AS DECIMAL(18,9)) AS w
       FROM tf JOIN dfreq USING (term) CROSS JOIN total
       WHERE df < n_docs
     ),

@@ -148,3 +148,32 @@ def test_stream_attribution_equals_batch(spark, sf_smoke):
         )
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_frequent_items_bigint_keys(spark):
+    # Type-generic candidate schema: bigint keys must survive the
+    # Arrow round-trip and the verify equi-join without a string
+    # cast. 3 heavy long keys among 1500 singleton longs.
+    rows = [(1_000_000_000_000 + (i % 3),) for i in range(900)] + [
+        (i,) for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "item bigint").repartition(6)
+    out = frequent_items(df, "item", phi=0.1).collect()
+    got = {(r["item"], r["n_occ"]) for r in out}
+    assert got == {
+        (1_000_000_000_000, 300),
+        (1_000_000_000_001, 300),
+        (1_000_000_000_002, 300),
+    }
+    # schema carries the input type, not string
+    assert frequent_items(df, "item", phi=0.1).schema["item"].dataType.simpleString() == "bigint"
+
+
+def test_frequent_items_threshold_exact_at_boundary(spark):
+    # phi*N exactly integral: 2000 rows, phi=0.1 -> threshold must be
+    # exactly 200 (not 201 via double round-up). A key with exactly
+    # 200 occurrences must be INCLUDED.
+    rows = [("edge",)] * 200 + [(f"c{i}",) for i in range(1800)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {(r["item"], r["n_occ"]) for r in frequent_items(df, "item", phi=0.1).collect()}
+    assert ("edge", 200) in got

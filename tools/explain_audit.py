@@ -125,9 +125,12 @@ AUDITS = [
     ),
     (
         # BM25: df rows and N/avgdl scalars broadcast; final top-k is
-        # TakeOrderedAndProject, never a global sort
+        # TakeOrderedAndProject, never a global sort. All dl/qtf/stats
+        # branches must read the persisted tf/dl (InMemoryTableScan) —
+        # one physical corpus scan at materialization, not 3-4
+        # re-derivations (the r5 regression).
         "bm25_topk",
-        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "InMemoryTableScan"],
         ["CartesianProduct"],
     ),
     (

@@ -35,6 +35,8 @@ __all__ = [
     "index_stats",
     "doc_freq",
     "write_index",
+    "write_index_tables",
+    "merge_index",
 ]
 
 
@@ -133,6 +135,42 @@ def write_index(index: DataFrame, path: str, *, buckets: int = 0, json_parity: b
         index.write.mode("overwrite").parquet(path)
     if json_parity:
         index.coalesce(1).write.mode("overwrite").json(path + ".json")
+
+
+def write_index_tables(
+    docs: DataFrame,
+    path: str,
+    *,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix: str = "mii",
+) -> tuple[str, str]:
+    """Materialize the BUCKETED index tier: the postings index and the
+    (doc_id, term, tf) table, both ``bucketBy(buckets, term)`` +
+    ``sortBy(term)`` — the 100 TB lookup story the reference's
+    single-JSON index (``reducer/src/processor.py:90-113``) cannot
+    tell. Equal bucket counts on the term key mean every term-keyed
+    operation downstream — lookup joins, tf rollups, bm25's qtf/df,
+    phrase-index joins, index-index merges — reads pre-partitioned,
+    pre-sorted buckets: zero Exchange, and equality predicates on
+    ``term`` prune to a single bucket file per table.
+
+    Returns the two table names ``(index_table, tf_table)``.
+    """
+    index_name = f"{prefix}_index_b{buckets}"
+    tf_name = f"{prefix}_tf_b{buckets}"
+    (build_index(docs, text_col, id_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", f"{path}/index")
+        .saveAsTable(index_name))
+    (doc_term_freq(docs, text_col, id_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", f"{path}/tf")
+        .saveAsTable(tf_name))
+    return index_name, tf_name
 
 
 def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:

@@ -22,6 +22,7 @@ from mapreduce_inverted_index_spark.operators.inverted_index import doc_terms
 
 __all__ = [
     "term_lookup",
+    "term_lookup_bucketed",
     "and_query",
     "or_query",
     "not_query",
@@ -39,6 +40,33 @@ def term_lookup(index: DataFrame, term: str) -> DataFrame:
     """Exact-term lookup (``Readme.md:222-242``). On a term-bucketed /
     sorted Parquet index this is a pruned scan, not a full pass."""
     return index.where(F.col("term") == term)
+
+
+def term_lookup_bucketed(
+    spark, index_table: str, tf_table: str, terms_wanted: list[str]
+) -> DataFrame:
+    """Shuffle-FREE multi-term lookup over the bucketed index tier
+    (see :func:`~mapreduce_inverted_index_spark.operators
+    .inverted_index.write_index_tables`): postings + df from the
+    index table joined with the total corpus tf per term rolled up
+    from the tf table. Both tables are ``bucketBy(term)`` with equal
+    bucket counts, so the ``groupBy(term)`` AND the term join satisfy
+    their required distributions straight off the scan — the physical
+    plan contains ZERO Exchange nodes (PLANS.md-audited), and the
+    ``isin`` predicate bucket-prunes both scans. This is the
+    plan every per-query index probe should have at 100 TB: touch
+    ≤ |terms| bucket files per table, shuffle nothing.
+
+    Output: ``term, postings ARRAY<BIGINT>, df, total_tf``.
+    """
+    index = spark.table(index_table).where(F.col("term").isin(terms_wanted))
+    tf_roll = (
+        spark.table(tf_table)
+        .where(F.col("term").isin(terms_wanted))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("total_tf"))
+    )
+    return index.join(tf_roll, "term").select("term", "postings", "df", "total_tf")
 
 
 def and_query(docs: DataFrame, terms_wanted: list[str],
@@ -189,7 +217,8 @@ def phrase_query(docs: DataFrame, phrase: list[str], text_col: str = "text",
 def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
               b: float = 0.75, k: int = 10, text_col: str = "text",
               id_col: str = "doc_id",
-              persist_weights: bool = True) -> DataFrame:
+              persist_weights: bool = True,
+              tf: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 top-k ranking for a bag-of-terms query.
 
     idf is the Lucene form ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
@@ -210,12 +239,18 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
     materialized index tables instead (they ARE the index); persist is
     the single-session analog. LRU-evicted; ``spark.catalog
     .clearCache()`` drops them eagerly.
+
+    ``tf``: optional precomputed (doc_id, term, tf) table — pass
+    ``spark.table(tf_table)`` from ``write_index_tables`` so the qtf
+    filter bucket-prunes and the df aggregate runs Exchange-free;
+    the corpus is then never tokenized at query time at all.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
-    tf = doc_term_freq(docs, text_col, id_col)
-    if persist_weights:
-        tf = tf.persist()
+    if tf is None:
+        tf = doc_term_freq(docs, text_col, id_col)
+        if persist_weights:
+            tf = tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     if persist_weights:
         dl = dl.persist()

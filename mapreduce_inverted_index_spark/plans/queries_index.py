@@ -63,6 +63,47 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "term_lookup_bucketed",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    tfp AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ({_TF_SQL}) GROUP BY doc_id, term
+    ),
+    idx AS (
+      SELECT term,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+             count(*) AS df
+      FROM pairs WHERE term IN ('{_T1}', '{_T2}', '{_T3}') GROUP BY term
+    ),
+    roll AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tfp WHERE term IN ('{_T1}', '{_T2}', '{_T3}') GROUP BY term
+    )
+    SELECT term, postings_csv, df, total_tf FROM idx JOIN roll USING (term)
+    """,
+    doc="Bucketed-index lookup tier: postings index + tf table both "
+        "written bucketBy(term)/sortBy(term) with equal bucket counts, "
+        "so the tf rollup AND the term join run with ZERO Exchange "
+        "nodes and the isin predicate bucket-prunes both scans — the "
+        "100 TB per-query probe plan the reference's single-JSON "
+        "index cannot express (reducer/src/processor.py:90-113).",
+)
+def q_term_lookup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = f"{tempfile.gettempdir()}/mii_bidx_{tag}"
+    index_t, tf_t = idx.write_index_tables(
+        _docs(spark, sf_dir), path, buckets=8, prefix=f"mii_{tag}"
+    )
+    return tq.term_lookup_bucketed(spark, index_t, tf_t, [_T1, _T2, _T3]).select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df", "total_tf"
+    )
+
+
+@register(
     "doc_terms",
     oracle=f"WITH pairs AS ({_PAIRS_SQL}) SELECT doc_id, term FROM pairs",
     doc="Map-phase output: per-doc distinct (doc_id, term) pairs "

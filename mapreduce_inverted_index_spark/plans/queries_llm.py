@@ -222,6 +222,32 @@ def q_fuzzy_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_unblocked_pairs",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       1, 32) AS k
+      FROM documents
+      WHERE length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) >= 32
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS INTEGER) AS distance
+    FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 3
+    """,
+    doc="UNBLOCKED edit-distance fuzzy matching via PassJoin segment "
+        "banding (max_dist+1 segments, probe substrings within ±k "
+        "positions): 100%-recall candidates from a (seg, content) "
+        "equi-join — never Σ|b|² — verified with thresholded "
+        "levenshtein. The no-block-column scale path the blocked "
+        "fuzzy_key_pairs lacks.",
+)
+def q_fuzzy_unblocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_unblocked_pairs(_docs(spark, sf_dir), max_dist=3, key_len=32)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({_SQL_BIGRAMS})

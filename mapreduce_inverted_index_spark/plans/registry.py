@@ -71,32 +71,72 @@ def _load() -> None:
 
 # The driver's correctness window checks only the FIRST 50 catalog
 # entries per round, so catalog order is driver-evidence policy.
-# After round 4 every name had a driver row in SOME round's window.
-# Round 5 leads with (a) the one red row from round 4
-# (media_features: array column broke the driver's canonicalization;
-# now scalar-projected), (b) the streaming family, whose green rows
-# predate a fixture regeneration that changed the events timestamp
-# encoding (the stream source now adapts — that fix needs driver
-# evidence), and (c) the round-5 additions. The rest follow in
-# registration order, re-checking the flagship index family in the
-# remaining window slots.
+# Round 6 fills the window with exactly 50 names: (a)
+# approx_distinct_users — the ONE catalog query of 120 with no green
+# driver row in any round (its r1 red predates the tolerance-oracle
+# fix); (b) the round-6 additions (bucketed index tier, unblocked
+# fuzzy matching); (c) queries whose OPERATORS changed this round
+# (bm25 persist, tfidf decimal width, frequent_items rewrite) and so
+# need fresh driver proof; (d) the 44 relational/LLM queries whose
+# green rows date to r1-r3 — fixtures were regenerated since (the
+# events.ts encoding change silently broke streaming once), so the
+# date/timestamp- and events-adjacent ones lead.
 _DRIVER_PRIORITY = (
-    "media_features",
-    # round-5 additions
+    "approx_distinct_users",
+    # round-6 additions
+    "term_lookup_bucketed",
+    "fuzzy_unblocked_pairs",
+    # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
-    "stream_attribution_join",
-    "stream_enriched_segment_counts",
-    "label_centroid_cosines",
-    "doc_terms_udtf_api",
-    "fuzzy_key_pairs",
-    "dq_profile_lineitem",
-    # streaming family: re-evidence after the fixture ts change
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_stateful_user_peaks",
+    "bm25_topk",
+    # stale (r1-r3) evidence: date/timestamp/events first
+    "date_funcs_orders",
+    "range_join_close_events",
+    "json_events_agg",
+    "map_funcs_events",
+    "distinct_users_per_type",
+    "salted_agg_event_values",
+    "asof_join_event_order",
+    "window_order_gaps",
+    "window_running_customer_spend",
+    "window_topn_orders_per_segment",
+    "conditional_pivot_monthly",
+    # stale relational core
+    "above_avg_acctbal_customers",
+    "agg_pricing_summary",
+    "anti_join_orderless_customers",
+    "array_hof_funcs",
+    "broadcast_join_part_revenue",
+    "cube_lineitem_stats",
+    "filter_pushdown_scan",
+    "global_topk_orders",
+    "grouping_sets_revenue",
+    "groupwise_zscore",
+    "join_customer_orders",
+    "left_join_order_counts",
+    "math_funcs_lineitem",
+    "median_stats_lineitem",
+    "multiway_join_region_revenue",
+    "null_handling_funcs",
+    "rollup_order_stats",
+    "semi_join_open_order_customers",
+    "set_except_inactive_keys",
+    "set_intersect_status_keys",
+    "set_union_active_keys",
+    "sql_passthrough",
+    "string_funcs_parts",
+    # stale LLM/dedup tail
+    "benchmark_decontamination",
+    "corpus_curation_pipeline",
+    "dedup_components",
+    "doc_fingerprints",
+    "embedding_quantization_error",
+    "pack_training_sequences",
+    "pii_redaction_stats",
+    "repetition_profile",
+    "stratified_sample_mixture",
+    "text_quality_profile",
 )
 
 

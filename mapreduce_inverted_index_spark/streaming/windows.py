@@ -50,6 +50,15 @@ _SINK_IDS = itertools.count()
 # (state bytes / partition target), not to the session default.
 STATE_PARTITIONS = 8
 
+# Stream-stream joins buffer BOTH sides in per-partition stores (a
+# left and a right buffer each), so their fixed per-partition cost is
+# ~2x an aggregation's and the sweet spot sits lower. Measured on the
+# sf0.1 fixtures (min-of-2): 8 -> 6.1 s, 4 -> 3.5 s, 2 -> 4.0 s,
+# 16 -> 5.9 s; the two file-stream source scans account for only
+# ~2 s, so the rest is store instantiation — hence 4. Production
+# sizes this to buffered-state bytes per partition, not this floor.
+JOIN_STATE_PARTITIONS = 4
+
 # Parquet streaming sources need an explicit schema. ``ts`` has
 # shipped in two fixture encodings (see sources.tables._load_events):
 # INT64 nanoseconds (read as LongType + integer-division convert) or
@@ -239,7 +248,9 @@ def stream_attribution_join(
             f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
         ),
     )
-    out = _run_to_table(joined, mode="append")
+    out = _run_to_table(
+        joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
+    )
     return out.select(
         "user_id",
         "click_id",

@@ -145,3 +145,44 @@ def test_read_text_corpus_one_row_per_file(spark, tmp_path):
 
     dense = read_text_corpus(spark, str(d), dense=True).collect()
     assert [r["doc_id"] for r in sorted(dense, key=lambda r: r["source"])] == [0, 1]
+
+
+def test_bucketed_index_tier_shuffle_free(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        write_index_tables,
+    )
+    from mapreduce_inverted_index_spark.operators.term_queries import (
+        bm25_rank,
+        term_lookup_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"cat dog bird t{i} cat") for i in range(30)]
+    )
+    idx_t, tf_t = write_index_tables(
+        docs, str(tmp_path / "tier"), buckets=4, prefix="t_tier"
+    )
+    out = term_lookup_bucketed(spark, idx_t, tf_t, ["cat", "bird"])
+    rows = {r["term"]: r for r in out.collect()}
+    assert rows["cat"]["df"] == 30 and rows["cat"]["total_tf"] == 60
+    assert rows["bird"]["df"] == 30 and rows["bird"]["total_tf"] == 30
+    assert list(rows["cat"]["postings"]) == sorted(rows["cat"]["postings"])
+    # zero shuffle: no Exchange hashpartitioning in the whole plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    # bm25 reuse: injected bucketed tf table == recomputed-from-docs
+    from_tables = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_rank(
+            docs, ["cat", "bird"], k=5, tf=spark.table(tf_t)
+        ).collect()
+    )
+    from_docs = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_rank(docs, ["cat", "bird"], k=5).collect()
+    )
+    assert from_tables == from_docs
+    spark.sql(f"DROP TABLE {idx_t}")
+    spark.sql(f"DROP TABLE {tf_t}")

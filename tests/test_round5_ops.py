@@ -177,3 +177,85 @@ def test_frequent_items_threshold_exact_at_boundary(spark):
     df = spark.createDataFrame(rows, "item string").repartition(4)
     got = {(r["item"], r["n_occ"]) for r in frequent_items(df, "item", phi=0.1).collect()}
     assert ("edge", 200) in got
+
+
+def test_fuzzy_unblocked_matches_bruteforce_with_indels(spark):
+    # Indels SHIFT every later segment, so this corpus is built to
+    # break same-position band joins: edits are mostly inserts and
+    # deletes near the front of the string. The PassJoin +-k probe
+    # window must still reach 100% recall (== brute force).
+    import random
+
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        fuzzy_unblocked_pairs,
+        normalize_for_dedup,
+    )
+
+    random.seed(7)
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs before sunset",
+        "how vexingly quick daft zebras jump over tall fences",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for _ in range(10):
+            s = list(b)
+            for _ in range(random.randint(1, 3)):
+                p = random.randrange(8)  # edits at the FRONT: max shift
+                op = random.choice("iid")  # indel-heavy
+                if op == "i":
+                    s.insert(p, random.choice("xyz"))
+                elif s:
+                    del s[p]
+            rows.append((i, "".join(s)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    K, KL = 3, 32
+    got = sorted(
+        (r.doc_a, r.doc_b, r.distance)
+        for r in fuzzy_unblocked_pairs(docs, max_dist=K, key_len=KL).collect()
+    )
+    keyed = docs.where(F.length(normalize_for_dedup("text")) >= KL).select(
+        "doc_id", F.substring(normalize_for_dedup("text"), 1, KL).alias("k")
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"))
+    brute = sorted(
+        (r.doc_a, r.doc_b, r.d)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.levenshtein("ka", "kb").cast("int").alias("d")
+        )
+        .where(F.col("d") <= K)
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_fuzzy_unblocked_candidates_bounded(spark):
+    # On a corpus of pairwise-distant keys the band join must stay
+    # near-empty: candidate pairs are bounded by band collisions, not
+    # the N^2 pair space. 400 random distinct keys -> expect far
+    # fewer candidate pairs than 400*399/2.
+    import random
+
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        fuzzy_unblocked_pairs,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, "".join(random.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(40)))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = fuzzy_unblocked_pairs(docs, max_dist=2, key_len=32)
+    # random 10-11 char segments collide with probability ~26^-10:
+    # the verified output must be empty, and the plan must be a
+    # (seg, content) equi-join (no cartesian explosion).
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

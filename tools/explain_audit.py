@@ -192,6 +192,23 @@ AUDITS = [
         ["_ca", "levenshtein"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    (
+        # bucketed index tier: the tf rollup's partial+final aggregate
+        # runs straight off the bucketed scan and the term join
+        # broadcasts the tiny rolled-up side — NO shuffle Exchange
+        # anywhere in the plan (the 100 TB per-query probe shape)
+        "term_lookup_bucketed",
+        ["BroadcastHashJoin", "Bucketed: true"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # unblocked fuzzy matching: candidates from the PassJoin
+        # (seg, content) equi-join — never a pair explosion — and the
+        # thresholded levenshtein verifies candidates only
+        "fuzzy_unblocked_pairs",
+        ["levenshtein"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 

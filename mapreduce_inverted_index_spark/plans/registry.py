@@ -77,10 +77,12 @@ def _load() -> None:
 # fix); (b) the round-6 additions (bucketed index tier, unblocked
 # fuzzy matching); (c) queries whose OPERATORS changed this round
 # (bm25 persist, tfidf decimal width, frequent_items rewrite) and so
-# need fresh driver proof; (d) the 44 relational/LLM queries whose
+# need fresh driver proof; (d) relational/LLM queries whose
 # green rows date to r1-r3 — fixtures were regenerated since (the
 # events.ts encoding change silently broke streaming once), so the
-# date/timestamp- and events-adjacent ones lead.
+# date/timestamp- and events-adjacent ones lead; the four set-op/
+# passthrough queries (status-string key sets, no date math) wait for
+# a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
     # round-6 additions
@@ -92,6 +94,10 @@ _DRIVER_PRIORITY = (
     "bm25_topk",
     # stale (r1-r3) evidence: date/timestamp/events first
     "date_funcs_orders",
+    "date_arithmetic_orders",
+    "calendar_axis_order_counts",
+    "time_range_window_orders",
+    "sessionize_events",
     "range_join_close_events",
     "json_events_agg",
     "map_funcs_events",
@@ -121,10 +127,6 @@ _DRIVER_PRIORITY = (
     "null_handling_funcs",
     "rollup_order_stats",
     "semi_join_open_order_customers",
-    "set_except_inactive_keys",
-    "set_intersect_status_keys",
-    "set_union_active_keys",
-    "sql_passthrough",
     "string_funcs_parts",
     # stale LLM/dedup tail
     "benchmark_decontamination",

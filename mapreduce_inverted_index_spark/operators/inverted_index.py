@@ -37,6 +37,10 @@ __all__ = [
     "write_index",
     "write_index_tables",
     "merge_index",
+    "gap_encode_col",
+    "gap_decode_col",
+    "gap_encode_index",
+    "gap_decode_postings",
 ]
 
 
@@ -171,6 +175,65 @@ def write_index_tables(
         .option("path", f"{path}/tf")
         .saveAsTable(tf_name))
     return index_name, tf_name
+
+
+def gap_encode_col(postings: F.Column) -> F.Column:
+    """Gap-encoding expression: sorted ``[p0, p1, p2, ...]`` →
+    ``[p0, p1-p0, p2-p1, ...]`` (``zip_with`` against the 1-shifted
+    list — lambda touches only its bound arrays, so no CollapseProject
+    re-inlining; see the word_shingles note, ``dedup.py:104``)."""
+    prev = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.slice(postings, 1, F.greatest(F.size(postings) - 1, F.lit(0))),
+    )
+    return F.zip_with(postings, prev, lambda a, b: a - b)
+
+
+def gap_decode_col(gaps: F.Column) -> F.Column:
+    """Inverse expression: prefix-sum gaps back to absolute ids.
+    ``aggregate`` folds left carrying (running total, rebuilt list) —
+    linear per row, the sequential decode a real reader does per
+    block."""
+    return F.aggregate(
+        gaps,
+        F.struct(
+            F.lit(0).cast("bigint").alias("acc"),
+            F.array().cast("array<bigint>").alias("out"),
+        ),
+        lambda st, g: F.struct(
+            (st.acc + g).alias("acc"),
+            F.concat(st.out, F.array(st.acc + g)).alias("out"),
+        ),
+        lambda st: st.out,
+    )
+
+
+def gap_encode_index(index: DataFrame) -> DataFrame:
+    """Delta/gap-encode the postings payload.
+
+    This is the storage transform every real posting-list format
+    (Lucene, PForDelta, varint blocks) starts from: sorted ids have
+    huge absolute values but tiny deltas, so downstream varint/
+    bit-packing compresses gaps 5-10x better than raw ids — at
+    100 TB the index's dominant cost is postings bytes, and this is
+    the knob. Pure per-row array math: a narrow map stage, no
+    shuffle, fused into whatever wrote the index.
+
+    Output: ``term, gaps ARRAY<BIGINT>, df`` (df preserved).
+    """
+    return index.select(
+        "term", gap_encode_col(F.col("postings")).alias("gaps"), "df"
+    )
+
+
+def gap_decode_postings(encoded: DataFrame) -> DataFrame:
+    """Inverse of :func:`gap_encode_index`.
+
+    Output: ``term, postings ARRAY<BIGINT>, df``.
+    """
+    return encoded.select(
+        "term", gap_decode_col(F.col("gaps")).alias("postings"), "df"
+    )
 
 
 def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:

@@ -1,0 +1,143 @@
+"""Passage-level dedup / boilerplate detection — the corpus-hygiene
+step between exact-document dedup and model training (C4 strips
+repeated lines; CCNet/RefinedWeb drop paragraphs seen in many pages).
+
+The synthetic corpus has no newlines, so the "passage" unit here is a
+non-overlapping k-word window of the normalized token stream — the
+same role a line/paragraph plays in a web pipeline, with a fully
+deterministic chunking both engines can replay.
+
+Scale shape (the reason this is two queries, not one):
+
+  * the *frequency* pass is a pure ``explode → groupBy(hash)`` with
+    map-side combine — shuffle rows carry a 32-char md5 and a count,
+    never text;
+  * the *strip* pass joins the corpus's passages against only the
+    passages whose doc-frequency crossed the threshold. That flagged
+    set is tiny by construction (boilerplate is the stuff repeated
+    across many documents — its distinct count is orders of magnitude
+    below the corpus's), so Catalyst broadcasts it and the corpus is
+    annotated without a second shuffle.
+
+Reference parity note: the reference has no corpus-hygiene tier at
+all (its pipeline is tokenize → index, ``mapper/src/processor.py``);
+this family is part of the training-data surface the brief asks for
+beyond reference coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.text import tokenize
+
+__all__ = [
+    "doc_passages",
+    "passage_doc_freq",
+    "boilerplate_profile",
+]
+
+
+def doc_passages(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per non-overlapping ``k``-word passage:
+    ``doc_id, pos (1-based token offset), passage_hash``.
+
+    The token array is materialized by the generator (explode of the
+    chunk-start sequence), THEN sliced — not via
+    ``transform(sequence(...), i -> slice(...))``, whose lambda would
+    get the tokenizer expression inlined per element by
+    CollapseProject and re-tokenize the document once per chunk (the
+    word_shingles lesson, ``dedup.py:104``).
+
+    Hashing to md5 right after the slice keeps every downstream
+    shuffle row at (32-char hash, ids) — passage text never leaves
+    the map side.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    starts = d.where(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(k))
+        ).alias("pos"),
+    )
+    return starts.select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias(
+            "passage_hash"
+        ),
+    )
+
+
+def passage_doc_freq(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passages appearing in ≥ ``min_docs`` DISTINCT documents:
+    ``passage_hash, n_docs`` — the boilerplate candidate set.
+
+    ``count(distinct doc_id)`` not ``count(*)``: a passage repeated
+    inside one document is repetition (see ``textstats.
+    repetition_profile``), not boilerplate. Partial aggregation
+    applies on the (hash, doc_id)-distinct pre-pass, so the shuffle
+    is bounded by distinct (passage, doc) pairs, not corpus size.
+    """
+    return (
+        doc_passages(docs, k, text_col, id_col)
+        .groupBy("passage_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_profile(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate annotation: ``doc_id, n_passages,
+    n_common, retained_ratio`` where ``n_common`` counts passage
+    slots whose hash is in the ≥ ``min_docs`` boilerplate set and
+    ``retained_ratio`` is the fraction a strip pass would keep
+    (rounded to 6 places).
+
+    The boilerplate set is broadcast (it is the *repeated-across-
+    documents* residue — small by construction; a skew-heavy corpus
+    where it isn't fits the bounded_block_join treatment instead), so
+    the corpus-side passage stream is annotated map-side: one shuffle
+    for the per-doc rollup, none for the flagging join.
+    """
+    passages = doc_passages(docs, k, text_col, id_col)
+    common = passage_doc_freq(docs, k, min_docs, text_col, id_col).select(
+        "passage_hash", F.lit(1).alias("_common")
+    )
+    flagged = passages.join(F.broadcast(common), "passage_hash", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.coalesce(F.sum("_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_common",
+            F.round(
+                (F.col("n_passages") - F.col("n_common"))
+                / F.col("n_passages").cast("double"),
+                6,
+            ).alias("retained_ratio"),
+        )
+    )

@@ -44,7 +44,9 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_centroids",
     "ivf_assign",
+    "ivf_multi_assign",
     "ivf_topk",
+    "semantic_dedup_pairs",
     "quantize_embeddings",
     "dequantize",
     "label_centroids",
@@ -116,6 +118,90 @@ def embedding_near_dup(
             F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_multi_assign(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    r: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Soft IVF assignment: each vector indexed under its ``r``
+    nearest (max-cosine) cells — one output row per (vector, cell).
+
+    Multi-assignment is how cell-blocked pair generation recovers the
+    recall a single cell loses at cluster boundaries (two vectors
+    cosine-τ apart can straddle a Voronoi edge; with r cells each,
+    they share one with high probability). Same broadcast-codebook
+    shape as :func:`ivf_assign`: the corpus never shuffles to be
+    scored, and the top-r cut is a ``sort_array + slice`` inside the
+    per-vector aggregate (map-side partials, no window shuffle).
+    Ties prefer the lower cell id, matching ``ivf_assign``.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "cell",
+        cosine_similarity("vec", "centroid").alias("cos_c"),
+    )
+    top = scored.groupBy("vec_id", "vec").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("cos_c").alias("c"), (-F.col("cell")).alias("nc"))
+                ),
+                asc=False,
+            ),
+            1,
+            r,
+        ).alias("_top")
+    )
+    return top.select(
+        "vec_id", "vec", F.explode("_top").alias("_t")
+    ).select("vec_id", "vec", (-F.col("_t.nc")).alias("cell"))
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    cents: DataFrame | None = None,
+    tau: float = 0.4,
+    r: int = 3,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: vectors sharing
+    at least one of their ``r`` nearest k-means cells, verified
+    ``cosine >= tau``. Output: ``a_id, b_id, cos_sim`` (distinct).
+
+    This is the embedding-space analog of MinHash banding: the
+    learned codebook plays the band table, multi-assignment plays the
+    multiple bands, and the exact cosine check plays verification —
+    candidates are Σ_cell |cell|² (bounded per task via hash-chunking
+    of hot cells), never the N² all-pairs. Recall < 1 by construction
+    (pairs straddling all r cells are missed); the catalog carries a
+    measured-recall contract against the brute-force anchor, same
+    pattern as the pruned IVF probe.
+    """
+    from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
+
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
+    multi = ivf_multi_assign(embeddings, cents, r, id_col, vec_col)
+    a = multi.select("cell", F.col("vec_id").alias("a_id"), F.col("vec").alias("va"))
+    b = multi.select("cell", F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"))
+    return (
+        bounded_block_join(a, b, "cell", "a_id", "b_id", max_block_rows)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= tau)
+        .distinct()
     )
 
 

@@ -586,6 +586,39 @@ def q_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gap_encoded_index",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+         idx AS (SELECT term, list_sort(list(doc_id)) AS p, count(*) AS df
+                 FROM pairs GROUP BY term)
+    SELECT term,
+           array_to_string(
+             [CASE WHEN i = 1 THEN p[i] ELSE p[i] - p[i-1] END
+              for i in range(1, len(p) + 1)], ',') AS gaps_csv,
+           df,
+           TRUE AS roundtrip_ok
+    FROM idx
+    """,
+    doc="Gap/delta-encoded postings (the Lucene/PForDelta storage "
+        "transform: sorted ids -> first id + deltas, the prerequisite "
+        "for varint/bit-packed compression that decides index bytes "
+        "at 100 TB). Encode and prefix-sum decode both run in the "
+        "SAME single pass over the index — roundtrip_ok asserts "
+        "decode(encode(p)) == p per term, and the oracle recomputes "
+        "the gap lists independently in DuckDB.",
+)
+def q_gap_encoded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = idx.build_index(_docs(spark, sf_dir))
+    gaps = idx.gap_encode_col(F.col("postings"))
+    return index.select(
+        "term",
+        F.array_join(gaps, ",").alias("gaps_csv"),
+        "df",
+        (idx.gap_decode_col(gaps) == F.col("postings")).alias("roundtrip_ok"),
+    )
+
+
 # --- Positional index family: phrase + ranked retrieval --------------
 
 _BM25_TERMS = ("spark", "vector", "stream")

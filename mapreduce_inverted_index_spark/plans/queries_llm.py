@@ -626,6 +626,83 @@ def q_ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_TAU = 0.4
+_SEM_R = 3
+# Measured shared-cell recall of cosine>=0.4 pairs with r=3 of 16
+# cells on the near-uniform synthetic embeddings: 0.92 at sf0.01
+# (uniform vectors are IVF's worst case — clustered real corpora do
+# better). Floor 0.5 leaves margin while catching any codebook /
+# multi-assign / verify regression.
+_SEM_RECALL_FLOOR = 0.5
+
+
+@register(
+    "semantic_dedup_contract",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_SEM_TAU})
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS all_found_real,
+           TRUE AS recall_floor_met
+    FROM pairs
+    """,
+    doc="SemDeDup-style semantic dedup under a measured-recall "
+        f"contract: cell-blocked candidates (r={_SEM_R} nearest of "
+        "16 k-means cells per vector — multi-assignment is the "
+        "banding that recovers Voronoi-boundary pairs) verified at "
+        f"cosine >= {_SEM_TAU}, compared against the brute-force "
+        "all-pairs anchor. n_true_pairs is value-checked against "
+        "DuckDB's independent all-pairs count (the oracle replays "
+        "Spark's fold order, so the cosines are bit-identical); "
+        "all_found_real asserts precision 1.0; recall_floor_met "
+        f"asserts recall >= {_SEM_RECALL_FLOOR}. The anchor is "
+        "N² and exists only in this contract query — the operator "
+        "itself never leaves Σ|cell|² candidates.",
+)
+def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    found = S.semantic_dedup_pairs(
+        emb, cents=_ivf_cents(spark, sf_dir), tau=_SEM_TAU, r=_SEM_R
+    ).persist()
+    e = emb.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
+
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.round(cosine_similarity("va", "vb"), 6) >= _SEM_TAU)
+        .select("a_id", "b_id")
+    )
+    hits = brute.join(
+        found.select("a_id", "b_id", F.lit(1).alias("_found")),
+        ["a_id", "b_id"],
+        "left",
+    ).agg(
+        F.count("*").alias("n_true_pairs"),
+        F.coalesce(F.sum("_found"), F.lit(0)).alias("n_recalled"),
+    )
+    founds = found.join(
+        brute.select("a_id", "b_id", F.lit(1).alias("_real")),
+        ["a_id", "b_id"],
+        "left",
+    ).agg(
+        F.count("*").alias("n_found"),
+        F.coalesce(F.sum("_real"), F.lit(0)).alias("n_found_real"),
+    )
+    return hits.crossJoin(founds).select(
+        "n_true_pairs",
+        (F.col("n_found") == F.col("n_found_real")).alias("all_found_real"),
+        F.coalesce(
+            F.col("n_recalled") / F.col("n_true_pairs") >= F.lit(_SEM_RECALL_FLOOR),
+            F.lit(True),
+        ).alias("recall_floor_met"),
+    )
+
+
 # ------------------------------------------------------------- text stats
 
 _MARKER_SQL = {

@@ -1,0 +1,244 @@
+"""Pipeline-tier query catalog: corpus hygiene (passage-level
+boilerplate), graph analytics (co-occurrence edges, triangle
+counting), and the lakehouse write path (MERGE upserts, training
+shards, deterministic group sampling).
+
+These extend the training-data surface beyond the reference's
+tokenize → index pipeline (the reference has no hygiene, graph, or
+merge tier at all); every query carries an exact DuckDB oracle —
+integer/md5/decimal math only, no float-order hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.functions.text import sql_tokens
+from mapreduce_inverted_index_spark.operators import graph as G
+from mapreduce_inverted_index_spark.operators import passages as P
+from mapreduce_inverted_index_spark.operators import snapshots as SN
+from mapreduce_inverted_index_spark.plans.oracle_compat import dsum, sql_dsum
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+_TOKS = sql_tokens("text")
+
+# DuckDB twin of doc_passages: non-overlapping 8-word chunks of the
+# token stream, md5-hashed. range() is end-exclusive and Spark's
+# sequence() end-inclusive, so range(1, len+1, 8) == sequence(1, len, 8);
+# both engines clamp list slices at the end of the list.
+_SQL_PASSAGES = f"""
+  SELECT doc_id, md5(array_to_string(toks[pos:pos+7], ' ')) AS passage_hash
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0)
+"""
+
+# DuckDB twin of cooccurrence_edges: distinct (u, v) user pairs
+# sharing an (event_type, hour) context. The oracle keys on the
+# tuple directly; Spark concatenates it into one block column for
+# bounded_block_join — same partition of the rows either way.
+_SQL_EDGES = """
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+        FROM events) a
+  JOIN (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+        FROM events) b
+    ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+"""
+
+_SQL_MD5_LONG = (
+    "CAST(concat('0x', substring(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+# --------------------------------------------------------- corpus hygiene
+
+@register(
+    "common_passages",
+    oracle=f"""
+    WITH p AS ({_SQL_PASSAGES})
+    SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM p GROUP BY passage_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Boilerplate candidate set: 8-word passages appearing in >= 2 "
+        "distinct documents (C4's repeated-line filter at passage "
+        "granularity). Shuffle rows are (md5, doc_id) — text never "
+        "leaves the map side.",
+)
+def q_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.passage_doc_freq(_docs(spark, sf_dir), k=8, min_docs=2)
+
+
+@register(
+    "boilerplate_profile",
+    oracle=f"""
+    WITH p AS ({_SQL_PASSAGES}),
+         c AS (SELECT passage_hash FROM p
+               GROUP BY passage_hash HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (WHERE passage_hash IN (SELECT passage_hash FROM c))
+                AS BIGINT) AS n_common,
+           round((count(*) - count(*) FILTER (WHERE passage_hash IN
+                  (SELECT passage_hash FROM c)))
+                 / CAST(count(*) AS DOUBLE), 6) AS retained_ratio
+    FROM p GROUP BY doc_id
+    """,
+    doc="Per-document boilerplate annotation: passage slots flagged "
+        "against the broadcast common-passage set, fraction retained "
+        "after a strip pass. Flagging join is broadcast (boilerplate "
+        "set is the small cross-document residue); one shuffle total.",
+)
+def q_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.boilerplate_profile(_docs(spark, sf_dir), k=8, min_docs=2)
+
+
+# ------------------------------------------------------------------ graph
+
+@register(
+    "user_cooccurrence_edges",
+    oracle=_SQL_EDGES,
+    doc="Interaction-graph edge derivation: distinct user pairs "
+        "co-active on the same event_type within the same hour. "
+        "Blocked self-join via bounded_block_join (hot contexts chunk "
+        "into k^2 bounded sub-joins, no straggler reducer).",
+)
+def q_user_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.cooccurrence_edges(_events(spark, sf_dir))
+
+
+@register(
+    "event_graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+         deg AS (SELECT x, count(*) AS deg
+                 FROM (SELECT u AS x FROM edges
+                       UNION ALL SELECT v AS x FROM edges)
+                 GROUP BY x),
+         e AS (SELECT u, v, du.deg AS du, dv.deg AS dv
+               FROM edges
+               JOIN deg du ON du.x = edges.u
+               JOIN deg dv ON dv.x = edges.v),
+         o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+                      CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+                      CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dst_deg
+               FROM e),
+         w AS (SELECT o1.dst AS b, o2.dst AS c
+               FROM o o1 JOIN o o2 ON o1.src = o2.src
+               WHERE (o1.dst_deg, o1.dst) < (o2.dst_deg, o2.dst))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM w JOIN o ON o.src = w.b AND o.dst = w.c) AS n_triangles
+    """,
+    doc="Exact triangle count by degree orientation (Suri & "
+        "Vassilvitskii): edges point low-(deg,id) -> high, wedges "
+        "enumerate per apex, closing edges verify. Out-degree is "
+        "O(sqrt(m)) after orientation — the celebrity-vertex wedge "
+        "explosion cannot happen. All integer math; exact oracle.",
+)
+def q_event_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_stats(G.cooccurrence_edges(_events(spark, sf_dir)))
+
+
+# -------------------------------------------------------- lakehouse write
+
+@register(
+    "snapshot_merge_orders",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         1 AS _version, FALSE AS _deleted, 0 AS _src
+                  FROM orders),
+         delta AS (SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice,
+                          2 AS _version, (o_orderkey % 21 = 0) AS _deleted, 1 AS _src
+                   FROM orders WHERE o_orderkey % 7 = 0),
+         merged AS (SELECT *, row_number() OVER (
+                        PARTITION BY o_orderkey
+                        ORDER BY _version DESC, _src DESC,
+                                 md5(CAST(o_orderkey AS VARCHAR))) AS _rn
+                    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)),
+         snap AS (SELECT * FROM merged WHERE _rn = 1 AND NOT _deleted)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM snap GROUP BY o_orderstatus
+    """,
+    doc="MERGE/upsert semantics (last-writer-wins, tombstone deletes): "
+        "base snapshot + delta (every 7th order re-statused 'X', every "
+        "21st tombstoned) resolved by one windowed shuffle on the key "
+        "— the lakehouse compaction step; the reference can only "
+        "rebuild from scratch. Summary rolled up per status with "
+        "decimal-exact sums.",
+)
+def q_snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("_version"), F.lit(False).alias("_deleted"),
+    )
+    delta = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+        F.lit(2).alias("_version"),
+        (F.col("o_orderkey") % 21 == 0).alias("_deleted"),
+    )
+    snap = SN.snapshot_merge(base, delta, ["o_orderkey"])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "shard_manifest_docs",
+    oracle=f"""
+    SELECT ({_SQL_MD5_LONG.format(col='doc_id')}) % 16 AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Training-shard manifest: md5-hash shard assignment (16 "
+        "shards) + per-shard row/byte/id-range rollup. Assignment is "
+        "a scan-side expression (zero shuffle); the manifest agg "
+        "ships 16 partials per partition. Models the "
+        "repartition(shard).write layout step of a training corpus.",
+)
+def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SN.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+@register(
+    "group_sample_docs",
+    oracle="""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    """,
+    doc="Deterministic per-group reservoir-equivalent sample: 20 docs "
+        "per source, ranked by md5(id) — uniform under the hash, "
+        "reproducible to the byte across engines and re-runs (true "
+        "reservoir sampling is sequential and non-replayable). One "
+        "windowed shuffle on the group key.",
+)
+def q_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SN.group_sample(_docs(spark, sf_dir), "source", 20).select(
+        "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
+    )

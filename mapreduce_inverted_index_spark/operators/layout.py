@@ -1,0 +1,142 @@
+"""Data-layout operators: Z-order (Morton) clustering keys and the
+min-max pruning profile that justifies them.
+
+At 100 TB the scan you avoid is the cheapest scan: engines prune
+files by per-file min/max statistics, and pruning on TWO columns at
+once requires the rows to be CLUSTERED on both — which is exactly
+what sorting by an interleaved-bit (Morton/Z-order) key buys
+(Delta/Iceberg ``OPTIMIZE ZORDER BY``). This module computes the
+key with builtin integer expressions (deterministic, exact, oracle-
+replayable) and a layout profile that measures how narrow each
+would-be file's min/max envelope gets — the pruning win made
+visible as a number.
+
+Scale discipline: NO window ever touches the fact table. Grid cells
+come from each dimension's value HISTOGRAM (one aggregate + a window
+over distinct values, orders of magnitude smaller than the facts),
+cells map back via an equi-join, and file cuts are z-prefix ranges —
+pure integer arithmetic. The one genuinely global operation a real
+layout rewrite needs (the sort before writing) is Spark's
+``repartitionByRange``, a distributed sampled range sort, not a
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "interleave_bits",
+    "sql_interleave_bits",
+    "grid_cells",
+    "zorder_key",
+    "zorder_layout_profile",
+]
+
+
+def interleave_bits(x: F.Column, y: F.Column, bits: int = 8) -> F.Column:
+    """Morton interleave of two ``bits``-wide non-negative ints:
+    bit i of ``x`` lands at position 2i, of ``y`` at 2i+1. Pure
+    shift/mask arithmetic — 2·bits codegen'd terms, no UDF, and the
+    identical expression runs in DuckDB for the oracle."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def sql_interleave_bits(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`interleave_bits` (same shift/mask sum)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def grid_cells(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
+    """Exact rank-grid for one dimension: ``(value, cell)`` with
+    ``cell = floor(rows_before(value) · 2^bits / N)`` — every value
+    maps to one of 2^bits cells, equidistributed by ROW COUNT (a
+    skewed distribution can't crowd the grid the way min-max scaling
+    would let it).
+
+    The cumulative count runs over the DISTINCT-value histogram, not
+    the facts — the one window here sees |distinct| rows (for truly
+    ultra-high-cardinality dimensions a real writer samples instead;
+    Spark's range partitioner does exactly that). All integer math:
+    ``(cum · 2^bits) / N`` is exact integer division in both engines.
+    """
+    hist = df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("_c"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = df.agg(F.count("*").alias("_n"))
+    return (
+        hist.withColumn("_cum_incl", F.sum("_c").over(w))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "value",
+            # `div`, not `/`: float division would be exact only
+            # below 2^53 and engines could round the boundary cell
+            # differently; integer division is exact everywhere.
+            F.expr(f"(_cum_incl - _c) * {2**bits} div _n").alias("cell"),
+        )
+    )
+
+
+def zorder_key(
+    df: DataFrame, col_x: str, col_y: str, bits: int = 8
+) -> DataFrame:
+    """Append a ``z`` Morton key interleaving the two columns' rank-
+    grid cells. Cell maps join back onto the facts on the value key
+    (broadcast when the histogram is small, shuffle join otherwise);
+    the facts are never globally sorted or windowed to get a key.
+    """
+    cx = grid_cells(df, col_x, bits).withColumnRenamed("cell", "_gx")
+    cy = grid_cells(df, col_y, bits).withColumnRenamed("cell", "_gy")
+    return (
+        df.join(cx.withColumnRenamed("value", col_x), col_x)
+        .join(cy.withColumnRenamed("value", col_y), col_y)
+        .withColumn("z", interleave_bits(F.col("_gx"), F.col("_gy"), bits))
+        .drop("_gx", "_gy")
+    )
+
+
+def zorder_layout_profile(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> DataFrame:
+    """Profile the layout Z-order sorting would produce: cut the
+    Morton key space into ``n_files`` prefix ranges (``z`` is rank-
+    equidistributed, so prefix ranges hold ~equal rows — no ntile
+    window needed) and report each file's min/max envelope on BOTH
+    source columns plus its row count.
+
+    Output: ``file_id, n_rows, min_x, max_x, min_y, max_y`` — the
+    statistics a lakehouse writes per file. Narrow envelopes on both
+    columns at once are the measurable artifact that makes two-
+    dimensional min-max pruning work (a linear sort gets narrow
+    envelopes on ONE column and full-range on the other). At write
+    time the physical sort is ``repartitionByRange("z")`` + within-
+    partition sort — distributed, never a single-partition window.
+    """
+    shift = 2 * bits - (n_files - 1).bit_length()
+    keyed = zorder_key(df, col_x, col_y, bits).withColumn(
+        "file_id", F.shiftright(F.col("z"), shift)
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min(col_x).alias("min_x"),
+        F.max(col_x).alias("max_x"),
+        F.min(col_y).alias("min_y"),
+        F.max(col_y).alias("max_y"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_inverted_index_spark.functions.text import sql_tokens
 from mapreduce_inverted_index_spark.operators import graph as G
+from mapreduce_inverted_index_spark.operators import layout as L
 from mapreduce_inverted_index_spark.operators import passages as P
 from mapreduce_inverted_index_spark.operators import snapshots as SN
 from mapreduce_inverted_index_spark.plans.oracle_compat import dsum, sql_dsum
@@ -36,14 +37,16 @@ _SQL_PASSAGES = f"""
 """
 
 # DuckDB twin of cooccurrence_edges: distinct (u, v) user pairs
-# sharing an (event_type, hour) context. The oracle keys on the
+# sharing an (event_type, minute) context. The oracle keys on the
 # tuple directly; Spark concatenates it into one block column for
 # bounded_block_join — same partition of the rows either way.
+# Minute (not hour) buckets so context population stays bounded as
+# event rate scales — see the graph.cooccurrence_edges docstring.
 _SQL_EDGES = """
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM (SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
         FROM events) a
-  JOIN (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  JOIN (SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
         FROM events) b
     ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
 """
@@ -113,9 +116,12 @@ def q_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_cooccurrence_edges",
     oracle=_SQL_EDGES,
     doc="Interaction-graph edge derivation: distinct user pairs "
-        "co-active on the same event_type within the same hour. "
-        "Blocked self-join via bounded_block_join (hot contexts chunk "
-        "into k^2 bounded sub-joins, no straggler reducer).",
+        "co-active on the same event_type within the same minute "
+        "(minute, not hour: the context window must keep its "
+        "population bounded as event rate grows or the graph "
+        "saturates into a clique). Blocked self-join via "
+        "bounded_block_join (hot contexts chunk into k^2 bounded "
+        "sub-joins, no straggler reducer).",
 )
 def q_user_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.cooccurrence_edges(_events(spark, sf_dir))
@@ -218,6 +224,53 @@ def q_snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SN.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+_Z_BITS = 8
+_Z_FILES = 16
+_Z_SHIFT = 2 * _Z_BITS - (_Z_FILES - 1).bit_length()
+_SQL_CDF_CELL = (
+    "CAST(((sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) - c) "
+    f"* {2**_Z_BITS} // (SELECT _n FROM n) AS BIGINT)"
+)
+
+
+@register(
+    "zorder_layout_orders",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS _n FROM orders),
+         hx AS (SELECT o_custkey AS v, count(*) AS c FROM orders GROUP BY 1),
+         gx AS (SELECT v, {_SQL_CDF_CELL} AS g FROM hx),
+         hy AS (SELECT o_orderdate AS v, count(*) AS c FROM orders GROUP BY 1),
+         gy AS (SELECT v, {_SQL_CDF_CELL} AS g FROM hy),
+         keyed AS (SELECT {L.sql_interleave_bits('gx.g', 'gy.g', _Z_BITS)} AS z,
+                          o_custkey, o_orderdate
+                   FROM orders
+                   JOIN gx ON orders.o_custkey = gx.v
+                   JOIN gy ON orders.o_orderdate = gy.v)
+    SELECT z >> {_Z_SHIFT} AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_x, max(o_custkey) AS max_x,
+           min(o_orderdate) AS min_y, max(o_orderdate) AS max_y
+    FROM keyed GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout profile over orders(custkey, "
+        "orderdate): rank-grid cells from each dimension's value "
+        "histogram (integer CDF math — no window ever touches the "
+        "fact table), bit-interleaved key, z-prefix file cuts, and "
+        "per-file min/max envelopes on BOTH dimensions — the "
+        "statistics that make 2-D min-max pruning work "
+        "(Delta/Iceberg OPTIMIZE ZORDER). All exact integer/"
+        "timestamp math, replayed verbatim by the oracle.",
+)
+def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return L.zorder_layout_profile(
+        _orders(spark, sf_dir).select("o_custkey", "o_orderdate"),
+        "o_custkey",
+        "o_orderdate",
+        n_files=_Z_FILES,
+        bits=_Z_BITS,
+    )
 
 
 @register(

@@ -59,7 +59,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+_LOADED = False
+
+
 def _load() -> None:
+    # Explicit flag, NOT "if _REGISTRY is empty": importing any query
+    # module directly (e.g. for its cache-reset helper) pre-populates
+    # _REGISTRY, which would silently skip loading the rest.
+    global _LOADED
+    _LOADED = True
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -100,6 +108,7 @@ _DRIVER_PRIORITY = (
     "snapshot_merge_orders",
     "shard_manifest_docs",
     "group_sample_docs",
+    "zorder_layout_orders",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -140,8 +149,6 @@ _DRIVER_PRIORITY = (
     "rollup_order_stats",
     "semi_join_open_order_customers",
     "string_funcs_parts",
-    # stale LLM/dedup tail (the rest rotates into round 7's window)
-    "dedup_components",
 )
 
 
@@ -151,7 +158,7 @@ def all_queries() -> dict[str, Query]:
     Iteration order = ``_DRIVER_PRIORITY`` first, then registration
     order; see the comment on ``_DRIVER_PRIORITY``.
     """
-    if not _REGISTRY:
+    if not _LOADED:
         _load()
     prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
     prioritized.update(_REGISTRY)

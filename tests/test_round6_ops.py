@@ -114,12 +114,12 @@ def test_triangles_match_bruteforce_on_pseudorandom(spark):
 
 def test_cooccurrence_edges_small(spark):
     rows = [
-        # u1,u2 share (click, 10:xx); u3 is same hour, other type;
-        # u4 same type, other hour -> only (1,2) is an edge.
-        (1, "2024-01-01 10:05:00", "click"),
-        (2, "2024-01-01 10:55:00", "click"),
-        (3, "2024-01-01 10:30:00", "view"),
-        (4, "2024-01-01 11:05:00", "click"),
+        # u1,u2 share (click, 10:05); u3 is same minute, other type;
+        # u4 same type, other minute -> only (1,2) is an edge.
+        (1, "2024-01-01 10:05:10", "click"),
+        (2, "2024-01-01 10:05:55", "click"),
+        (3, "2024-01-01 10:05:30", "view"),
+        (4, "2024-01-01 10:06:05", "click"),
     ]
     ev = spark.createDataFrame(
         [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)],
@@ -227,6 +227,56 @@ def test_semantic_dedup_precision_and_recall_sf0001(spark, sf_smoke):
     assert got <= brute
     if brute:
         assert len(got & brute) / len(brute) >= 0.5  # contract floor
+
+
+def test_interleave_bits_known_values(spark):
+    from mapreduce_inverted_index_spark.operators.layout import interleave_bits
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (255, 0), (0, 255), (255, 255)], "x bigint, y bigint"
+    )
+    got = [r["z"] for r in df.select(
+        interleave_bits(F.col("x"), F.col("y"), 8).alias("z")
+    ).collect()]
+    # x bits at even positions, y bits at odd
+    assert got == [
+        0b111,            # x=0b11 -> 0b101, y=0b1 -> 0b010
+        0,
+        0b0101010101010101,
+        0b1010101010101010,
+        0xFFFF,
+    ]
+
+
+def test_zorder_envelopes_are_2d_narrow(spark, sf_oracle):
+    from mapreduce_inverted_index_spark.operators.layout import (
+        zorder_layout_profile,
+    )
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    prof = zorder_layout_profile(
+        orders, "o_custkey", "o_orderdate", n_files=16, bits=8
+    ).collect()
+    assert len(prof) == 16
+    gx_min = min(r["min_x"] for r in prof)
+    gx_max = max(r["max_x"] for r in prof)
+    gy_min = min(r["min_y"] for r in prof)
+    gy_max = max(r["max_y"] for r in prof)
+    x_range = gx_max - gx_min
+    y_range = (gy_max - gy_min).total_seconds()
+    # 16 z-prefix files = 2 leading bits per dimension -> each file
+    # covers ~1/4 of each dimension's rank range. Rank != value, so
+    # allow generous slack; a linear sort would put ~1.0 of the
+    # second dimension in every file, which is what this rules out.
+    for r in prof:
+        assert (r["max_x"] - r["min_x"]) / x_range <= 0.6
+        assert (r["max_y"] - r["min_y"]).total_seconds() / y_range <= 0.6
+    # and files hold roughly equal rows (rank-grid equidistribution)
+    n_total = sum(r["n_rows"] for r in prof)
+    for r in prof:
+        assert r["n_rows"] >= n_total / 16 * 0.4
 
 
 def test_multi_assign_r1_equals_argmax(spark, sf_smoke):

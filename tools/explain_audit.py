@@ -209,6 +209,75 @@ AUDITS = [
         ["levenshtein"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    (
+        # passage hygiene: the boilerplate set must broadcast into the
+        # flagging join (corpus annotated map-side, one rollup
+        # shuffle), aggregates keep map-side partials
+        "boilerplate_profile",
+        ["BroadcastHashJoin", "HashAggregate", "partial_"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # shard manifest: scan-side md5 assignment + one aggregate —
+        # no join of any kind in the plan
+        "shard_manifest_docs",
+        ["HashAggregate", "partial_"],
+        ["Join", "CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    (
+        # deterministic group sample: one windowed shuffle on the
+        # group key, no joins
+        "group_sample_docs",
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # MERGE upsert: union + one windowed shuffle on the merge key
+        # + rollup — no join, no pair explosion
+        "snapshot_merge_orders",
+        ["Union", "Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # co-occurrence edges: blocked self-join with hot-context
+        # chunk keys active — never a pair explosion
+        "user_cooccurrence_edges",
+        ["_ca"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # triangles: wedge/closing equi-joins plus 1-row scalar
+        # crossJoins only — a true cartesian pair explosion must
+        # never appear
+        "event_graph_triangles",
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    (
+        # gap codec: encode+decode+roundtrip all fused into the index
+        # aggregate's single pass (map-side partials, no sort agg)
+        "gap_encoded_index",
+        ["HashAggregate", "partial_"],
+        ["SortAggregate", "CartesianProduct", "Join"],
+    ),
+    (
+        # semantic dedup: candidates from the cell-blocked join with
+        # hot-cell chunk keys (the N² anchor exists only inside this
+        # contract query's brute branch — candidates never explode)
+        "semantic_dedup_contract",
+        ["_ca"],
+        ["CartesianProduct"],
+    ),
+    (
+        # z-order layout: cell maps come from histogram windows
+        # (the SinglePartition exchanges in this plan hold only
+        # distinct-value histograms) and BROADCAST back onto the
+        # facts — the fact table is never sorted, windowed, or
+        # shuffle-joined to get its key
+        "zorder_layout_orders",
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

@@ -49,15 +49,21 @@ def snapshot_merge(
     merge) for the index-side equivalent.
 
     Both inputs must share a schema containing ``key_cols``,
-    ``version_col`` and ``deleted_col``.
+    ``version_col`` and ``deleted_col``. The final tiebreak hashes
+    the WHOLE row (not the key — that is constant within the window
+    partition), so even two same-key same-version rows on the same
+    side resolve identically under any partitioning or retry.
     """
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         delta.withColumn("_src", F.lit(1))
     )
+    row_hash = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in base.columns])
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
         F.col("_src").desc(),
-        F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])),
+        row_hash,
     )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))

@@ -25,6 +25,7 @@ __all__ = [
     "sql_redact_pii",
     "pii_stats",
     "repetition_profile",
+    "lm_unigram_scores",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -279,4 +280,80 @@ def repetition_profile(docs: DataFrame, text_col: str = "text", id_col: str = "d
                 F.col("max_bigram").cast("double") / F.col("n_bigrams"), 6
             ),
         ).alias("top_bigram_ratio"),
+    )
+
+
+def lm_unigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_tf: bool = True,
+) -> DataFrame:
+    """Per-document corpus-LM quality score: average negative log
+    probability per token under an add-one-smoothed unigram model of
+    the corpus itself — the perplexity-proxy filter of a CCNet-style
+    pipeline (score high = doc looks unlike the corpus; real
+    deployments train the LM on a trusted corpus and score the
+    candidate one, which is the same plan with a second input).
+
+    Output: ``doc_id, n_tokens, neg_logprob_per_tok`` where the
+    score is ``ln(N + V) - (Σ_t tf_t · ln(c_t + 1)) / n`` (c_t =
+    corpus count; N = corpus tokens; V = vocabulary).
+
+    Engine-stability discipline (the oracle_compat pattern applied
+    to transcendentals): each ``ln`` is computed once per DISTINCT
+    value, rounded to 9 decimals, and cast DECIMAL(18,9) BEFORE any
+    aggregation — sums of decimals are exact and order-independent,
+    so cross-engine agreement doesn't depend on float summation
+    order, and the final double division/subtraction operates on
+    exactly-representable scaled integers (< 2^53).
+
+    Plan: the (doc_id, term, tf) table feeds the LM build, the
+    corpus scalars, and the per-doc rollup — persisted (the
+    ``bm25_rank`` lesson; at 100 TB read it from the materialized
+    index tf table). LM and scalars broadcast; the corpus-side
+    stream never shuffles except the one per-doc aggregate.
+    """
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        doc_term_freq,
+    )
+
+    tf = doc_term_freq(docs, text_col, id_col)
+    if persist_tf:
+        tf = tf.persist()
+    lm = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+        .select(
+            "term",
+            F.round(F.ln(F.col("c") + 1), 9).cast("decimal(18,9)").alias("lp"),
+        )
+    )
+    z = tf.agg(
+        F.sum("tf").alias("_n"), F.countDistinct("term").alias("_v")
+    ).select(
+        F.round(F.ln(F.col("_n") + F.col("_v")), 9)
+        .cast("decimal(18,9)")
+        .alias("lnz")
+    )
+    per_doc = (
+        tf.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            # tf as DECIMAL(9,0), not bigint: bigint x (18,9) needs
+            # precision 39 > 38, which Spark silently truncates to
+            # scale 8 while DuckDB keeps scale 9 (the tfidf lesson);
+            # (9,0) x (18,9) stays exact at (28,9) in both engines.
+            F.sum(F.col("tf").cast("decimal(9,0)") * F.col("lp")).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(z)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("lnz").cast("double")
+            - F.col("_s").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("neg_logprob_per_tok"),
     )

@@ -663,9 +663,16 @@ _SEM_RECALL_FLOOR = 0.5
 )
 def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    found = S.semantic_dedup_pairs(
-        emb, cents=_ivf_cents(spark, sf_dir), tau=_SEM_TAU, r=_SEM_R
-    ).persist()
+    # _shared, not a bare .persist(): reset_shared_cache() then owns
+    # the unpersist (bench passes and repeated calls don't leak
+    # storage blocks), and the two contract branches below still read
+    # one materialization.
+    found = _shared(
+        spark, sf_dir, "semantic_found",
+        lambda: S.semantic_dedup_pairs(
+            emb, cents=_ivf_cents(spark, sf_dir), tau=_SEM_TAU, r=_SEM_R
+        ),
+    )
     e = emb.select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_inverted_index_spark.functions.text import sql_tokens
+from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
 from mapreduce_inverted_index_spark.operators import graph as G
 from mapreduce_inverted_index_spark.operators import layout as L
 from mapreduce_inverted_index_spark.operators import passages as P
@@ -224,6 +224,46 @@ def q_snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SN.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+@register(
+    "lm_quality_scores",
+    oracle=f"""
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest({sql_terms('text', distinct=False)}) AS term
+                      FROM documents)
+                GROUP BY 1, 2),
+         lm AS (SELECT term,
+                       CAST(round(ln(sum(tf) + 1), 9) AS DECIMAL(18,9)) AS lp
+                FROM tf GROUP BY term),
+         z AS (SELECT CAST(round(ln(CAST(sum(tf) AS BIGINT)
+                                     + count(DISTINCT term)), 9)
+                           AS DECIMAL(18,9)) AS lnz
+               FROM tf)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST((SELECT lnz FROM z) AS DOUBLE)
+                 - CAST(sum(CAST(tf AS DECIMAL(9,0)) * lp) AS DOUBLE)
+                   / CAST(sum(tf) AS BIGINT), 6) AS neg_logprob_per_tok
+    FROM tf JOIN lm USING (term)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality score: per-doc average negative log "
+        "probability under an add-one unigram model of the corpus "
+        "(perplexity-proxy filtering). Transcendentals are computed "
+        "once per distinct count, 9-decimal-quantized, and summed as "
+        "exact decimals — order-independent, so the score is "
+        "bit-stable across engines and partitionings. LM and corpus "
+        "scalars broadcast; tf table persisted across its three "
+        "consumers (the bm25 lesson).",
+)
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_unigram_scores,
+    )
+
+    return lm_unigram_scores(_docs(spark, sf_dir))
 
 
 _Z_BITS = 8

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = (
     "shard_manifest_docs",
     "group_sample_docs",
     "zorder_layout_orders",
+    "lm_quality_scores",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -148,7 +149,6 @@ _DRIVER_PRIORITY = (
     "null_handling_funcs",
     "rollup_order_stats",
     "semi_join_open_order_customers",
-    "string_funcs_parts",
 )
 
 

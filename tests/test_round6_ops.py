@@ -152,6 +152,29 @@ def test_snapshot_merge_semantics(spark):
     assert got == {1: "a-tie", 2: "b2", 4: "d"}
 
 
+def test_triangle_stats_empty_graph(spark):
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    r = triangle_stats(empty).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+
+
+def test_snapshot_merge_full_row_tiebreak_is_deterministic(spark):
+    # two same-key same-version rows on the SAME side: winner must be
+    # fixed by the row hash, not by partitioning/arrival order
+    base = spark.createDataFrame(
+        [(1, "x", 1, False)], "k bigint, val string, _version int, _deleted boolean"
+    )
+    delta = spark.createDataFrame(
+        [(1, "a", 2, False), (1, "b", 2, False)],
+        "k bigint, val string, _version int, _deleted boolean",
+    )
+    got1 = snapshot_merge(base, delta, ["k"]).collect()[0]["val"]
+    got2 = snapshot_merge(
+        base.repartition(7), delta.repartition(3).sort(F.desc("val")), ["k"]
+    ).collect()[0]["val"]
+    assert got1 == got2
+
+
 def test_group_sample_counts_and_determinism(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     sizes = {r["source"]: r["n"] for r in
@@ -277,6 +300,25 @@ def test_zorder_envelopes_are_2d_narrow(spark, sf_oracle):
     n_total = sum(r["n_rows"] for r in prof)
     for r in prof:
         assert r["n_rows"] >= n_total / 16 * 0.4
+
+
+def test_lm_scores_rank_common_below_rare(spark):
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_unigram_scores,
+    )
+
+    # corpus dominated by "alpha beta"; doc 10 is pure common words,
+    # doc 11 pure rare words -> rare doc must score strictly higher
+    # (less probable); identical docs score identically
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta") for i in range(10)]
+        + [(10, "alpha beta"), (11, "zzz qqq"), (12, "zzz qqq")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["neg_logprob_per_tok"]
+           for r in lm_unigram_scores(docs, persist_tf=False).collect()}
+    assert got[11] > got[10]
+    assert got[11] == got[12]
 
 
 def test_multi_assign_r1_equals_argmax(spark, sf_smoke):

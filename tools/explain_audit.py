@@ -278,6 +278,15 @@ AUDITS = [
         ["HashAggregate", "BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # LM quality scoring: the unigram LM and corpus scalars
+        # broadcast; tf feeds three branches off ONE persisted
+        # materialization (InMemoryTableScan), not three corpus
+        # re-derivations — the bm25 lesson applied at birth
+        "lm_quality_scores",
+        ["BroadcastHashJoin", "InMemoryTableScan", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

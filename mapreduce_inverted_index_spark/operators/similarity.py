@@ -46,6 +46,8 @@ __all__ = [
     "ivf_assign",
     "ivf_multi_assign",
     "ivf_topk",
+    "write_ivf_cells",
+    "ivf_pruned_scan_topk",
     "semantic_dedup_pairs",
     "quantize_embeddings",
     "dequantize",
@@ -425,6 +427,65 @@ def ivf_topk(
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def write_ivf_cells(assigned: DataFrame, path: str) -> None:
+    """Materialize the cell-tagged corpus ``partitionBy(cell)`` —
+    the IVF build artifact. After this write, a probe of p cells
+    reads p directories and nothing else (``PartitionFilters`` on
+    the scan, audit-asserted) — the storage-level realization of
+    "candidate work ~ n_probe/n_cells" that an in-memory cell
+    column can only promise."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_pruned_scan_topk(
+    spark,
+    path: str,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the :func:`write_ivf_cells` artifact: pick each
+    query's ``n_probe`` nearest cells, then scan ONLY those cell
+    partitions.
+
+    The probe-cell set is collected to the driver to become a scan
+    literal — deliberately: it is query metadata (≤ Q × n_probe
+    ints, like the term list of a term lookup), not data, and only a
+    literal predicate reaches the file index as a partition filter.
+    Output shape matches the other ANN tiers.
+    """
+    pw = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "cell",
+            cosine_similarity("query_vec", "centroid").alias("cos_c"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    scanned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scored = (
+        scanned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

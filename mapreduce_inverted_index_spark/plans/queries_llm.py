@@ -614,7 +614,53 @@ def q_ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.lit(1).alias("_hit")
     )
     return (
-        pruned.join(brute_ids, ["query_id", "vec_id"], "left")
+        pruned.join(F.broadcast(brute_ids), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_returned"),
+            (
+                F.coalesce(F.sum("_hit"), F.lit(0)) / 10.0
+                >= F.lit(_IVF_RECALL_FLOOR)
+            ).alias("recall_floor_met"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_pruned_scan",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS recall_floor_met
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc=f"IVF probe over the MATERIALIZED cell layout: the assigned "
+        "corpus is written partitionBy(cell) and the probe reads "
+        f"only its {_IVF_PROBES} target cell directories "
+        "(PartitionFilters on the scan, audit-asserted) — the "
+        "storage-level 100 TB story where candidate IO, not just "
+        "candidate compute, is n_probe/n_cells of the corpus. Same "
+        "recall contract as ann_ivf_recall_contract; a pytest "
+        "additionally pins result equality with the in-memory "
+        "pruned probe.",
+)
+def q_ann_ivf_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = f"{tempfile.gettempdir()}/mii_ivf_cells_{tag}"
+    emb = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    S.write_ivf_cells(_ivf_assigned(spark, sf_dir), path)
+    pruned = S.ivf_pruned_scan_topk(
+        spark, path, _ivf_cents(spark, sf_dir), qs, k=10, n_probe=_IVF_PROBES
+    )
+    brute_ids = S.brute_force_topk(emb, qs, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        pruned.join(F.broadcast(brute_ids), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("k_returned"),

@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = (
     "group_sample_docs",
     "zorder_layout_orders",
     "lm_quality_scores",
+    "ann_ivf_pruned_scan",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -131,7 +132,6 @@ _DRIVER_PRIORITY = (
     "window_topn_orders_per_segment",
     "conditional_pivot_monthly",
     # stale relational core
-    "above_avg_acctbal_customers",
     "agg_pricing_summary",
     "anti_join_orderless_customers",
     "array_hof_funcs",

@@ -321,6 +321,43 @@ def test_lm_scores_rank_common_below_rare(spark):
     assert got[11] == got[12]
 
 
+def test_ivf_pruned_scan_equals_inmemory_probe(spark, sf_smoke, tmp_path):
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        ivf_pruned_scan_topk,
+        ivf_topk,
+        write_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ivf_centroids(emb, 16, 3)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "cells")
+    write_ivf_cells(assigned, path)
+    scan = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_pruned_scan_topk(spark, path, cents, qs, k=5, n_probe=4).collect()
+    }
+    mem = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(
+            emb, qs, k=5, n_cells=16, n_probe=4, cents=cents, assigned=assigned
+        ).collect()
+    }
+    assert scan == mem  # same candidates -> identical results
+    # and the scan really is partition-pruned
+    plan = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin([1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [cell" in plan
+
+
 def test_multi_assign_r1_equals_argmax(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     cents = ivf_centroids(emb, 16, 3)

@@ -287,6 +287,15 @@ AUDITS = [
         ["BroadcastHashJoin", "InMemoryTableScan", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # IVF over the materialized cell layout: the corpus scan must
+        # carry a cell partition filter (probe IO = n_probe/n_cells
+        # of the corpus at the FILE level) and join the broadcast
+        # probe list — never shuffle or cross-join the vectors
+        "ann_ivf_pruned_scan",
+        ["PartitionFilters: [cell", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_inverted_index_spark.functions.text import sql_terms
 from mapreduce_inverted_index_spark.plans.registry import register
 from mapreduce_inverted_index_spark.streaming import windows as W
 
@@ -154,3 +155,40 @@ def q_stream_stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.streaming.stateful import stateful_user_peaks
 
     return stateful_user_peaks(spark, sf_dir)
+
+
+@register(
+    "stream_frequent_terms",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({sql_terms('text', distinct=False)}) AS term
+                  FROM documents),
+         total AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS n_occ
+    FROM toks CROSS JOIN total
+    GROUP BY term, total.n
+    HAVING count(*) >= ceil(total.n * 0.01)
+    """,
+    doc="Stream-maintained phi-heavy-hitter terms: each micro-batch "
+        "folds its exact term counts into a bounded Misra-Gries "
+        "summary (k=200 rows of state, foreachBatch, associative "
+        "merge - the unbounded-input analog of frequent_items' "
+        "phase 1), then the exact verify recounts candidates "
+        "against the canonical table. Candidates are a guaranteed "
+        "superset at every point in the stream, so the result "
+        "equals batch GROUP BY HAVING exactly; a multi-pass pytest "
+        "proves the incremental path.",
+)
+def q_stream_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from mapreduce_inverted_index_spark.streaming.sketches import (
+        maintain_frequent_terms_available_now,
+        verified_heavy_terms,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_stream_mg_")
+    maintain_frequent_terms_available_now(
+        spark, sf_dir, f"{work}/state", f"{work}/ckpt", k=200
+    )
+    return verified_heavy_terms(spark, sf_dir, f"{work}/state", phi=0.01)

@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = (
     "zorder_layout_orders",
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
+    "stream_frequent_terms",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -134,7 +135,6 @@ _DRIVER_PRIORITY = (
     # stale relational core
     "agg_pricing_summary",
     "anti_join_orderless_customers",
-    "array_hof_funcs",
     "broadcast_join_part_revenue",
     "cube_lineitem_stats",
     "filter_pushdown_scan",

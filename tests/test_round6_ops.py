@@ -365,3 +365,84 @@ def test_multi_assign_r1_equals_argmax(spark, sf_smoke):
     multi = {r["vec_id"]: r["cell"] for r in
              ivf_multi_assign(emb, cents, r=1).collect()}
     assert single == multi
+
+
+# -------------------------------------------------- streaming heavy hitters
+
+def test_stream_frequent_terms_incremental_passes(spark, tmp_path):
+    """Three file-drop passes must maintain a valid MG summary (state
+    bounded by k) whose verified answer equals batch GROUP BY HAVING
+    over everything ingested so far — including a trimming-heavy
+    configuration (k << vocabulary)."""
+    from mapreduce_inverted_index_spark.streaming.sketches import (
+        maintain_frequent_terms_available_now,
+        verified_heavy_terms,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    phi, k = 0.05, 25  # k+1 > 1/phi holds; vocab will exceed k
+
+    def drop(name: str, rows):
+        # single-file shards (pyarrow), mirroring the fixture layout -
+        # pathGlobFilter matches leaf file names, not subpaths
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(land / name),
+        )
+
+    def run():
+        maintain_frequent_terms_available_now(
+            spark, str(land), state, ckpt, k=k, glob="*.parquet"
+        )
+
+    def expected():
+        docs = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            str(land)
+        )
+        from mapreduce_inverted_index_spark.functions.text import terms as T
+
+        toks = docs.select(F.explode(T("text", keep_duplicates=True)).alias("t"))
+        n = toks.count()
+        import math
+
+        thr = math.ceil(phi * n)
+        return {
+            (r["t"], r["n"])
+            for r in toks.groupBy("t").agg(F.count("*").alias("n")).collect()
+            if r["n"] >= thr
+        }
+
+    def got():
+        return {
+            (r["term"], r["n_occ"])
+            for r in verified_heavy_terms(
+                spark, str(land), state, phi, glob="*.parquet"
+            ).collect()
+        }
+
+    hot = "alpha beta " * 20
+    cold1 = " ".join(f"c{i}" for i in range(60))
+    drop("d1.parquet", [(1, hot + cold1), (2, hot)])
+    run()
+    assert spark.read.parquet(state).count() <= k
+    assert got() == expected()
+
+    cold2 = " ".join(f"d{i}" for i in range(60))
+    drop("d2.parquet", [(3, "alpha gamma " * 15 + cold2)])
+    run()
+    assert spark.read.parquet(state).count() <= k
+    assert got() == expected()
+
+    run()  # no new files -> state untouched, answer unchanged
+    assert got() == expected()

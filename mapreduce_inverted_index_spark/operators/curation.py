@@ -28,7 +28,13 @@ __all__ = [
     "decontaminate",
     "stratified_sample",
     "pack_sequences",
+    "policy_filter",
 ]
+
+# Gopher's rule-set requires a document to contain at least two of a
+# short list of ubiquitous English function words; absence is a
+# strong "not running prose" signal.
+POLICY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "that", "with")
 
 
 def contamination_hits(
@@ -88,6 +94,102 @@ def decontaminate(
     return docs.join(
         flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def policy_filter(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = (),
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_type_token_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/C4-style rule-based document filter with REASON CODES:
+    every document gets a keep/drop decision plus the
+    ';'-joined list of rules it violated — the auditable form a
+    production curation pipeline needs (a bare boolean can't answer
+    "why did we drop 40% of this crawl?").
+
+    Rules (fixed order — the reasons string is deterministic):
+      ``too_short`` / ``too_long``   token count outside
+                                     [min_tokens, max_tokens]
+      ``word_len``                   mean word length outside
+                                     [min_mean_word_len, max_mean_word_len]
+      ``low_diversity``              distinct/total token ratio below
+                                     min_type_token_ratio (the
+                                     repeated-boilerplate signal)
+      ``no_stopwords``               fewer than min_stopword_hits
+                                     occurrences of ubiquitous
+                                     function words (Gopher's "is
+                                     this prose at all" test)
+      ``blocklist``                  any blocklist term present
+
+    Output: ``doc_id, n_tokens, mean_word_len, type_token_ratio,
+    stopword_hits, blocklist_hits, reasons, keep``.
+
+    Shape at scale: a pure per-row projection — zero shuffles, fully
+    codegen'd, evaluated by the scan itself; the downstream corpus
+    filter is ``.where("keep")`` which Parquet readers push down.
+    Ratios are rounded to 6 places BEFORE the threshold compare so
+    the decision replays identically in the DuckDB oracle
+    (float-order discipline, same as ``quality_profile``).
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    n_tokens = F.size("toks")
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.round(
+            F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t)).cast(
+                "double"
+            )
+            / n_tokens,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(
+        n_tokens > 0,
+        F.round(F.size(F.array_distinct("toks")).cast("double") / n_tokens, 6),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(*POLICY_STOPWORDS)))
+    block_hits = (
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*blocklist)))
+        if blocklist
+        else F.lit(0)
+    )
+    m = d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        ttr.alias("type_token_ratio"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        block_hits.cast("int").alias("blocklist_hits"),
+    )
+    # concat_ws skips NULLs in BOTH engines, so each rule contributes
+    # its code iff it fires and the join stays order-stable.
+    rule = lambda cond, code: F.when(cond, F.lit(code))  # noqa: E731
+    reasons = F.concat_ws(
+        ";",
+        rule(F.col("n_tokens") < min_tokens, "too_short"),
+        rule(F.col("n_tokens") > max_tokens, "too_long"),
+        rule(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            "word_len",
+        ),
+        rule(F.col("type_token_ratio") < min_type_token_ratio, "low_diversity"),
+        rule(F.col("stopword_hits") < min_stopword_hits, "no_stopwords"),
+        rule(F.col("blocklist_hits") > 0, "blocklist"),
+    )
+    return m.select(
+        "*",
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.col("reasons") == "")
 
 
 def _md5_bucket(col, buckets: int = 100) -> F.Column:

@@ -32,6 +32,7 @@ __all__ = [
     "grid_cells",
     "zorder_key",
     "zorder_layout_profile",
+    "compaction_plan",
 ]
 
 
@@ -139,4 +140,60 @@ def zorder_layout_profile(
         F.max(col_x).alias("max_x"),
         F.min(col_y).alias("min_y"),
         F.max(col_y).alias("max_y"),
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-files compaction planner (the OPTIMIZE bin-packing
+    step): within each table partition, pack files in ``file_col``
+    order into output jobs of ~``target_bytes`` via a running-sum
+    cut — file i joins job ``floor(cumsum_before_i / target)``.
+
+    Output: one row per planned rewrite job — ``partition, job_id,
+    n_files, total_bytes, min_file_id, max_file_id`` — which a
+    writer executes as one task per job (read n_files small files,
+    write one ~target-size file).
+
+    Why this shape at 100 TB: the plan runs over file METADATA (one
+    row per file — a 100 TB table at 128 MB/file is ~800k rows,
+    kilobytes per partition), never the data. One windowed shuffle
+    on the partition key plans the entire rewrite; the expensive IO
+    is then embarrassingly parallel per job. The running-sum cut is
+    the same first-fit-in-listing-order policy Delta/Iceberg
+    OPTIMIZE uses (jobs can exceed target by at most one file — a
+    bound, not a heuristic; sorting by size first would pack
+    marginally tighter but loses the listing-order streaming
+    property and the deterministic replay this repo's oracles
+    require).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    jobbed = files.select(
+        F.col(partition_col).alias("partition"),
+        F.col(file_col).alias("_fid"),
+        F.col(bytes_col).alias("_sz"),
+        (F.sum(F.col(bytes_col)).over(w) - F.col(bytes_col)).alias("_cum_before"),
+    ).select(
+        "partition",
+        "_fid",
+        "_sz",
+        # `div`, not `/`: byte counts exceed 2^53 at real scale and
+        # float division would round the job boundary (grid_cells'
+        # lesson applied to sizes).
+        F.expr(f"_cum_before div {int(target_bytes)}").alias("job_id"),
+    )
+    return jobbed.groupBy("partition", "job_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("_sz").alias("total_bytes"),
+        F.min("_fid").alias("min_file_id"),
+        F.max("_fid").alias("max_file_id"),
     )

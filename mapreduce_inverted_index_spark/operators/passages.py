@@ -36,6 +36,7 @@ __all__ = [
     "doc_passages",
     "passage_doc_freq",
     "boilerplate_profile",
+    "chunk_documents",
 ]
 
 
@@ -73,6 +74,57 @@ def doc_passages(
         F.md5(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias(
             "passage_hash"
         ),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-ingest chunking: OVERLAPPING ``width``-word windows every
+    ``stride`` words (stride < width ⇒ width−stride words of overlap,
+    the standard retrieval-chunk recipe so no answer span is cut at a
+    boundary). One row per chunk: ``doc_id, chunk_no (0-based),
+    start_tok (1-based), n_tokens, chunk_hash``.
+
+    Identity contract: ``(doc_id, chunk_no)`` is the stable chunk id
+    — derived from token position alone, so re-running the pipeline
+    (or re-embedding one document) reproduces the same ids, which is
+    what lets a 100 TB vector index be incrementally maintained
+    instead of rebuilt. The chunk carries ``chunk_hash`` (md5 of the
+    joined window) rather than text, the same ship-hashes-not-text
+    shuffle discipline as :func:`doc_passages`; a real ingest keeps
+    the text column too and feeds it to the embedder (see
+    ``similarity`` for the index side).
+
+    Tail semantics: starts run to the end of the token stream
+    (``sequence(1, n, stride)``) and the final windows are clamped
+    short rather than dropped — every token belongs to ≥1 chunk
+    (coverage is the property retrieval needs); callers that dislike
+    fully-contained tail chunks filter ``n_tokens > width - stride``.
+
+    Same CollapseProject discipline as :func:`doc_passages`: the
+    token array is materialized by the generator, then sliced —
+    never re-tokenized per chunk.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    starts = d.where(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("start_tok"),
+    )
+    window = F.slice("toks", F.col("start_tok"), width)
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start_tok - 1) div {int(stride)}").cast("int").alias("chunk_no"),
+        "start_tok",
+        F.size(window).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
     )
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "running_total",
     "lag_lead",
     "sessionize",
+    "ewma",
 ]
 
 
@@ -129,3 +130,53 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("int"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 8,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the sequential
+    feature (recency-weighted activity level) a training pipeline
+    derives from an event stream: ``ewma_t = α·v_t + (1−α)·ewma_{t−1}``
+    seeded with the window's oldest value.
+
+    The recursion is SEQUENTIAL — no closed-form window aggregate
+    computes it without overflow-prone ``(1−α)^(−i)`` rescaling — so
+    it runs as a higher-order-function FOLD over the last
+    ``lookback`` values collected per row: ``collect_list`` over a
+    bounded rows-frame (frame order = the window's ORDER BY in both
+    engines), then ``aggregate(tail, head, fold)``. Bounding the
+    frame at ``lookback`` both caps the per-row cost (the dropped
+    terms carry weight ≤ (1−α)^lookback — sub-float-noise for any
+    practical α) and keeps the state O(lookback), the same
+    truncation a streaming implementation would make.
+
+    Determinism: the fold's float-op sequence is identical in Spark
+    and DuckDB (same order, same IEEE doubles). The 6-place rounding
+    is ``floor(x·10⁶ + 0.5)/10⁶`` — IEEE-specified ops only —
+    because ``round()`` DIVERGES here: α=0.5 folds produce exact
+    decimal ties (…5 at the 7th digit), and Spark rounds the binary
+    expansion while DuckDB rounds the shortest decimal rendering.
+    The ordering must be total — pass a unique ``tiebreak_col``.
+    One shuffle on the key. Adds ``ewma_value``.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(vals, 2, lookback),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    rounded = F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return df.withColumn("ewma_value", rounded)

@@ -18,7 +18,60 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count"]
+__all__ = ["salted_sum_count", "join_skew_profile"]
+
+
+def join_skew_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-join skew diagnosis: per-key row counts on BOTH sides and
+    the key's join fan-out (``n_left · n_right`` — the number of
+    output rows that key alone will produce), for the ``top_n``
+    worst keys plus their share of the total estimated output.
+
+    Output: ``key, n_left, n_right, est_out_rows, est_out_share``
+    (share rounded to 6), ordered worst-first — the planning signal
+    that decides between a plain shuffle join, AQE skew-split,
+    salting (``salted_sum_count``), or bounded_block_join chunking
+    BEFORE burning a cluster-day discovering the skew the hard way.
+
+    Shape at scale: two key-histogram aggregations (map-side
+    combined: shuffle rows are (key, count) — never data rows), an
+    inner join of the two histograms (distinct-key-sized), one
+    scalar total, and a top-n. Cost is O(distinct keys), independent
+    of fact-table width.
+    """
+    lh = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count("*").alias("n_left")
+    )
+    rh = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count("*").alias("n_right")
+    )
+    fan = lh.join(rh, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("est_out_rows"),
+    )
+    total = fan.agg(F.sum("est_out_rows").alias("_total"))
+    return (
+        fan.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "est_out_rows",
+            F.round(
+                F.col("est_out_rows").cast("double") / F.col("_total"), 6
+            ).alias("est_out_share"),
+        )
+        .orderBy(F.col("est_out_rows").desc(), F.col("key"))
+        .limit(top_n)
+    )
 
 
 def salted_sum_count(

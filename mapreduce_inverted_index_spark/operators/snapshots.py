@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "snapshot_merge",
+    "scd2_history",
     "shard_manifest",
     "group_sample",
 ]
@@ -70,6 +71,55 @@ def snapshot_merge(
         .where(F.col("_rn") == 1)
         .where(~F.col(deleted_col))
         .drop("_rn", "_src")
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse a
+    change-record stream ``(key, ts, attr)`` into versioned validity
+    intervals ``key, attr, effective_from, effective_to, is_current``
+    — the dimension-table form every warehouse keeps so facts can
+    join "the value as of that time" (pair with
+    ``asof.asof_join`` for the lookup side).
+
+    Semantics: within each key, records ordered by ``(ts, tiebreak)``;
+    a record opens a new interval iff its ``attr_col`` differs from
+    the previous record's (run-length collapse — re-stating the same
+    value is not a change). ``effective_to`` is the next interval's
+    ``effective_from`` (half-open ``[from, to)``); the last interval
+    has ``effective_to`` NULL and ``is_current`` true.
+
+    Shape at scale: ONE shuffle on the key (both windows share the
+    exact same partitioning and ordering, so Catalyst plans a single
+    Exchange + sort and runs the lag and lead passes over it). The
+    tiebreak column must make the ordering total — same-(key, ts)
+    duplicates would otherwise make lag/lead nondeterministic under
+    retries.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    opens = changes.withColumn(
+        "_is_change", prev.isNull() | (F.col(attr_col) != prev)
+    ).where(F.col("_is_change"))
+    # After the filter the same (partitionBy, orderBy) window ranks
+    # the surviving change points; lead() closes each interval.
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        opens.withColumn("effective_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            *key_cols,
+            F.col(attr_col),
+            F.col(ts_col).alias("effective_from"),
+            "effective_to",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
     )
 
 

@@ -1301,3 +1301,55 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.sum("cos").cast("double") / F.count("*"), 4).alias("avg_cos"),
         F.min("cos").cast("double").alias("min_cos"),
     )
+
+
+@register(
+    "curation_policy_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(list_sum(list_transform(toks, t -> length(t)))
+                          AS DOUBLE) / len(toks), 6)
+               ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               ELSE 0.0 END AS type_token_ratio,
+             CAST(len(list_filter(toks, t -> t IN
+               ('the','a','and','of','to','in','that','with')))
+               AS INTEGER) AS stopword_hits,
+             CAST(len(list_filter(toks, t -> t IN ('slow','legacy')))
+               AS INTEGER) AS blocklist_hits
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents)),
+    r AS (
+      SELECT *,
+             concat_ws(';',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+               CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0
+                    THEN 'word_len' END,
+               CASE WHEN type_token_ratio < 0.3 THEN 'low_diversity' END,
+               CASE WHEN stopword_hits < 2 THEN 'no_stopwords' END,
+               CASE WHEN blocklist_hits > 0 THEN 'blocklist' END) AS reasons
+      FROM m)
+    SELECT doc_id, n_tokens, mean_word_len, type_token_ratio,
+           stopword_hits, blocklist_hits, reasons,
+           reasons = '' AS keep
+    FROM r
+    """.format(toks=_TOKS),
+    doc="Gopher/C4-style rule-based curation filter WITH REASON "
+        "CODES: token-count band, mean word length, type-token "
+        "ratio, function-word presence, blocklist — each violated "
+        "rule contributes its code to a deterministic ';'-joined "
+        "reasons string (concat_ws skips the NULL non-fires in both "
+        "engines), keep = no rule fired. Pure per-row projection: "
+        "zero shuffles, codegen'd, and the downstream .where(keep) "
+        "is a pushable scan predicate. Ratios round to 6 places "
+        "BEFORE thresholding so the decision replays exactly "
+        "cross-engine. Operator: curation.policy_filter.",
+)
+def q_curation_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import policy_filter
+
+    return policy_filter(_docs(spark, sf_dir), blocklist=("slow", "legacy"))

@@ -335,3 +335,110 @@ def q_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SN.group_sample(_docs(spark, sf_dir), "source", 20).select(
         "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
     )
+
+
+@register(
+    "scd2_order_status_history",
+    oracle="""
+    WITH ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                       lag(o_orderstatus) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS _prev
+                FROM orders),
+         op AS (SELECT * FROM ch
+                WHERE _prev IS NULL OR o_orderstatus <> _prev)
+    SELECT o_custkey, o_orderstatus,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS effective_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM op
+    """,
+    doc="SCD type-2 dimension build: per-customer order-status "
+        "history collapsed into half-open validity intervals "
+        "[effective_from, effective_to) with is_current on the open "
+        "one — the warehouse dimension-table form (pair with "
+        "asof_join for the fact-side lookup). Run-length collapse "
+        "via lag, interval close via lead; both windows share one "
+        "key shuffle. Operator: snapshots.scd2_history.",
+)
+def q_scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SN.scd2_history(
+        _orders(spark, sf_dir),
+        key_cols=["o_custkey"],
+        attr_col="o_orderstatus",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+
+
+@register(
+    "compaction_plan_files",
+    oracle="""
+    WITH f AS (SELECT source AS part, doc_id AS file_id,
+                      n_chars AS size_bytes
+               FROM documents),
+         j AS (SELECT part, file_id, size_bytes,
+                      -- sum() OVER yields HUGEINT in DuckDB; pin the
+                      -- cumsum and the quotient back to BIGINT so the
+                      -- job_id column type matches Spark's
+                      CAST(CAST(sum(size_bytes) OVER (
+                             PARTITION BY part ORDER BY file_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - size_bytes AS BIGINT)
+                           // 2000 AS BIGINT) AS job_id
+               FROM f)
+    SELECT part, job_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           min(file_id) AS min_file_id,
+           max(file_id) AS max_file_id
+    FROM j GROUP BY 1, 2
+    """,
+    doc="Small-files compaction planner (OPTIMIZE bin-packing): the "
+        "doc-per-file ingest listing packed into ~2000-byte rewrite "
+        "jobs per source partition by a running-sum cut over file "
+        "METADATA — the plan costs O(files), never touches data, and "
+        "each planned job is an embarrassingly-parallel rewrite task. "
+        "Integer `div` on the cumsum so the job boundary is exact at "
+        "any byte count. Operator: layout.compaction_plan.",
+)
+def q_compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs(spark, sf_dir).select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return L.compaction_plan(
+        files, target_bytes=2000, partition_col="part",
+        file_col="file_id", bytes_col="size_bytes",
+    ).withColumnRenamed("partition", "part")
+
+
+@register(
+    "rag_chunk_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((pos - 1) // 48 AS INTEGER) AS chunk_no,
+           CAST(pos AS INTEGER) AS start_tok,
+           CAST(len(toks[pos:pos+63]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(toks[pos:pos+63], ' ')) AS chunk_hash
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS pos
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+          WHERE len(toks) > 0)
+    """,
+    doc="RAG-ingest chunking: overlapping 64-word windows every 48 "
+        "words (16-word overlap so no answer span is boundary-cut), "
+        "stable (doc_id, chunk_no) identity so re-runs and "
+        "incremental re-embeds reproduce the same chunk ids. Chunks "
+        "ship as md5 hashes — text never leaves the map side; the "
+        "embedder reads the text column beside them in a real "
+        "ingest. Operator: passages.chunk_documents.",
+)
+def q_rag_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.chunk_documents(
+        _docs(spark, sf_dir), width=64, stride=48
+    ).withColumn("start_tok", F.col("start_tok").cast("int"))

@@ -1540,3 +1540,66 @@ def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return column_profile(li, ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+
+@register(
+    "join_skew_profile_events",
+    oracle="""
+    WITH h AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+         fan AS (SELECT l.key, l.n AS n_left, r.n AS n_right,
+                        CAST(l.n * r.n AS BIGINT) AS est_out_rows
+                 FROM h l JOIN h r ON l.key = r.key)
+    SELECT key, n_left, n_right, est_out_rows,
+           round(CAST(est_out_rows AS DOUBLE)
+                 / (SELECT sum(est_out_rows) FROM fan), 6) AS est_out_share
+    FROM fan
+    ORDER BY est_out_rows DESC, key
+    LIMIT 10
+    """,
+    doc="Pre-join skew diagnosis for the events self-join: per-key "
+        "counts on both sides, per-key output fan-out (n_l * n_r) and "
+        "its share of total estimated output, worst 10 keys. Runs on "
+        "key HISTOGRAMS (shuffle rows are (key, count), cost "
+        "O(distinct keys)) — the cheap scout query that chooses "
+        "between plain shuffle, AQE skew-split, salting, or "
+        "bounded_block_join before the expensive join runs. "
+        "Operator: skew.join_skew_profile.",
+)
+def q_join_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.skew import join_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_profile(ev, ev, "user_id", "user_id", top_n=10)
+
+
+@register(
+    "ewma_user_values",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           -- floor(x*1e6 + 0.5)/1e6, NOT round(): the alpha=0.5 fold
+           -- lands on exact ...5 decimal ties where Spark rounds the
+           -- binary expansion and DuckDB the decimal rendering; this
+           -- form is IEEE-deterministic in both (see relational.ewma)
+           floor(list_reduce(l, (acc, x) -> CAST(0.5 AS DOUBLE) * x
+                                            + CAST(0.5 AS DOUBLE) * acc)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_value
+    FROM (SELECT event_id, user_id, ts,
+                 list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+          FROM events)
+    """,
+    doc="Recency-weighted activity feature: per-user EWMA "
+        "(alpha=0.5, 8-event lookback) over the event stream — the "
+        "sequential-recursion feature computed as a bounded "
+        "collect_list + HOF fold (identical float-op order in both "
+        "engines; alpha=0.5 keeps every step exactly representable). "
+        "One shuffle on user_id. Operator: relational.ewma.",
+)
+def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return R.ewma(
+        ev, "user_id", "ts", "value", alpha=0.5, lookback=8,
+        tiebreak_col="event_id",
+    ).select("event_id", "user_id", "ts", "ewma_value")

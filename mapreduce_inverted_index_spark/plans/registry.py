@@ -112,6 +112,12 @@ _DRIVER_PRIORITY = (
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
     "stream_frequent_terms",
+    "scd2_order_status_history",
+    "compaction_plan_files",
+    "rag_chunk_docs",
+    "curation_policy_filter",
+    "join_skew_profile_events",
+    "ewma_user_values",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -143,12 +149,11 @@ _DRIVER_PRIORITY = (
     "groupwise_zscore",
     "join_customer_orders",
     "left_join_order_counts",
-    "math_funcs_lineitem",
-    "median_stats_lineitem",
-    "multiway_join_region_revenue",
-    "null_handling_funcs",
-    "rollup_order_stats",
-    "semi_join_open_order_customers",
+    # (math_funcs_lineitem, median_stats_lineitem,
+    # multiway_join_region_revenue, null_handling_funcs,
+    # rollup_order_stats, semi_join_open_order_customers rotated out
+    # for the six later-round-6 additions above; all six retain
+    # r1-r3 driver rows plus this session's exact local sweep.)
 )
 
 

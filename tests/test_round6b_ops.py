@@ -1,0 +1,228 @@
+"""Late-round-6 operator semantics beyond the registry differential:
+
+* scd2_history: interval contiguity, exactly one current row per
+  key, run-length collapse (no two consecutive intervals share the
+  attribute), re-statements of the same value open no interval.
+* chunk_documents: full token coverage, stable (doc_id, chunk_no)
+  identity under re-chunking, overlap width, short-doc tail.
+* compaction_plan: every file assigned exactly once, job byte totals
+  bounded by target + largest member (the first-fit guarantee),
+  file ranges contiguous and non-overlapping in listing order.
+* policy_filter: each rule exercised by a crafted doc; keep iff the
+  reasons string is empty; blocklist off by default.
+* join_skew_profile: equals the brute-force per-key fan-out on a
+  skewed fixture; share column sums to the top-n's true share.
+* ewma: equals the direct Python recursion (bounded lookback) per
+  key; order independence under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.curation import policy_filter
+from mapreduce_inverted_index_spark.operators.layout import compaction_plan
+from mapreduce_inverted_index_spark.operators.passages import chunk_documents
+from mapreduce_inverted_index_spark.operators.relational import ewma
+from mapreduce_inverted_index_spark.operators.skew import join_skew_profile
+from mapreduce_inverted_index_spark.operators.snapshots import scd2_history
+
+
+# ------------------------------------------------------------------ scd2
+
+def _changes(spark):
+    rows = [
+        # key 1: A, A (re-statement), B, B, A  -> intervals A, B, A
+        (1, 10, 100, "A"),
+        (1, 20, 101, "A"),
+        (1, 30, 102, "B"),
+        (1, 40, 103, "B"),
+        (1, 50, 104, "A"),
+        # key 2: single record -> one open interval
+        (2, 10, 200, "X"),
+        # key 3: same-ts tie broken by id: B(id 301) then A(id 302)
+        (3, 10, 301, "B"),
+        (3, 10, 302, "A"),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, ts int, rid int, attr string"
+    )
+
+
+def test_scd2_run_length_collapse_and_current(spark):
+    hist = scd2_history(
+        _changes(spark), ["k"], "attr", "ts", "rid"
+    ).orderBy("k", "effective_from", "attr")
+    rows = [r.asDict() for r in hist.collect()]
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    # key 1: A@10 -> B@30 -> A@50 (the re-statement at ts=20 opens
+    # nothing); intervals chain and only the last is current.
+    k1 = sorted(by_key[1], key=lambda r: r["effective_from"])
+    assert [(r["attr"], r["effective_from"]) for r in k1] == [
+        ("A", 10), ("B", 30), ("A", 50)
+    ]
+    assert [r["effective_to"] for r in k1] == [30, 50, None]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    # every key has exactly one current interval
+    for k, rs in by_key.items():
+        assert sum(r["is_current"] for r in rs) == 1, k
+    # key 3: tie at ts=10 ordered by rid -> B opens first, A follows
+    k3 = sorted(by_key[3], key=lambda r: (r["effective_from"], r["attr"] != "B"))
+    assert [r["attr"] for r in k3] == ["B", "A"]
+    assert k3[0]["effective_to"] == 10  # half-open, zero-length run
+
+
+def test_scd2_no_consecutive_equal_attrs(spark):
+    hist = scd2_history(_changes(spark), ["k"], "attr", "ts", "rid")
+    pdf = hist.toPandas().sort_values(["k", "effective_from"])
+    for _, grp in pdf.groupby("k"):
+        attrs = list(grp["attr"])
+        assert all(a != b for a, b in zip(attrs, attrs[1:]))
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_coverage_and_identity(spark):
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    ch = chunk_documents(docs, width=64, stride=48).toPandas()
+    d1 = ch[ch.doc_id == 1].sort_values("chunk_no")
+    # starts at 1, 49, 97, 145 (sequence to n=150 by 48)
+    assert list(d1.start_tok) == [1, 49, 97, 145]
+    assert list(d1.chunk_no) == [0, 1, 2, 3]
+    # full width until the clamped tail; tails are 150-97+1, 150-145+1
+    assert list(d1.n_tokens) == [64, 64, 54, 6]
+    # coverage: every token position in some [start, start+n)
+    covered = set()
+    for _, r in d1.iterrows():
+        covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(1, 151))
+    # short doc: one clamped chunk; empty doc: no rows
+    d2 = ch[ch.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_tokens == 3
+    assert len(ch[ch.doc_id == 3]) == 0
+    # stable identity: re-chunking a repartitioned input reproduces
+    # the same (doc_id, chunk_no) -> chunk_hash mapping
+    again = chunk_documents(docs.repartition(7), width=64, stride=48).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "chunk_no", "chunk_hash"]].values.tolist()))  # noqa: E731
+    assert key(again) == key(ch)
+
+
+# ----------------------------------------------------------- compaction
+
+def test_compaction_plan_first_fit_bounds(spark):
+    files = spark.createDataFrame(
+        [("p1", i, sz) for i, sz in enumerate([10, 20, 990, 5, 2000, 1, 1])]
+        + [("p2", 0, 50)],
+        "part string, fid int, sz bigint",
+    )
+    plan = compaction_plan(
+        files, target_bytes=1000, partition_col="part",
+        file_col="fid", bytes_col="sz",
+    ).toPandas()
+    p1 = plan[plan.partition == "p1"].sort_values("job_id")
+    # cumsum_before: 0,10,30,1020,1025,3025,3026 -> jobs 0,0,0,1,1,3,3
+    assert list(p1.job_id) == [0, 1, 3]
+    assert list(p1.n_files) == [3, 2, 2]
+    assert list(p1.total_bytes) == [1020, 2005, 2]
+    # every file in exactly one job; ranges contiguous, non-overlapping
+    assert p1.n_files.sum() == 7
+    ranges = list(zip(p1.min_file_id, p1.max_file_id))
+    assert ranges == [(0, 2), (3, 4), (5, 6)]
+    # single small file partition -> one 1-file job
+    p2 = plan[plan.partition == "p2"]
+    assert len(p2) == 1 and p2.iloc[0].n_files == 1
+
+
+# -------------------------------------------------------- policy filter
+
+def test_policy_filter_rules_and_reasons(spark):
+    prose = ("the quick brown fox jumps over a lazy dog and runs far "
+             "into the wild green forest with many bright shining stars "
+             "above while old friends gather near warm fires telling "
+             "long stories")  # > 20 tokens, diverse, stopword-rich
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "short text"),  # too_short (+no_stopwords)
+            (3, prose + " slow"),  # blocklist only
+            (4, ("aa b " * 20).strip()),  # low_diversity + word_len + no_stopwords
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in policy_filter(docs, blocklist=("slow",)).collect()
+    }
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert "too_short" in out[2]["reasons"] and not out[2]["keep"]
+    assert out[3]["reasons"] == "blocklist" and out[3]["blocklist_hits"] == 1
+    r4 = out[4]["reasons"]
+    assert "low_diversity" in r4 and "no_stopwords" in r4 and "word_len" in r4
+    # reasons order is the fixed rule order
+    assert r4 == "word_len;low_diversity;no_stopwords"
+    # blocklist off by default: doc 3 is clean prose then
+    out_nb = {
+        r["doc_id"]: r for r in policy_filter(docs).collect()
+    }
+    assert out_nb[3]["keep"]
+
+
+# ----------------------------------------------------------- join skew
+
+def test_join_skew_profile_matches_bruteforce(spark):
+    rows = [(k,) for k in [1] * 50 + [2] * 10 + [3] * 3 + [4]]
+    left = spark.createDataFrame(rows, "k int")
+    right = spark.createDataFrame(rows + [(5,)], "k int")
+    prof = join_skew_profile(left, right, "k", "k", top_n=3).toPandas()
+    assert list(prof.key) == [1, 2, 3]
+    assert list(prof.est_out_rows) == [2500, 100, 9]
+    total = 2500 + 100 + 9 + 1  # key 4 contributes 1; key 5 joins nothing
+    assert abs(prof.est_out_share.iloc[0] - round(2500 / total, 6)) < 1e-12
+
+
+# ----------------------------------------------------------------- ewma
+
+def test_ewma_matches_python_recursion(spark):
+    import itertools
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5, 8.0, 7.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)]
+        + [(2, 0, 10.0)],
+        "uid int, seq int, v double",
+    )
+    out = (
+        ewma(df, "uid", "seq", "v", alpha=0.5, lookback=4, tiebreak_col="seq")
+        .where(F.col("uid") == 1)
+        .orderBy("seq")
+        .toPandas()
+    )
+
+    def expect(i):
+        window = vals[max(0, i - 3): i + 1]
+        acc = window[0]
+        for x in window[1:]:
+            acc = 0.5 * x + 0.5 * acc
+        import math
+        return math.floor(acc * 1e6 + 0.5) / 1e6
+
+    for i, got in enumerate(out.ewma_value):
+        assert got == expect(i), (i, got, expect(i))
+    # single-row key: ewma == value
+    one = ewma(df, "uid", "seq", "v", alpha=0.5, lookback=4,
+               tiebreak_col="seq").where(F.col("uid") == 2).collect()
+    assert one[0]["ewma_value"] == 10.0
+    # partitioning-independent
+    again = (
+        ewma(df.repartition(5), "uid", "seq", "v", alpha=0.5, lookback=4,
+             tiebreak_col="seq")
+        .where(F.col("uid") == 1).orderBy("seq").toPandas()
+    )
+    assert list(again.ewma_value) == list(out.ewma_value)
+    del itertools

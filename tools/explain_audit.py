@@ -296,6 +296,49 @@ AUDITS = [
         ["PartitionFilters: [cell", "BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # SCD2 build: lag + filter + lead over the SAME key window —
+        # one shuffle, no join anywhere in the plan
+        "scd2_order_status_history",
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # compaction planner: one window cumsum over file METADATA
+        # plus the job rollup — no join, no pair work
+        "compaction_plan_files",
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # RAG chunking: generator + slice projection only — a pure
+        # map pipeline; ANY exchange here means the chunker broke
+        "rag_chunk_docs",
+        ["Generate explode"],
+        ["Exchange", "Join"],
+    ),
+    (
+        # policy filter: pure per-row projection the scan evaluates —
+        # no exchange, no join, no aggregate
+        "curation_policy_filter",
+        [],
+        ["Exchange", "Join", "HashAggregate"],
+    ),
+    (
+        # join-skew scout: key histograms (map-side combined) joined
+        # at distinct-key size, top-n via bounded heap — never a
+        # global sort, never a pair explosion
+        "join_skew_profile_events",
+        ["HashAggregate", "partial_", "TakeOrderedAndProject"],
+        ["CartesianProduct", "Sort ["],
+    ),
+    (
+        # EWMA fold: one key-partitioned window carrying the bounded
+        # collect_list + aggregate() fold — no join, no pair work
+        "ewma_user_values",
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

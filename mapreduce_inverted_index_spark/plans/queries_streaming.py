@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_inverted_index_spark.functions.text import sql_terms
+from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
 from mapreduce_inverted_index_spark.plans.registry import register
 from mapreduce_inverted_index_spark.streaming import windows as W
 
@@ -192,3 +192,38 @@ def q_stream_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, f"{work}/state", f"{work}/ckpt", k=200
     )
     return verified_heavy_terms(spark, sf_dir, f"{work}/state", phi=0.01)
+
+
+@register(
+    "stream_chunk_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST((pos - 1) // 48 AS INTEGER) AS chunk_no,
+           CAST(pos AS INTEGER) AS start_tok,
+           CAST(len(toks[pos:pos+63]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(toks[pos:pos+63], ' ')) AS chunk_hash
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS pos
+          FROM (SELECT doc_id, __TOKS__ AS toks FROM documents)
+          WHERE len(toks) > 0)
+    """.replace("__TOKS__", sql_tokens("text")),
+    doc="Incremental RAG-chunk ingest: an AvailableNow file-stream "
+        "pass chunks exactly the newly-arrived document files and "
+        "APPENDS to the chunk table (exactly-once per file via the "
+        "checkpoint; stable (doc_id, chunk_no) identity makes the "
+        "append idempotent at the file level). No merge step, no "
+        "state — the cheap tier of incremental maintenance; per-pass "
+        "cost is O(new docs). Oracle = batch chunking of the whole "
+        "corpus, which the sink must equal after any pass history.",
+)
+def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_chunks_available_now,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_stream_chunks_")
+    maintain_chunks_available_now(
+        spark, sf_dir, f"{work}/chunks", f"{work}/ckpt"
+    )
+    return spark.read.parquet(f"{work}/chunks")

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "curation_policy_filter",
     "join_skew_profile_events",
     "ewma_user_values",
+    "stream_chunk_ingest",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -148,8 +149,7 @@ _DRIVER_PRIORITY = (
     "grouping_sets_revenue",
     "groupwise_zscore",
     "join_customer_orders",
-    "left_join_order_counts",
-    # (math_funcs_lineitem, median_stats_lineitem,
+    # (left_join_order_counts, math_funcs_lineitem, median_stats_lineitem,
     # multiway_join_region_revenue, null_handling_funcs,
     # rollup_order_stats, semi_join_open_order_customers rotated out
     # for the six later-round-6 additions above; all six retain

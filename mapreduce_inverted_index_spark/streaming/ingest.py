@@ -28,6 +28,7 @@ __all__ = [
     "ingest_available_now",
     "streamed_doc_ids",
     "maintain_index_available_now",
+    "maintain_chunks_available_now",
 ]
 
 
@@ -77,6 +78,51 @@ def streamed_doc_ids(corpus: DataFrame) -> DataFrame:
     return corpus.select(
         F.xxhash64("source").alias("doc_id"), F.col("text")
     )
+
+
+def maintain_chunks_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_dir: str,
+    checkpoint_path: str,
+    width: int = 64,
+    stride: int = 48,
+    glob: str = "documents.parquet",
+) -> None:
+    """Incremental RAG-chunk maintenance: one AvailableNow pass chunks
+    exactly the document files that arrived since the last pass and
+    APPENDS their chunks to the sink — exactly-once per file via the
+    checkpoint cursor.
+
+    Unlike the index (``maintain_index_available_now``) and the MG
+    sketch (``sketches.maintain_frequent_terms_available_now``),
+    chunking needs NO merge step: ``chunk_documents`` is a stateless
+    per-document map with stable ``(doc_id, chunk_no)`` identity, so
+    a plain streaming parquet APPEND is already correct and
+    idempotent at the file level — per-pass cost is O(new docs),
+    zero state, zero rewrite. This is the cheap tier of incremental
+    maintenance; the invariant (pytest-pinned) is that after any
+    number of passes the sink equals batch ``chunk_documents`` over
+    everything ingested so far. Downstream, the embedder processes
+    only the appended files (their paths are the delta).
+    """
+    from mapreduce_inverted_index_spark.operators.passages import (
+        chunk_documents,
+    )
+    from mapreduce_inverted_index_spark.streaming.sketches import docs_stream
+
+    chunks = chunk_documents(
+        docs_stream(spark, sf_dir, glob), width=width, stride=stride
+    )
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def maintain_index_available_now(

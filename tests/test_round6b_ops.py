@@ -226,3 +226,59 @@ def test_ewma_matches_python_recursion(spark):
     )
     assert list(again.ewma_value) == list(out.ewma_value)
     del itertools
+
+
+# ------------------------------------------------- incremental chunking
+
+def test_stream_chunk_ingest_equals_batch(spark, tmp_path):
+    """Incremental chunk maintenance: AvailableNow passes over a
+    growing landing dir of document shards append exactly the new
+    shards' chunks; after every pass the sink equals batch
+    chunk_documents over everything so far, and a no-news pass
+    appends nothing."""
+    import glob as globmod
+    import shutil
+
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_chunks_available_now,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_shard(name, rows):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        staged = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = globmod.glob(f"{staged}/part-*.parquet")[0]
+        shutil.move(part, str(landing / f"{name}.parquet"))
+
+    def stored():
+        return sorted(
+            map(tuple, spark.read.parquet(sink).collect())
+        )
+
+    def expected():
+        docs = spark.read.parquet(str(landing / "*.parquet"))
+        return sorted(map(tuple, chunk_documents(docs, 8, 5).collect()))
+
+    drop_shard("s1", [(1, " ".join(f"w{i}" for i in range(20)))])
+    drop_shard("s2", [(2, "alpha beta gamma")])
+    maintain_chunks_available_now(
+        spark, str(landing), sink, ckpt, width=8, stride=5, glob="*.parquet"
+    )
+    assert stored() == expected()
+
+    drop_shard("s3", [(3, " ".join(f"x{i}" for i in range(12)))])
+    maintain_chunks_available_now(
+        spark, str(landing), sink, ckpt, width=8, stride=5, glob="*.parquet"
+    )
+    after_two = stored()
+    assert after_two == expected()
+
+    maintain_chunks_available_now(
+        spark, str(landing), sink, ckpt, width=8, stride=5, glob="*.parquet"
+    )
+    assert stored() == after_two

@@ -158,3 +158,49 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_exact_dedup(_media(spark, sf_dir))
+
+
+@register(
+    "media_phash_near_dup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             lower(hex(CAST(text AS BLOB))) AS hx,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0),
+    b AS (
+      SELECT media_id, n,
+             list_transform(range(1, n + 1), i ->
+               (instr('0123456789abcdef', substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1) AS bytes
+      FROM m),
+    s AS (SELECT media_id, n, bytes, list_sum(bytes) AS total FROM b),
+    sig AS (
+      SELECT media_id,
+             list_sum(list_transform(range(0, 32), blk ->
+               CASE WHEN ((blk+1)*n)//32 - (blk*n)//32 > 0
+                     AND list_sum(list_slice(bytes, (blk*n)//32 + 1,
+                                             ((blk+1)*n)//32)) * n
+                         >= total * (((blk+1)*n)//32 - (blk*n)//32)
+               THEN CAST(1 AS BIGINT) << CAST(blk AS INTEGER)
+               ELSE CAST(0 AS BIGINT) END)) AS phash
+      FROM s)
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    doc="Perceptual-hash media near-dup: byte-level aHash (32 spans, "
+        "span mean vs global mean, cross-multiplied integer compare) "
+        "over binary payloads, then the SAME pigeonhole banding as "
+        "the text SimHash tier — 4 bands of 8 bits, equi-join on "
+        "(band, key), bit_count verify on candidates only. The "
+        "oracle is the all-pairs brute force, so a green row proves "
+        "the banding's exact recall within k on this family too. A "
+        "real image pipeline computes identical bits over decoded "
+        "8x8 luma (decode_image is the honest stub); everything "
+        "downstream of decode is exercised for real here.",
+)
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.media_phash_near_dup(_media(spark, sf_dir), max_hamming=3)

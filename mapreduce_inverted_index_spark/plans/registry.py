@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = (
     "join_skew_profile_events",
     "ewma_user_values",
     "stream_chunk_ingest",
+    "media_phash_near_dup",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -147,13 +148,13 @@ _DRIVER_PRIORITY = (
     "filter_pushdown_scan",
     "global_topk_orders",
     "grouping_sets_revenue",
-    "groupwise_zscore",
     "join_customer_orders",
-    # (left_join_order_counts, math_funcs_lineitem, median_stats_lineitem,
-    # multiway_join_region_revenue, null_handling_funcs,
-    # rollup_order_stats, semi_join_open_order_customers rotated out
-    # for the six later-round-6 additions above; all six retain
-    # r1-r3 driver rows plus this session's exact local sweep.)
+    # (groupwise_zscore, left_join_order_counts, math_funcs_lineitem,
+    # median_stats_lineitem, multiway_join_region_revenue,
+    # null_handling_funcs, rollup_order_stats,
+    # semi_join_open_order_customers rotated out for the eight
+    # later-round-6 additions above; all eight rotated-out queries
+    # retain r1-r3 driver rows plus this session's exact local sweep.)
 )
 
 

@@ -72,3 +72,38 @@ def test_frame_sampling_geometry(spark):
 def test_decode_stub_is_gated(spark):
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG fake")
+
+
+def test_media_phash_known_bits_and_banding(spark):
+    """aHash bit semantics pinned: payload of 16 low bytes then 16
+    high bytes over 32 single-byte spans sets exactly the high spans'
+    bits (ties >= mean count as 1). Banding finds the planted 1-span
+    flip (hamming 1) and both exact copies (hamming 0), and the
+    candidate equi-join never misses within k (pigeonhole)."""
+    from mapreduce_inverted_index_spark.operators.multimodal import (
+        media_phash,
+        media_phash_near_dup,
+    )
+
+    lo_hi = bytes([0] * 16 + [255] * 16)
+    flip = bytes([0] * 16 + [255] * 15 + [0])   # span 31 flips to 0
+    # NOT bytes(range(32)): a low-then-high ramp has the same
+    # span-vs-mean SHAPE as lo_hi (aHash is shape-invariant to
+    # monotone rescaling — that is its point), so it hashes
+    # identically; alternation flips every other bit instead.
+    far = bytes([255, 0] * 16)
+    media = spark.createDataFrame(
+        [(1, lo_hi), (2, lo_hi), (3, flip), (4, far)],
+        "media_id bigint, payload binary",
+    )
+    sig = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
+    assert sig[1] == 0xFFFF0000
+    assert sig[2] == sig[1]
+    assert sig[3] == 0x7FFF0000  # bit 31 cleared
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in media_phash_near_dup(media, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert not any(4 in p for p in pairs)

@@ -339,6 +339,16 @@ AUDITS = [
         ["Window"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # media perceptual near-dup: candidates from the (band, key)
+        # equi-join over the PERSISTED signature table — the per-byte
+        # HOF hash must never be inlined past the self-join
+        # (InMemoryTableScan proves the materialization; measured
+        # 264 s -> 2 s on 500 docs without it) and no pair explosion
+        "media_phash_near_dup",
+        ["InMemoryTableScan"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

@@ -135,3 +135,85 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return counts.crossJoin(tris).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    d_pct: int = 85,
+    iters: int = 5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """PageRank over undirected ``(u, v)`` edges in FIXED-POINT
+    integer arithmetic: ranks live as nano-units (``rank · 10⁹`` as
+    BIGINT) and every step — contribution split, damping, teleport —
+    is integer division/multiplication, so the result is EXACT,
+    order-independent, partitioning-independent, and replayable
+    verbatim by a DuckDB oracle with ``iters`` unrolled CTEs. Float
+    PageRank can't offer any of that: its per-vertex sums are
+    float-order-dependent and every engine rounds differently.
+
+    Per iteration (the standard power step, integer-floored):
+      ``contrib(u) = rank(u) div deg(u)``      (exact split)
+      ``rank'(v) = ((100 - d_pct) · scale) div (100 · N)
+                   + (d_pct · Σ contrib) div 100``
+    Floor division leaks ≤ 1 nano-unit per division — a defined,
+    deterministic part of the semantics (documented, not noise); with
+    scale = 10⁹ the leak is ~1e-9 per vertex per round, far below any
+    ranking-relevant difference.
+
+    Scale shape: the edge list (doubled for undirectedness) and the
+    degree table persist across rounds; each round is one
+    shuffle join (ranks × edges on src) + one aggregation on dst +
+    one left join back onto the vertex set — the Pregel message
+    pattern as three Catalyst-planned hash operations. Lineage is
+    truncated per round with ``localCheckpoint`` (same discipline and
+    caveat as ``dedup.dup_components``: at cluster scale use
+    fault-tolerant ``checkpoint()``). The driver loop holds an
+    iteration COUNTER only — no data, no convergence collect.
+
+    Output: ``id, rank_nano (BIGINT), rank (DOUBLE = nano / 10⁹)``.
+    """
+    de = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = de.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    de = de.persist()
+    n = deg.agg(F.count("*").alias("_n"))
+    teleport = F.expr(f"({(100 - d_pct)} * {scale}L) div (100 * _n)")
+    state = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("id"),
+            "deg",
+            F.expr(f"{scale}L div _n").alias("rank_nano"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        contrib = (
+            state.join(de, state.id == de.src)
+            .select(
+                F.col("dst"),
+                F.expr("rank_nano div deg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = (
+            deg.join(contrib, deg.src == contrib.dst, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("src").alias("id"),
+                "deg",
+                (
+                    teleport
+                    + F.expr(f"({d_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank_nano"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "id",
+        "rank_nano",
+        (F.col("rank_nano").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -442,3 +442,58 @@ def q_rag_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.chunk_documents(
         _docs(spark, sf_dir), width=64, stride=48
     ).withColumn("start_tok", F.col("start_tok").cast("int"))
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """DuckDB twin of graph.pagerank_fixed_point over the
+    co-occurrence graph: the iterative loop unrolled into one CTE
+    per power step — possible (and exact) ONLY because every step is
+    integer arithmetic; a float PageRank would diverge across
+    engines at the first per-vertex sum."""
+    sql = f"""
+    WITH edges AS ({_SQL_EDGES}),
+    de AS (SELECT u AS src, v AS dst FROM edges
+           UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM de GROUP BY 1),
+    n AS (SELECT count(*) AS _n FROM deg),
+    r0 AS (SELECT src AS id, deg,
+                  CAST(1000000000 // (SELECT _n FROM n) AS BIGINT) AS rank_nano
+           FROM deg)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    s{i} AS (SELECT de.dst, CAST(sum(r.rank_nano // r.deg) AS BIGINT) AS s
+             FROM {prev} r JOIN de ON de.src = r.id GROUP BY 1),
+    r{i} AS (SELECT deg.src AS id, deg.deg,
+                    CAST({15 * 10**9} // (100 * (SELECT _n FROM n))
+                         + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT)
+                      AS rank_nano
+             FROM deg LEFT JOIN s{i} ON s{i}.dst = deg.src)"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT id AS user_id, rank_nano,
+           CAST(rank_nano AS DOUBLE) / 1000000000.0 AS rank
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "pagerank_user_graph",
+    oracle=_pagerank_oracle(5),
+    doc="Fixed-point PageRank (5 power iterations, d=0.85) over the "
+        "user co-occurrence graph: ranks as integer nano-units, so "
+        "contribution split / damping / teleport are all exact "
+        "integer division — order- and partitioning-independent, "
+        "replayed verbatim by an unrolled-CTE oracle. The iterative "
+        "DataFrame loop persists edges+degrees across rounds, "
+        "truncates lineage per round, and keeps only a counter on "
+        "the driver. Operator: graph.pagerank_fixed_point.",
+)
+def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = G.pagerank_fixed_point(
+        G.cooccurrence_edges(_events(spark, sf_dir)), d_pct=85, iters=5
+    )
+    return pr.select(
+        F.col("id").alias("user_id"), "rank_nano", "rank"
+    )

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = (
     "ewma_user_values",
     "stream_chunk_ingest",
     "media_phash_near_dup",
+    "pagerank_user_graph",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -148,12 +149,11 @@ _DRIVER_PRIORITY = (
     "filter_pushdown_scan",
     "global_topk_orders",
     "grouping_sets_revenue",
-    "join_customer_orders",
-    # (groupwise_zscore, left_join_order_counts, math_funcs_lineitem,
+    # (groupwise_zscore, join_customer_orders, left_join_order_counts, math_funcs_lineitem,
     # median_stats_lineitem, multiway_join_region_revenue,
     # null_handling_funcs, rollup_order_stats,
-    # semi_join_open_order_customers rotated out for the eight
-    # later-round-6 additions above; all eight rotated-out queries
+    # semi_join_open_order_customers rotated out for the nine
+    # later-round-6 additions above; all rotated-out queries
     # retain r1-r3 driver rows plus this session's exact local sweep.)
 )
 

@@ -282,3 +282,58 @@ def test_stream_chunk_ingest_equals_batch(spark, tmp_path):
         spark, str(landing), sink, ckpt, width=8, stride=5, glob="*.parquet"
     )
     assert stored() == after_two
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    """The fixed-point recurrence is fully specified — an independent
+    Python implementation must agree to the nano-unit on a known
+    graph (star + path + isolated pair), under any partitioning."""
+    from collections import defaultdict
+
+    from mapreduce_inverted_index_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edge_list = [
+        (1, 2), (1, 3), (1, 4), (1, 5),     # star around 1
+        (5, 6), (6, 7),                     # path off one leaf
+        (8, 9),                             # separate component
+    ]
+
+    def ref(iters=5):
+        adj = defaultdict(list)
+        for u, v in edge_list:
+            adj[u].append(v)
+            adj[v].append(u)
+        nodes = sorted(adj)
+        n = len(nodes)
+        rank = {x: 10**9 // n for x in nodes}
+        for _ in range(iters):
+            s = defaultdict(int)
+            for u in nodes:
+                c = rank[u] // len(adj[u])
+                for v in adj[u]:
+                    s[v] += c
+            rank = {
+                x: 15 * 10**9 // (100 * n) + 85 * s[x] // 100 for x in nodes
+            }
+        return rank
+
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    got = {
+        r["id"]: r["rank_nano"]
+        for r in pagerank_fixed_point(edges, iters=5).collect()
+    }
+    assert got == ref(5)
+    # hub outranks leaves; every rank positive; mass ~conserved
+    assert got[1] == max(got.values())
+    assert all(v > 0 for v in got.values())
+    assert 0.95 * 10**9 <= sum(got.values()) <= 10**9
+    # partitioning-independent (exact integer math has no sum order)
+    again = {
+        r["id"]: r["rank_nano"]
+        for r in pagerank_fixed_point(edges.repartition(7), iters=5).collect()
+    }
+    assert again == got

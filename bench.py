@@ -72,6 +72,10 @@ HEADLINE = _R1SET + (
     "boilerplate_profile",
     "event_graph_triangles",
     "snapshot_merge_orders",
+    # late round-6: the iterative-graph family's heaviest member
+    # (5 fixed-point power steps = 5 join+agg rounds over the edge
+    # list; measures the per-iteration join/shuffle cost)
+    "pagerank_user_graph",
 )
 
 

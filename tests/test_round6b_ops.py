@@ -337,3 +337,95 @@ def test_pagerank_fixed_point_matches_reference(spark):
         for r in pagerank_fixed_point(edges.repartition(7), iters=5).collect()
     }
     assert again == got
+
+
+# ------------------------------------------------------ property tests
+
+def test_chunker_properties(spark):
+    """Property (hypothesis-driven shapes): for arbitrary doc lengths
+    and (width, stride) combos, chunking (a) covers every token
+    position, (b) emits ceil(n/stride) chunks, (c) clamps n_tokens to
+    min(width, n - start + 1), (d) keeps (doc_id, chunk_no) unique."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_words=st.integers(min_value=1, max_value=120),
+        width=st.integers(min_value=2, max_value=40),
+        stride_frac=st.floats(min_value=0.25, max_value=1.0),
+    )
+    def run(n_words, width, stride_frac):
+        stride = max(1, int(width * stride_frac))
+        text = " ".join(f"w{i}" for i in range(n_words))
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        )
+        ch = (
+            chunk_documents(docs, width=width, stride=stride)
+            .orderBy("chunk_no")
+            .collect()
+        )
+        assert len(ch) == (n_words + stride - 1) // stride
+        covered = set()
+        seen_ids = set()
+        for r in ch:
+            assert r["start_tok"] == r["chunk_no"] * stride + 1
+            assert r["n_tokens"] == min(width, n_words - r["start_tok"] + 1)
+            covered.update(
+                range(r["start_tok"], r["start_tok"] + r["n_tokens"])
+            )
+            assert (r["doc_id"], r["chunk_no"]) not in seen_ids
+            seen_ids.add((r["doc_id"], r["chunk_no"]))
+        assert covered == set(range(1, n_words + 1))
+
+    run()
+
+
+def test_compaction_plan_properties(spark):
+    """Property: for arbitrary file-size listings and targets, the
+    plan (a) assigns every file to exactly one job, (b) preserves
+    byte totals, (c) never exceeds target + largest member per job,
+    (d) keeps job file-ranges contiguous and ordered."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=0, max_value=5000), min_size=1, max_size=20
+        ),
+        target=st.integers(min_value=1, max_value=4000),
+    )
+    def run(sizes, target):
+        files = spark.createDataFrame(
+            [("p", i, s) for i, s in enumerate(sizes)],
+            "part string, fid int, sz bigint",
+        )
+        plan = (
+            compaction_plan(
+                files, target_bytes=target, partition_col="part",
+                file_col="fid", bytes_col="sz",
+            )
+            .orderBy("job_id")
+            .collect()
+        )
+        assert sum(r["n_files"] for r in plan) == len(sizes)
+        assert sum(r["total_bytes"] for r in plan) == sum(sizes)
+        for r in plan:
+            members = sizes[r["min_file_id"]: r["max_file_id"] + 1]
+            assert len(members) == r["n_files"]  # contiguous, exclusive
+            assert r["total_bytes"] <= target + max(members)
+        bounds = [(r["min_file_id"], r["max_file_id"]) for r in plan]
+        assert bounds == sorted(bounds)
+        assert all(a2 == b1 + 1 for (_, b1), (a2, _) in zip(bounds, bounds[1:]))
+
+    run()

@@ -29,6 +29,7 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "policy_filter",
+    "contrastive_negatives",
 ]
 
 # Gopher's rule-set requires a document to contain at least two of a
@@ -190,6 +191,87 @@ def policy_filter(
         "*",
         reasons.alias("reasons"),
     ).withColumn("keep", F.col("reasons") == "")
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor document, ``k`` pseudo-random negatives drawn
+    uniformly from the corpus by md5 arithmetic — ``negative j of
+    anchor a = the document at dense rank md5(a ‖ ':' ‖ j) mod N``.
+    Output: ``anchor_id, neg_no (1..k), neg_id, same_group`` (the
+    flag callers use to drop or down-weight in-group "negatives"
+    that may be semantically positive).
+
+    Why hash-indexed, not ``rand()``: the batch a trainer sees must
+    be REPLAYABLE — across retries, engines, and partitionings — or
+    no training run is reproducible and no oracle can check the
+    sampler. md5 gives uniform-ish ranks with exactly that property
+    (the same argument as ``stratified_sample``; both engines
+    implement md5 identically).
+
+    Shape at scale: the dense-rank table comes from
+    ``ids.assign_dense_ids`` (global row_number — see that docstring
+    for the ``assign_partition_ids`` alternative past tens of
+    millions of rows); probes are a k-way explode of the anchor ids
+    joined back on the integer rank — one shuffle on a bigint key,
+    never a crossJoin of the corpus. Self-matches (an anchor drawing
+    itself, probability k/N) are filtered, yielding ≤ k negatives
+    for those anchors — callers needing exactly-k re-probe with a
+    second salt.
+    """
+    from mapreduce_inverted_index_spark.operators.ids import assign_dense_ids
+
+    idx = assign_dense_ids(
+        docs.select(F.col(id_col).alias("_id"), F.col(group_col).alias("_grp")),
+        order_by="_id",
+        id_name="_rk",
+    )
+    n = idx.agg(F.count("*").alias("_n"))
+    probes = (
+        idx.select(
+            F.col("_id").alias("anchor_id"),
+            F.col("_grp").alias("_anchor_grp"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_j"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "_anchor_grp",
+            F.col("_j").cast("int").alias("neg_no"),
+            F.pmod(
+                _md5_long_str(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("_j").cast("string"),
+                    )
+                ),
+                F.col("_n"),
+            ).alias("_cand_rk"),
+        )
+    )
+    return (
+        probes.join(idx, probes._cand_rk == idx._rk)
+        .where(F.col("_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_no",
+            F.col("_id").alias("neg_id"),
+            (F.col("_grp") == F.col("_anchor_grp")).alias("same_group"),
+        )
+    )
+
+
+def _md5_long_str(col: F.Column) -> F.Column:
+    """First 15 hex chars of md5 of a string column as a non-negative
+    bigint (the cross-engine hash; same construction as
+    ``_md5_bucket`` without the modulus)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def _md5_bucket(col, buckets: int = 100) -> F.Column:

@@ -39,6 +39,7 @@ from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
 
 __all__ = [
     "brute_force_topk",
+    "hard_negatives",
     "embedding_near_dup",
     "hyperplane_signs",
     "lsh_bucket_topk",
@@ -613,4 +614,50 @@ def label_centroid_cosines(
         dots.join(norms.alias("na"), F.col("label_a") == F.col("na.label"))
         .join(norms.alias("nb"), F.col("label_b") == F.col("nb.label"))
         .select("label_a", "label_b", cos.alias("cosine"))
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most-cosine-similar corpus vectors with a
+    DIFFERENT label — the near-the-boundary negatives that teach a
+    contrastive model the most (random negatives, cf.
+    ``curation.contrastive_negatives``, are cheap but mostly easy).
+
+    ``anchors`` is ``(query_id, query_vec, query_label)`` and is
+    broadcast; the corpus side never shuffles for the scoring join.
+    This is the EXACT form (one scan of the corpus per anchor batch
+    — the same role ``brute_force_topk`` plays for ANN); at corpus
+    scale, generate candidates with the IVF cell layout instead
+    (``ivf_multi_assign`` / ``ivf_pruned_scan_topk``: probe the
+    anchor's nearest cells, then apply this exact scoring to the
+    pruned candidate set — recall governed by the measured IVF
+    contract). Output: ``query_id, vec_id, cos_sim, rank`` with the
+    deterministic (rounded-cosine, id) tiebreak.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("_lbl"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .where(F.col("_lbl") != F.col("query_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
     )

@@ -1353,3 +1353,80 @@ def q_curation_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.operators.curation import policy_filter
 
     return policy_filter(_docs(spark, sf_dir), blocklist=("slow", "legacy"))
+
+
+@register(
+    "contrastive_negatives_docs",
+    oracle="""
+    WITH idx AS (SELECT doc_id, source,
+                        CAST(row_number() OVER (ORDER BY doc_id) - 1
+                             AS BIGINT) AS rk
+                 FROM documents),
+         n AS (SELECT count(*) AS _n FROM idx),
+         probes AS (
+           SELECT a.doc_id AS anchor_id, a.source AS anchor_source,
+                  CAST(j AS INTEGER) AS neg_no,
+                  CAST(concat('0x', substring(md5(concat(
+                         CAST(a.doc_id AS VARCHAR), ':',
+                         CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % (SELECT _n FROM n) AS cand_rk
+           FROM idx a CROSS JOIN (SELECT unnest(range(1, 5)) AS j))
+    SELECT anchor_id, neg_no, b.doc_id AS neg_id,
+           (b.source = anchor_source) AS same_group
+    FROM probes JOIN idx b ON b.rk = probes.cand_rk
+    WHERE b.doc_id <> anchor_id
+    """,
+    doc="Deterministic contrastive negative sampling: 4 negatives "
+        "per anchor at dense rank md5(anchor:j) mod N — replayable "
+        "across retries/engines/partitionings (a rand() sampler is "
+        "neither reproducible nor oracle-checkable), uniform under "
+        "the hash, flagged same_group for in-source filtering. "
+        "Probes are a k-way explode joined back on the integer rank "
+        "— one bigint-key shuffle, never a corpus crossJoin. "
+        "Operator: curation.contrastive_negatives.",
+)
+def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    return contrastive_negatives(_docs(spark, sf_dir), k=4)
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_sql_cos('q.qv', 'e.embedding')} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.ql
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Hard-negative mining: for 50 broadcast anchor vectors, the "
+        "3 most-similar corpus vectors with a DIFFERENT label — the "
+        "near-boundary negatives contrastive training wants (random "
+        "negatives are mostly easy). Exact form; at corpus scale the "
+        "candidate set comes from the IVF cell layout first "
+        "(ivf_pruned_scan_topk) and this scoring runs on the pruned "
+        "candidates. Operator: similarity.hard_negatives.",
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negatives(emb, anchors, k=3)

@@ -429,3 +429,69 @@ def test_compaction_plan_properties(spark):
         assert all(a2 == b1 + 1 for (_, b1), (a2, _) in zip(bounds, bounds[1:]))
 
     run()
+
+
+# ----------------------------------------------- contrastive negatives
+
+def test_contrastive_negatives_semantics(spark):
+    from mapreduce_inverted_index_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(40)], "doc_id bigint, source string"
+    )
+    out = contrastive_negatives(docs, k=4, group_col="source").collect()
+    by_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["same_group"] == (r["neg_id"] % 3 == r["anchor_id"] % 3)
+        by_anchor.setdefault(r["anchor_id"], []).append(r["neg_no"])
+    # every anchor drew <= 4 negatives (== 4 unless it drew itself)
+    assert set(by_anchor) == set(range(40))
+    assert all(1 <= len(v) <= 4 for v in by_anchor.values())
+    # deterministic under repartitioning (replayable batches)
+    again = contrastive_negatives(
+        spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(40)],
+            "doc_id bigint, source string",
+        ).repartition(7),
+        k=4,
+        group_col="source",
+    ).collect()
+    key = lambda rows: sorted((r["anchor_id"], r["neg_no"], r["neg_id"]) for r in rows)  # noqa: E731
+    assert key(again) == key(out)
+
+
+# ---------------------------------------------------- hard negatives
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor [1,0]; same-label near-dup must be excluded, the
+    # nearest other-label vectors win in cosine order.
+    rows = [
+        (0, [1.0, 0.0], 0),     # anchor
+        (1, [0.99, 0.14], 0),   # same label — excluded however close
+        (2, [0.9, 0.44], 1),    # cos ~0.899 -> rank 2
+        (3, [1.0, 0.05], 1),    # cos ~0.999 -> rank 1
+        (4, [0.0, 1.0], 1),     # cos 0     -> rank 3
+        (5, [-1.0, 0.0], 2),    # cos -1    -> rank 4 (cut at k=3)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    anchors = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in hard_negatives(emb, anchors, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(3, 1), (2, 2), (4, 3)]

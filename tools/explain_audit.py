@@ -349,6 +349,22 @@ AUDITS = [
         ["InMemoryTableScan"],
         ["CartesianProduct"],
     ),
+    (
+        # negative sampler: dense-rank window + k-way explode joined
+        # back on the integer rank — the only nested-loop join is the
+        # broadcast 1-row N scalar, never a corpus pair explosion
+        "contrastive_negatives_docs",
+        ["Window", "Generate explode"],
+        ["CartesianProduct"],
+    ),
+    (
+        # hard negatives: anchors broadcast over the corpus scan
+        # (same shape as ann_cosine_topk), per-anchor top-k window —
+        # the corpus never shuffles for the scoring join
+        "hard_negatives_topk",
+        ["BroadcastNestedLoopJoin", "Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

@@ -142,7 +142,12 @@ def policy_filter(
     from mapreduce_inverted_index_spark.functions.text import tokenize
 
     d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
-    n_tokens = F.size("toks")
+    # coalesce: a NULL text (failed fetch — the reference's S2
+    # failure mode keeps the row) tokenizes to NULL under ANSI mode,
+    # and NULL < min_tokens is NULL, which concat_ws would silently
+    # skip — the broken doc would sail through keep=true. Pin it to
+    # 0 tokens so too_short fires.
+    n_tokens = F.coalesce(F.size("toks"), F.lit(0))
     mean_wl = F.when(
         n_tokens > 0,
         F.round(

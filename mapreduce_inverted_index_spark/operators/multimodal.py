@@ -40,6 +40,7 @@ __all__ = [
     "media_exact_dedup",
     "media_phash",
     "media_phash_near_dup",
+    "resize_payloads",
 ]
 
 PHASH_BITS = 32
@@ -208,6 +209,61 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 4) -> D
 
     video = media.where(F.col("kind") == "video")
     return video.mapInPandas(sampler, schema=_FRAMES_SCHEMA)
+
+
+def resize_payloads(media: DataFrame, out_len: int = 16) -> DataFrame:
+    """Resize/downsample over binary payloads via ``mapInPandas`` —
+    the byte-level stand-in for image resize (PIL's
+    ``Image.resize`` after :func:`decode_image`; swap the inner loop
+    when the decoder is real, the plan is identical): the payload is
+    split into ``out_len`` equal spans on the same integer grid as
+    :func:`media_phash` and each output "pixel" is the span's mean
+    byte value, floor-divided — exact integer math, so the DuckDB
+    twin replays it from the hex rendering bit-for-bit.
+
+    Output: ``media_id, kind, pixels ARRAY<DOUBLE>`` (length
+    ``out_len``; spans that are empty because the payload is shorter
+    than ``out_len`` yield 0.0). Narrow map stage: Arrow-batched,
+    one Python round-trip per batch, no shuffle; payload bytes never
+    leave the executor.
+    """
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = int(arr.size)
+                pixels = []
+                for i in range(out_len):
+                    lo = i * n // out_len
+                    hi = (i + 1) * n // out_len
+                    if hi <= lo:
+                        pixels.append(0.0)
+                    else:
+                        # exact: integer sum // span length
+                        pixels.append(
+                            float(int(arr[lo:hi].sum(dtype=np.int64)) // (hi - lo))
+                        )
+                out.append(pixels)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "pixels": out,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("pixels", ArrayType(DoubleType())),
+        ]
+    )
+    return media.mapInPandas(resizer, schema=schema)
 
 
 def media_phash(media: DataFrame, blocks: int = PHASH_BITS) -> DataFrame:

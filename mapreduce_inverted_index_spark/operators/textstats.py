@@ -26,6 +26,8 @@ __all__ = [
     "pii_stats",
     "repetition_profile",
     "lm_unigram_scores",
+    "build_vocab",
+    "encode_docs",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -356,4 +358,78 @@ def lm_unigram_scores(
             - F.col("_s").cast("double") / F.col("n_tokens"),
             6,
         ).alias("neg_logprob_per_tok"),
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    max_size: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: ``term, n_occ, token_id`` with
+    ids dense 0.. by (frequency desc, term asc) — the deterministic
+    tokenizer artifact (BPE and friends differ in the merge rule,
+    not this shape: count → rank → id table).
+
+    The ranking window runs over DISTINCT TERMS — vocabulary-sized
+    (≲ millions), orders of magnitude below corpus size — so the
+    single final window task is fine here even though it would not
+    be on the corpus (same reasoning as ``layout.grid_cells``'
+    histogram window). ``max_size`` truncates to the top-V ids.
+    """
+    counts = (
+        docs.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occ"), F.asc("term"))
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )
+    return vocab.where(F.col("token_id") < max_size) if max_size else vocab
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    unk_id: int = -1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-id encoding: each document's token stream as an INT
+    ARRAY under a broadcast vocabulary — the array the trainer
+    actually consumes (`pack_sequences` upstream budget-counts it;
+    this materializes it). Out-of-vocabulary tokens encode as
+    ``unk_id``. Output: ``doc_id, n_tokens, token_ids``.
+
+    Shape at scale: tokens carry their position through a BROADCAST
+    vocab join (the corpus never shuffles to look up ids), then one
+    groupBy collects ``(pos, id)`` structs and ``array_sort`` +
+    ``transform`` rebuilds the ordered id array — shuffle rows are
+    pure ints (doc_id, pos, id); token text never leaves the map
+    side. Order correctness does NOT rely on collect_list internal
+    ordering: the sort is explicit on the carried position.
+    """
+    if vocab is None:
+        vocab = build_vocab(docs, text_col=text_col)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    )
+    enc = tok.join(F.broadcast(vocab.select("term", "token_id")), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"],
+            ).alias("token_ids"),
+        )
     )

@@ -1308,7 +1308,9 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH m AS (
       SELECT doc_id,
-             CAST(len(toks) AS INTEGER) AS n_tokens,
+             -- coalesce mirrors the Spark side: NULL text must fire
+             -- too_short, not skip every rule
+             CAST(coalesce(len(toks), 0) AS INTEGER) AS n_tokens,
              CASE WHEN len(toks) > 0 THEN
                round(CAST(list_sum(list_transform(toks, t -> length(t)))
                           AS DOUBLE) / len(toks), 6)
@@ -1430,3 +1432,36 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("query_label"),
     )
     return hard_negatives(emb, anchors, k=3)
+
+
+@register(
+    "vocab_token_ids",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(toks) AS term,
+                        unnest(range(1, len(toks) + 1)) AS pos
+                 FROM (SELECT doc_id, {{toks}} AS toks FROM documents)),
+         vocab AS (SELECT term,
+                          CAST(row_number() OVER (ORDER BY n_occ DESC, term)
+                               - 1 AS INTEGER) AS token_id
+                   FROM (SELECT term, count(*) AS n_occ
+                         FROM tok GROUP BY term)),
+         enc AS (SELECT tok.doc_id, tok.pos,
+                        CAST(coalesce(v.token_id, -1) AS INTEGER) AS tid
+                 FROM tok LEFT JOIN vocab v USING (term))
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           list(tid ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """.format(toks=_TOKS),
+    doc="Tokenizer artifact end-to-end: frequency-ranked vocabulary "
+        "(ids dense by freq desc, term asc — the rank window runs "
+        "over the vocabulary, never the corpus) and each document "
+        "encoded as the INT id array the trainer consumes. Vocab "
+        "joins broadcast; shuffle rows are (doc_id, pos, id) ints — "
+        "token text never leaves the map side; array order is an "
+        "explicit sort on the carried position, not collect_list "
+        "luck. Operator: textstats.build_vocab/encode_docs.",
+)
+def q_vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.encode_docs(_docs(spark, sf_dir))

@@ -204,3 +204,38 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_phash_near_dup(_media(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "media_resize_pixels",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video', 'text'][CAST(doc_id % 4 AS INTEGER) + 1] AS kind,
+             lower(hex(CAST(text AS BLOB))) AS hx,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      FROM documents),
+    b AS (
+      SELECT media_id, kind, n,
+             list_transform(range(1, n + 1), i ->
+               (instr('0123456789abcdef', substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1) AS bytes
+      FROM m)
+    SELECT media_id, kind,
+           list_transform(range(0, 16), i ->
+             CASE WHEN ((i+1)*n)//16 - (i*n)//16 > 0
+             THEN CAST(list_sum(list_slice(bytes, (i*n)//16 + 1, ((i+1)*n)//16))
+                       // (((i+1)*n)//16 - (i*n)//16) AS DOUBLE)
+             ELSE 0.0 END) AS pixels
+    FROM b
+    """,
+    doc="Byte-level resize/downsample via mapInPandas (Arrow-batched "
+        "narrow map, payloads never shuffle): 16 output 'pixels' = "
+        "per-span mean byte values on the same integer grid as the "
+        "perceptual hash — exact floor math, replayed by the DuckDB "
+        "twin from the hex rendering. The real image path swaps the "
+        "inner loop for decode+PIL resize; plan shape unchanged. "
+        "Operator: multimodal.resize_payloads.",
+)
+def q_media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.resize_payloads(_media(spark, sf_dir), out_len=16)

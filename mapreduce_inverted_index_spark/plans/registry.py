@@ -123,6 +123,8 @@ _DRIVER_PRIORITY = (
     "pagerank_user_graph",
     "contrastive_negatives_docs",
     "hard_negatives_topk",
+    "media_resize_pixels",
+    "vocab_token_ids",
     # operators changed in round 6 — re-prove
     "tfidf_cosine_pairs",
     "frequent_bigrams",
@@ -147,14 +149,13 @@ _DRIVER_PRIORITY = (
     "agg_pricing_summary",
     "anti_join_orderless_customers",
     "broadcast_join_part_revenue",
-    "cube_lineitem_stats",
-    "filter_pushdown_scan",
-    # (global_topk_orders, grouping_sets_revenue, groupwise_zscore,
+    # (cube_lineitem_stats, filter_pushdown_scan, global_topk_orders,
+    # grouping_sets_revenue, groupwise_zscore,
     # join_customer_orders, left_join_order_counts, math_funcs_lineitem,
     # median_stats_lineitem, multiway_join_region_revenue,
     # null_handling_funcs, rollup_order_stats,
     # semi_join_open_order_customers rotated out for the
-    # eleven later-round-6 additions above; all rotated-out queries
+    # thirteen later-round-6 additions above; all rotated-out queries
     # retain r1-r3 driver rows plus this session's exact local sweep.)
 )
 

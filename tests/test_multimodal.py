@@ -107,3 +107,21 @@ def test_media_phash_known_bits_and_banding(spark):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
     assert not any(4 in p for p in pairs)
+
+
+def test_resize_payloads_exact_grid(spark):
+    """Pinned resize math: floor span means on the integer grid, and
+    short payloads zero-fill the empty spans."""
+    from mapreduce_inverted_index_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytes(range(16))), (2, "image", bytes([10, 20]))],
+        "media_id bigint, kind string, payload binary",
+    )
+    out = {r["media_id"]: list(r["pixels"]) for r in resize_payloads(media, 4).collect()}
+    assert out[1] == [1.0, 5.0, 9.0, 13.0]
+    # n=2, out_len=4: span bounds 0,0,1,1,2 -> spans (0,0) empty,
+    # (0,1)=10, (1,1) empty, (1,2)=20
+    assert out[2] == [0.0, 10.0, 0.0, 20.0]

@@ -495,3 +495,51 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
         .collect()
     ]
     assert got == [(3, 1), (2, 2), (4, 3)]
+
+
+def test_policy_filter_null_text_is_dropped(spark):
+    """A NULL text (the reference's failed-fetch row) must fire
+    too_short, not sail through with every rule NULL-skipped."""
+    docs = spark.createDataFrame(
+        [(1, None)], "doc_id bigint, text string"
+    )
+    r = policy_filter(docs).collect()[0]
+    assert r["n_tokens"] == 0
+    assert "too_short" in r["reasons"]
+    assert not r["keep"]
+
+
+# ----------------------------------------------------- vocab encoding
+
+def test_encode_docs_roundtrip_and_unk(spark):
+    """Encoding under the full vocab is lossless (decode == original
+    token stream); truncating the vocab maps the tail to unk_id."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        build_vocab,
+        encode_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red blue red green red blue"),
+            (2, "blue green yellow"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = {r["term"]: r["token_id"] for r in build_vocab(docs).collect()}
+    # freq ranks: red(3)=0, blue(3)? red=3, blue=3, green=2, yellow=1
+    # tie red/blue broken by term asc -> blue=0, red=1
+    assert vocab == {"blue": 0, "red": 1, "green": 2, "yellow": 3}
+    inv = {v: k for k, v in vocab.items()}
+    enc = {r["doc_id"]: list(r["token_ids"]) for r in encode_docs(docs).collect()}
+    assert [inv[t] for t in enc[1]] == "red blue red green red blue".split()
+    assert [inv[t] for t in enc[2]] == "blue green yellow".split()
+    assert 3 not in enc  # empty doc: no row (matches tokenize-empty)
+    # truncated vocab: yellow falls out -> unk (-1) at its position
+    small = build_vocab(docs, max_size=3)
+    enc2 = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_docs(docs, vocab=small).collect()
+    }
+    assert enc2[2] == [0, 2, -1]

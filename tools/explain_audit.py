@@ -365,6 +365,21 @@ AUDITS = [
         ["BroadcastNestedLoopJoin", "Window"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # resize: one Arrow-batched map stage over payloads — any
+        # exchange or join here means the narrow-map contract broke
+        "media_resize_pixels",
+        ["MapInPandas"],
+        ["Exchange", "Join"],
+    ),
+    (
+        # token-id encoding: vocab joins BROADCAST (the corpus never
+        # shuffles for the lookup); the only wide ops are the vocab
+        # count and the per-doc collect
+        "vocab_token_ids",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

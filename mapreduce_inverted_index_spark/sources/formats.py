@@ -23,6 +23,7 @@ __all__ = [
     "write_orc",
     "read_orc",
     "read_text_corpus",
+    "read_evolved_parquet",
 ]
 
 
@@ -108,3 +109,20 @@ def read_text_corpus(spark: SparkSession, path: str, *, dense: bool = False) -> 
         "source",
         "text",
     )
+
+
+def read_evolved_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read over Parquet shards written at different
+    times with different (compatible) schemas: the unified schema is
+    the union of all shards' columns and rows missing a column read
+    NULL — the lakehouse contract for tables that GAIN columns over
+    their lifetime (a 100 TB corpus is never rewritten because one
+    ingest added a `lang` tag).
+
+    ``mergeSchema`` is off by default in Spark because footer-merging
+    costs one footer read per file at planning time; turning it on
+    per-read (here) rather than globally keeps that cost where it is
+    paid for. Incompatible same-name types still fail loudly — this
+    widens schemas, it does not cast them.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

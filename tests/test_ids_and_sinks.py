@@ -186,3 +186,26 @@ def test_bucketed_index_tier_shuffle_free(spark, tmp_path):
     assert from_tables == from_docs
     spark.sql(f"DROP TABLE {idx_t}")
     spark.sql(f"DROP TABLE {tf_t}")
+
+
+def test_read_evolved_parquet_unions_schemas(spark, tmp_path):
+    """Shards written before/after a column addition read back under
+    the union schema with NULLs for the missing column — and the new
+    column is still filter-pushable."""
+    from mapreduce_inverted_index_spark.sources.formats import (
+        read_evolved_parquet,
+    )
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id bigint, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "beta", "en")], "doc_id bigint, text string, lang string"
+    ).write.parquet(new)
+    df = read_evolved_parquet(spark, old, new)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+    assert df.where("lang = 'en'").count() == 1

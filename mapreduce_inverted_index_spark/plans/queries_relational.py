@@ -1603,3 +1603,210 @@ def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value", alpha=0.5, lookback=8,
         tiebreak_col="event_id",
     ).select("event_id", "user_id", "ts", "ewma_value")
+
+
+# ----------------------------------------- correlated-subquery family
+# TPC-H Q4/Q15/Q17/Q21 shapes, written as their decorrelated plans:
+# Catalyst rewrites correlated EXISTS / scalar subqueries into the
+# semi/anti/aggregate-join forms below, so we declare those forms
+# directly — one shuffle per correlation key, no per-row re-execution
+# (the 100 TB requirement; a nested-loop subquery is O(rows x rows)).
+# The reference engine has no subquery surface at all (SURVEY §2.9).
+
+
+@register(
+    "late_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders with at least one line shipped >60 "
+        "days after order date, counted per priority. The correlated "
+        "EXISTS decorrelates to a LEFT SEMI join on l_orderkey with "
+        "the lateness predicate as a join residual — one shuffle, no "
+        "per-order subquery re-execution. Date-range filter is pushed "
+        "to the orders scan.",
+)
+def q_late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS BIGINT) * 5
+          * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l3
+             WHERE l3.l_partkey = l1.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue from small-quantity lines (below "
+        "20% of the part's average quantity). The correlated AVG "
+        "subquery decorrelates to a per-partkey aggregate joined "
+        "back on l_partkey; the brand dim filter semi-joins the "
+        "aggregate's input FIRST (broadcast) so per-part stats are "
+        "only computed for surviving parts — the magic-set rewrite, "
+        "by hand. qty < 0.2*avg is algebraized to qty*5*cnt < sum "
+        "(exact bigint, no float threshold flicker at the boundary).",
+)
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    brand_keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li_b = li.join(F.broadcast(brand_keys), "l_partkey", "left_semi")
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    )
+    small = li_b.join(per_part, "l_partkey").where(
+        F.col("l_quantity").cast("bigint") * 5 * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        (F.round(F.sum(dec("l_extendedprice")), 2).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@register(
+    "waiting_orders_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late supplier "
+        "on a multi-supplier finished order. Both correlated "
+        "subqueries (EXISTS other-supplier, NOT EXISTS other-late-"
+        "supplier) decorrelate into ONE per-order aggregate "
+        "(countDistinct suppliers / late suppliers) joined back on "
+        "l_orderkey — two correlations, one shuffle, versus the "
+        "naive plan's two extra lineitem self-joins. Supplier dim is "
+        "broadcast; top-20 via TakeOrderedAndProject (no global "
+        "sort). Deterministic: (numwait DESC, s_name) is a total "
+        "order.",
+)
+def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # lo feeds two branches (per-order agg + the qualifying-line
+    # filter); unpersisted, the lineitem-orders join runs twice (the
+    # bm25_topk lesson — see term_queries.bm25_rank's persist note).
+    lo = (
+        li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+        .persist()
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    qual = (
+        lo.where(F.col("_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: the top supplier(s) by quarterly revenue. "
+        "The scalar MAX subquery over the revenue CTE becomes an "
+        "agg + broadcast + equality filter (ties all survive, as in "
+        "the spec); revenue is computed ONCE and persisted across "
+        "its two uses (CTE reuse — Spark would otherwise inline and "
+        "recompute it). Exact-decimal revenue so the MAX equality "
+        "cannot flicker between engines.",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_disc_price()), 2).alias("total_revenue"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias(
+                "total_revenue"
+            )
+        )
+    )
+    return out

@@ -380,6 +380,40 @@ AUDITS = [
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # Q4 shape: correlated EXISTS declared as its decorrelated
+        # LEFT SEMI join (lateness predicate as the join residual) —
+        # no per-order subquery re-execution, no pair explosion
+        "late_order_priority_counts",
+        ["LeftSemi", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # Q17 shape: the correlated per-part AVG is an aggregate
+        # joined back on l_partkey; the brand dim semi-joins the
+        # aggregate's INPUT first (broadcast) — the magic-set
+        # rewrite, so per-part stats exist only for surviving parts
+        "small_qty_part_revenue",
+        ["LeftSemi", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # Q21 shape: both correlated subqueries collapse into ONE
+        # per-order countDistinct joined back off the PERSISTED
+        # lineitem-orders join (InMemoryTableScan — computed once,
+        # read twice); top-20 is a bounded heap, never a global sort
+        "waiting_orders_suppliers",
+        ["InMemoryTableScan", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q15 shape: the scalar MAX subquery is an agg + 1-row
+        # broadcast equality filter over the PERSISTED revenue CTE
+        # (computed once, read twice); supplier dim broadcast
+        "top_revenue_supplier",
+        ["InMemoryTableScan", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 ]
 
 

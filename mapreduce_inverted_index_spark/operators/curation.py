@@ -351,3 +351,28 @@ def pack_sequences(
         F.count("*").alias("n_docs"),
         F.sum("est_tokens").alias("seq_tokens"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic held-out split assignment: each row's id hashes
+    to a [0,100) md5-bucket; the first ``100 - val - test`` buckets
+    are train, then val, then test. Hash-keyed (not random) so the
+    assignment is reproducible run-to-run, independent of
+    partitioning, and STABLE UNDER CORPUS GROWTH — a doc never
+    migrates between splits when new data arrives, the property that
+    keeps eval sets uncontaminated across pipeline re-runs. Adds
+    ``split``; pure projection (no shuffle, scan-evaluable).
+    """
+    bucket = _md5_bucket(F.col(id_col))
+    train_cut = 100 - val_pct - test_pct
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_cut, F.lit("train"))
+        .when(bucket < train_cut + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -180,3 +180,56 @@ def ewma(
     )
     rounded = F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return df.withColumn("ewma_value", rounded)
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_agg: Column,
+    *,
+    day_col: str = "day",
+) -> DataFrame:
+    """Densify a per-key daily series and forward-fill the gaps.
+
+    The time-series regularization step (feature stores, training-data
+    label joins): aggregate events to (key, day) with ``value_agg``,
+    build each key's complete calendar spine between its first and
+    last active day (``sequence`` + ``explode`` — generated
+    executor-side, never a driver loop), left-join the observations
+    back, and carry the last observed value across missing days with
+    ``last(ignorenulls)`` over an UNBOUNDED PRECEDING window.
+
+    Scale: the spine is O(keys x days-of-range) rows of (long, date)
+    — dwarfed by the input event table it densifies. All three wide
+    ops (daily rollup, spine join, fill window) hash on ``key_col``,
+    so AQE coalesces them onto one partitioning; the rollup's partial
+    aggregate combines map-side. No driver-side calendar, no
+    cross join against a global date dimension (each key's spine is
+    clipped to ITS OWN active range — a global spine would be mostly
+    NULL rows at 100 TB, all shuffled for nothing).
+
+    Adds ``day_value`` (NULL on gap days), ``filled_value``
+    (forward-filled), ``is_gap``.
+    """
+    daily = (
+        df.withColumn(day_col, F.to_date(F.col(ts_col)))
+        .groupBy(key_col, day_col)
+        .agg(value_agg.alias("day_value"))
+    )
+    bounds = daily.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    spine = bounds.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, [key_col, day_col], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("day_value").isNull())
+    )

@@ -1465,3 +1465,110 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.encode_docs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_BIGRAMS}),
+    edges AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.05
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+           n_members
+    FROM (
+      SELECT c.component, c.doc_id, d.n_chars,
+             count(*) OVER (PARTITION BY c.component) AS n_members,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
+    doc="Canonical-document selection — the step that turns duplicate "
+        "CLUSTERS into a kept corpus: per connected component of the "
+        "0.05-Jaccard graph, keep the highest-quality member (longest "
+        "n_chars here; swap in lm_quality at production) with min "
+        "doc_id as the deterministic tiebreak. Composition: banded "
+        "pair join -> pointer-jumping components -> doc-metadata join "
+        "(hash, on doc_id) -> one per-component window. The component "
+        "table is only clustered docs (a small fraction of the "
+        "corpus), so the window shuffle is tiny next to the pair "
+        "join that fed it.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.05,
+        shingles=_shingles2(spark, sf_dir),
+    )
+    comp = D.dup_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    wp = Window.partitionBy("component")
+    wr = wp.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("n_members", F.count("*").over(wp))
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_members",
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM (SELECT source, n_chars, {_SQL_MD5_BUCKET} AS b FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic 90/5/5 train/val/test assignment by md5 id "
+        "bucket, profiled per source. Hash-keyed, so docs never "
+        "migrate between splits as the corpus grows (the eval-"
+        "contamination guard) and the assignment costs zero shuffle "
+        "— a pure scan projection. Operator: "
+        "curation.train_val_test_split.",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import (
+        train_val_test_split,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return (
+        train_val_test_split(d)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )

@@ -15,6 +15,7 @@ docstring. Plan-shape notes sit on each query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1810,3 +1811,86 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "gap_fill_daily_user_values",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS day_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM bounds)
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           d.day_value IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Time-series densify + forward-fill: each user's daily value "
+        "sums on a complete calendar spine (sequence+explode, clipped "
+        "to the user's own active range), gaps carried forward with "
+        "last(ignorenulls). The regularization step before any "
+        "rolling-feature computation. All three wide ops hash on "
+        "user_id. Operator: relational.gap_fill_daily.",
+)
+def q_gap_fill_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return R.gap_fill_daily(
+        ev, "user_id", "ts", F.round(F.sum(dec("value")), 2).cast("double")
+    ).select(
+        "user_id", F.col("day").cast("string").alias("day"),
+        "day_value", "filled_value", "is_gap",
+    )
+
+
+@register(
+    "grouped_agg_pandas_wavg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Grouped-AGG Pandas UDF (the UDAF API surface, completing "
+        "UDF/UDAF/UDTF next to doc_terms_udtf_api and the grouped-map "
+        "zscore demo): quantity-weighted mean price per return flag, "
+        "Arrow-batched per group. Engine-stable by integer math: "
+        "prices to exact cents, bigint dot product, ONE double "
+        "division at the end (no float-sum order dependence). Scale "
+        "caveat on the API itself: grouped-agg Pandas UDFs get no "
+        "map-side partial aggregation (every row shuffles) and need "
+        "the whole group in one Arrow batch — the builtin "
+        "sum(price*qty)/sum(qty) twin the oracle uses is the "
+        "production path; use this shape only when the per-group "
+        "reduction genuinely isn't expressible with builtins.",
+)
+def q_grouped_agg_pandas_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas is imported at module level: PEP-563 string annotations
+    # on the UDF resolve against function globals, so `pd` must be
+    # visible there for Spark's signature inference.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wavg(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        # exact bigint dot product; the single division is the only
+        # float op (both factors < 2^53, so it is correctly rounded
+        # and bit-identical to the oracle's)
+        return float((cents * q).sum()) / (100.0 * float(q.sum()))
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").agg(
+        _wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )

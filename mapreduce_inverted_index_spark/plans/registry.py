@@ -96,6 +96,15 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
+    # late-round-6 additions (no driver row exists yet for these)
+    "late_order_priority_counts",
+    "small_qty_part_revenue",
+    "waiting_orders_suppliers",
+    "top_revenue_supplier",
+    "gap_fill_daily_user_values",
+    "grouped_agg_pandas_wavg",
+    "dedup_keep_best",
+    "train_val_test_split",
     # round-6 additions
     "term_lookup_bucketed",
     "fuzzy_unblocked_pairs",
@@ -138,25 +147,23 @@ _DRIVER_PRIORITY = (
     "range_join_close_events",
     "json_events_agg",
     "map_funcs_events",
-    "distinct_users_per_type",
     "salted_agg_event_values",
     "asof_join_event_order",
-    "window_order_gaps",
-    "window_running_customer_spend",
-    "window_topn_orders_per_segment",
-    "conditional_pivot_monthly",
-    # stale relational core
-    "agg_pricing_summary",
-    "anti_join_orderless_customers",
-    "broadcast_join_part_revenue",
-    # (cube_lineitem_stats, filter_pushdown_scan, global_topk_orders,
-    # grouping_sets_revenue, groupwise_zscore,
-    # join_customer_orders, left_join_order_counts, math_funcs_lineitem,
-    # median_stats_lineitem, multiway_join_region_revenue,
-    # null_handling_funcs, rollup_order_stats,
-    # semi_join_open_order_customers rotated out for the
-    # thirteen later-round-6 additions above; all rotated-out queries
-    # retain r1-r3 driver rows plus this session's exact local sweep.)
+    # (distinct_users_per_type, window_order_gaps,
+    # window_running_customer_spend, window_topn_orders_per_segment,
+    # conditional_pivot_monthly, agg_pricing_summary,
+    # anti_join_orderless_customers, broadcast_join_part_revenue
+    # rotated out for the eight late-round-6 additions at the top —
+    # new queries with NO driver row ever outrank unchanged queries
+    # that hold r1-r3 rows; plus cube_lineitem_stats,
+    # filter_pushdown_scan, global_topk_orders, grouping_sets_revenue,
+    # groupwise_zscore, join_customer_orders, left_join_order_counts,
+    # math_funcs_lineitem, median_stats_lineitem,
+    # multiway_join_region_revenue, null_handling_funcs,
+    # rollup_order_stats, semi_join_open_order_customers for the
+    # thirteen earlier-round-6 additions; every rotated-out query
+    # retains an old driver row plus this session's exact local
+    # DuckDB sweep.)
 )
 
 

@@ -414,6 +414,36 @@ AUDITS = [
         ["InMemoryTableScan", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    (
+        # series densify: per-key spine generated executor-side
+        # (sequence+explode), fill is one key window — no global
+        # calendar cross join, no pair explosion
+        "gap_fill_daily_user_values",
+        ["Window", "Generate explode"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # split assignment is a pure scan projection; the only wide
+        # op is the profiling rollup (map-side combined) — no join
+        "train_val_test_split",
+        ["HashAggregate", "partial_"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # UDAF API demo: the grouped-agg Pandas node (documented: no
+        # partial agg — the builtin twin is the production path)
+        "grouped_agg_pandas_wavg",
+        ["ArrowAggregatePython"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # canonical-keeper selection: per-component window over the
+        # (small) clustered-docs table; candidates still come from
+        # the banded pair join — never a pair explosion
+        "dedup_keep_best",
+        ["Window"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

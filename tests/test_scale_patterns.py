@@ -164,3 +164,63 @@ def test_persisted_ivf_index_probe_is_pruned(spark, sf_smoke, tmp_path):
     assert {r["vec_id"] for r in probed.select("vec_id").collect()} == {
         r["vec_id"] for r in in_mem.select("vec_id").collect()
     }
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
+    """Runtime Bloom-filter join pruning — the 100 TB selective-join
+    story: when a dimension side carries a selective filter, Catalyst
+    injects a Bloom filter of its join keys into the fact side's scan
+    (`might_contain(...)` on l_orderkey below), so most fact rows die
+    at the scan instead of riding the shuffle. Local thresholds are
+    tuned for TB-scale inputs, so the test lowers them to trigger the
+    rewrite on MB-scale fixtures; result equality against the plain
+    join proves the filter is purely an optimization."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fire on MB-scale fixtures (defaults assume 10 GB probe side)
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        # bloom injection targets shuffle joins; park broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def _join():
+        o = (
+            spark.read.parquet(f"{sf_smoke}/orders.parquet")
+            .where(F.col("o_totalprice") > 450000)
+            .select("o_orderkey")
+        )
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+
+    baseline = _join().collect()[0]
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        bloomed = _join()
+        plan = bloomed._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter must reach the probe side"
+        assert "l_orderkey" in [
+            line for line in plan.splitlines() if "might_contain" in line
+        ][0], "pruning must key on the fact table's join column"
+        got = bloomed.collect()[0]
+        assert (got.n, got.rev) == (baseline.n, baseline.rev)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -49,6 +49,12 @@ QUERIES = [
     # ordered collect)
     "pagerank_user_graph",
     "vocab_token_ids",
+    # final round-6: series densify+fill (spine join + fill window),
+    # the Q21-shaped double-decorrelation, and canonical-keeper
+    # selection over the dup-cluster graph
+    "gap_fill_daily_user_values",
+    "waiting_orders_suppliers",
+    "dedup_keep_best",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when
@@ -79,6 +85,13 @@ Notes:
   The knob is the same one cooccurrence_edges documents (context
   width bounds block population); per-pass cost itself is three
   hash-planned ops, embarrassingly parallel in the edge partitions.
+- runtime Bloom-filter join pruning is verified by
+  tests/test_scale_patterns.py::test_runtime_bloom_filter_prunes_probe_side:
+  with a selective dim-side filter, Catalyst injects might_contain()
+  on the fact scan so pruned rows never reach the shuffle. The
+  injection thresholds (10 GB probe-side scan) are above these
+  fixtures, so the local bench never pays its build cost; at 100 TB
+  it fires exactly where it wins.
 - frequent_bigrams' growth term is the Arrow transfer of the
   exploded bigram stream into the per-partition Misra-Gries pass
   (the merge itself is vectorized value_counts/Series.add since r6;

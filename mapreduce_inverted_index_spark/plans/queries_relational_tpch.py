@@ -1,0 +1,641 @@
+"""The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20),
+adapted to the fixture star schema (which carries no ``partsupp``
+table — cost/stock-flavored queries are re-grounded on ``lineitem``
+shipment facts, keeping the PLAN shape that makes each query a
+distinct Catalyst exercise).
+
+Like the Q4/Q15/Q17/Q21 family in ``queries_relational.py``, every
+correlated subquery is written as its DECORRELATED plan — the
+semi/anti/aggregate-join form Catalyst rewrites the textbook SQL
+into — while the oracle keeps the textbook correlated SQL, so the
+differential check proves each decorrelation equivalence.
+
+Scale notes common to the family: nation/region/supplier/part dims
+are filtered FIRST and broadcast (the fact table never shuffles for
+a dim join); the only shuffles are fact-fact joins and final
+aggregations on their natural keys; all money math is exact decimal
+(``oracle_compat``) so cross-engine comparisons are bit-stable.
+
+The reference engine (Flask/HTTP MapReduce, SURVEY §2) has no join
+or subquery surface at all; this file exists because "a user of the
+reference could switch and run every query they run today" includes
+the relational analytics its README aspires to (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.plans.oracle_compat import dec
+from mapreduce_inverted_index_spark.plans.registry import register
+from mapreduce_inverted_index_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _one():
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def _disc_price():
+    return dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(3,2)"))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _nation_keys(spark, sf_dir, *names):
+    """nationkey set for the named nations (tiny — always broadcast)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.where(F.col("n_name").isin(*names)).select("n_nationkey", "n_name")
+
+
+# ------------------------------------------------------------- Q7 shape
+
+@register(
+    "volume_shipping_nation_pairs",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {_SQL_DISC_PRICE} AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations "
+        "by ship year. The nation filter is applied INSIDE each dim "
+        "before the fact joins — supplier and customer shrink to the "
+        "two nations' members and broadcast, so lineitem/orders only "
+        "shuffle for their fact-fact join; the disjunctive pair "
+        "predicate then runs on two already-tiny dim columns. The "
+        "naive plan (join all, filter last) would shuffle the full "
+        "fact tables through four dim joins first.",
+)
+def q_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = _nation_keys(spark, sf_dir, "NATION_1", "NATION_2")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------- Q8 shape
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE)
+           / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_SQL_DISC_PRICE} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue "
+        "sold into the ASIA region, per order year. Three broadcast "
+        "dims (type-filtered part, region-filtered customer keys, "
+        "supplier->nation map) prune the fact rows before the one "
+        "lineitem-orders shuffle; the share is a conditional decimal "
+        "sum over total decimal sum with a SINGLE double division "
+        "(numerator and denominator each exact, so the ratio is "
+        "bit-identical across engines).",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", _disc_price()).otherwise(
+                        zero * _one()
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("_num"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("_den"),
+        )
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+# ------------------------------------------------------------- Q9 shape
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_SQL_DISC_PRICE}
+               - CAST(0.6 AS DECIMAL(2,1))
+                 * CAST(p_retailprice AS DECIMAL(6,2))
+                 * CAST(l_quantity AS DECIMAL(2,0)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: per-nation, per-year profit on widget parts "
+        "(no partsupp in the fixtures, so unit cost is the standard "
+        "0.6 x retailprice proxy). The LIKE-filtered part dim and the "
+        "supplier->nation map broadcast; lineitem-orders is the one "
+        "shuffle. Decimal widths are chosen so every product stays "
+        "exact: (2,1)x(6,2)x(2,0) = (12,3), subtracted from the "
+        "(22,4) disc_price — no precision-39 overflow rounding "
+        "(the ADVICE.md tfidf lesson applied up front).",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        F.lit(0.6).cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(6,2)")
+        * F.col("l_quantity").cast("decimal(2,0)")
+    )
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(_disc_price() - cost), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+# ------------------------------------------------------------ Q14 shape
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100 AS DOUBLE)
+           * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN {_SQL_DISC_PRICE}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape: share of one ship-month's revenue from "
+        "PROMO parts. Part dim broadcasts (only partkey+type "
+        "survive pruning); the month filter pushes to the lineitem "
+        "scan; conditional decimal sum / decimal sum with one double "
+        "division at the end. The plan is scan -> broadcast-join -> "
+        "single partial+final agg: zero shuffles of fact data.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+                        zero * _one()
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("_promo"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("_total"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_promo") / F.col("_total")).alias("promo_revenue")
+        )
+    )
+
+
+# ------------------------------------------------------------ Q19 shape
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-conjunctions join predicate. The "
+        "equi-join conjunct (l_partkey = p_partkey) is common to all "
+        "three branches, so the join stays a hash join with the "
+        "disjunction as residual — never a nested-loop. The derived "
+        "union bounds (l_quantity in [1,30], p_size in [1,15]) are "
+        "pushed to the scans BY HAND: Catalyst does not infer "
+        "range-unions across OR branches, and at 100 TB that scan "
+        "cut is the difference between reading 30% and 100% of the "
+        "fact table.",
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hand-derived union bounds -> scan-level pruning on BOTH sides
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(
+            F.col("p_brand").isin("Brand#3", "Brand#5", "Brand#7")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity").between(1, 30))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------- Q2 shape
+
+@register(
+    "min_cost_part_suppliers",
+    oracle="""
+    SELECT s_acctbal, s_name, n_name, p_partkey, min_price
+    FROM (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+             l.l_extendedprice AS min_price
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_size = 10 AND p.p_type = 'SMALL'
+        AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+    ) q
+    GROUP BY s_acctbal, s_name, n_name, p_partkey, min_price
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: for each size-10 SMALL part, the "
+        "supplier(s) who shipped it at its minimum price. The "
+        "correlated scalar MIN decorrelates to a per-partkey "
+        "aggregate joined back on (partkey, price) — one shuffle on "
+        "partkey instead of a per-part rescan. The part filter "
+        "semi-joins the aggregate's input FIRST (magic-set, as in "
+        "small_qty_part_revenue) so mins are only computed for "
+        "surviving parts. MIN carries a raw double through both "
+        "engines untouched (no arithmetic), so the equality join "
+        "cannot flicker. Dedup via GROUP BY mirrors multiple "
+        "min-price shipments by the same supplier collapsing to one "
+        "row. Top-100 via TakeOrderedAndProject on the total order "
+        "(acctbal DESC, unique s_name, p_partkey).",
+)
+def q_min_cost_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prt_keys = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 10) & (F.col("p_type") == "SMALL"))
+        .select(F.col("p_partkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    li_p = li.join(
+        F.broadcast(prt_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    mins = li_p.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    at_min = li_p.join(
+        mins,
+        (F.col("l_partkey") == F.col("mk"))
+        & (F.col("l_extendedprice") == F.col("min_price")),
+    ).select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "min_price")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    return (
+        at_min.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "min_price")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------ Q11 shape
+
+@register(
+    "important_part_value_share",
+    oracle="""
+    WITH li_n AS (
+      SELECT l_partkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                  * 10000 AS BIGINT) AS units
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5')
+    SELECT l_partkey, CAST(SUM(units) AS DOUBLE) / 10000.0 AS part_value
+    FROM li_n
+    GROUP BY l_partkey
+    HAVING SUM(units) * 1000 > (SELECT SUM(units) FROM li_n)
+    """,
+    doc="TPC-H Q11 shape: parts representing an outsized share "
+        "(>0.1%) of NATION_5 suppliers' shipped value. The scalar "
+        "total-subquery decorrelates to one aggregate broadcast into "
+        "a post-agg filter; the nation-filtered supplier set "
+        "broadcasts into the fact scan. Threshold compares in exact "
+        "integer ten-thousandths (bigint both engines; sum x 1000 "
+        "stays < 2^63 through sf1) — no float flicker at the 0.1% "
+        "boundary. The shipment rows are computed once and persisted "
+        "across the per-part and total branches.",
+)
+def q_important_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    units = (_disc_price() * F.lit(10000)).cast("bigint")
+    li_n = (
+        li.join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("l_partkey", units.alias("units"))
+        .persist()  # feeds both the per-part agg and the global total
+    )
+    per_part = li_n.groupBy("l_partkey").agg(F.sum("units").alias("_sum_units"))
+    total = li_n.agg(F.sum("units").alias("_total_units"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_sum_units") * 1000 > F.col("_total_units"))
+        .select(
+            "l_partkey",
+            (F.col("_sum_units").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------ Q16 shape
+
+@register(
+    "supplier_cnt_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: how many distinct suppliers ship each "
+        "(brand, type, size) bucket, excluding a supplier denylist "
+        "(negative-balance suppliers stand in for the spec's "
+        "complaints list; the fixtures have no partsupp). The NOT IN "
+        "decorrelates to a broadcast LEFT ANTI join BEFORE the "
+        "countDistinct — the denylist is tiny, the anti-join is "
+        "map-side, and the only shuffle is the final distinct "
+        "aggregation on the group keys. NOT IN's NULL trap doesn't "
+        "arise (s_suppkey is a non-null key) and the anti-join is "
+        "the semantics-preserving rewrite for that case.",
+)
+def q_supplier_cnt_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    denylist = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------------------------------ Q20 shape
+
+@register(
+    "excess_shipped_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l1.l_partkey, l1.l_suppkey
+        HAVING 2 * SUM(CAST(l1.l_quantity AS BIGINT)) > (
+          SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: NATION_7 suppliers who were the MAJORITY "
+        "shipper of some part in 1996 (no partsupp, so 'availqty > "
+        "half the shipped quantity' becomes 'shipped more than half "
+        "the part's total'). Two nested correlations decorrelate "
+        "into a per-(part,supplier) aggregate joined to a per-part "
+        "aggregate over the SAME persisted year-filtered scan — one "
+        "pass over lineitem, two cheap aggs, versus the textbook "
+        "plan's per-group rescan. Quantities compare as exact "
+        "bigints (2*sq > pq). The IN decorrelates to a distinct "
+        "semi-join; the nation-filtered supplier dim broadcasts.",
+)
+def q_excess_shipped_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_y = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("q"))
+        .persist()  # feeds the per-(part,supp) AND per-part aggregates
+    )
+    per_ps = li_y.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sq"))
+    per_p = li_y.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("q").alias("pq"))
+    majority = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("sq") * 2 > F.col("pq"))
+        .select("l_suppkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sup.join(
+            majority, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        ).orderBy("s_suppkey")
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "mapreduce_inverted_index_spark.plans.queries_sketches",
     "mapreduce_inverted_index_spark.plans.queries_pipeline",
     "mapreduce_inverted_index_spark.plans.queries_relational",
+    "mapreduce_inverted_index_spark.plans.queries_relational_tpch",
 )
 
 

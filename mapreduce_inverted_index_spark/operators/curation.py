@@ -30,6 +30,7 @@ __all__ = [
     "pack_sequences",
     "policy_filter",
     "contrastive_negatives",
+    "corpus_shuffle",
 ]
 
 # Gopher's rule-set requires a document to contain at least two of a
@@ -351,6 +352,43 @@ def pack_sequences(
         F.count("*").alias("n_docs"),
         F.sum("est_tokens").alias("seq_tokens"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "42",
+    rank_name: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: a dense 0-based training
+    order by ``md5(seed:id)`` — the reproducible permutation every
+    training run needs (epoch order must be replayable for debugging
+    and for elastic restarts, so ``rand()`` is out).
+
+    Scale shape: the total order is established by a RANGE
+    repartition on the hash (uniform by construction — md5 output is
+    unskewed, so the range partitions are balanced regardless of how
+    skewed ``id_col`` is) + a per-partition sort, and ranks come from
+    :func:`~mapreduce_inverted_index_spark.operators.ids.assign_partition_ids`
+    (per-partition counts -> driver prefix sums, O(#partitions)
+    driver state) — NOT a global row_number window, whose empty
+    partitionBy funnels 100 TB through one task. Rows are projected
+    to (id, hash) BEFORE the rank pass so document payloads never
+    ride through it; callers re-join payloads by id (or write
+    sorted-by-rank and read back, the production layout).
+
+    Output: ``id_col, rank_name`` with ranks exactly equal to
+    ``row_number() OVER (ORDER BY md5, id) - 1``. Changing ``seed``
+    yields an independent permutation (fresh epoch order).
+    """
+    from mapreduce_inverted_index_spark.operators.ids import assign_partition_ids
+
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("_shuffle_key"))
+    ordered = keyed.repartitionByRange("_shuffle_key", id_col).sortWithinPartitions(
+        "_shuffle_key", id_col
+    )
+    return assign_partition_ids(ordered, rank_name).drop("_shuffle_key")
 
 
 def train_val_test_split(

@@ -1572,3 +1572,27 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
         )
     )
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS shuffle_rank
+    FROM documents
+    """,
+    doc="Deterministic global training-order shuffle: dense 0-based "
+        "rank by md5('seed:doc_id') — replayable epoch order. The "
+        "plan is a RANGE repartition on the hash (balanced by "
+        "construction) + per-partition sort + prefix-sum rank "
+        "assignment (O(#partitions) driver state), never a global "
+        "row_number window through one task. The oracle IS that "
+        "window — proving the distributed rank assignment equals "
+        "the single-task semantics. Operator: curation.corpus_shuffle.",
+)
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir).select("doc_id"))

@@ -127,6 +127,54 @@ def q_stream_enriched_segment_counts(
 
 
 @register(
+    "stream_attribution_join_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM clicks),
+                   (SELECT max(ts) FROM purchases))
+             - INTERVAL 2 HOUR AS w)
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM clicks c
+    LEFT JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+    doc="LEFT OUTER stream-stream interval join: matched clicks emit "
+        "per purchase; unmatched clicks emit once with NULL purchase "
+        "after the watermark passes their join window (state "
+        "eviction). The oracle encodes the exact emission rule: NULL "
+        "rows only for clicks whose window closed under the final "
+        "two-source min-policy watermark — verified equal row-for-row.",
+)
+def q_stream_attribution_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.stream_attribution_join_outer(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="dropDuplicatesWithinWatermark on (user_id, event_type): "
+        "bounded-state streaming dedup (state evicts delay after "
+        "first sight, unlike dropDuplicates' forever-state). Keys "
+        "only — the surviving row per key is nondeterministic.",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.stream_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     SELECT event_type, count(DISTINCT event_id) AS n_unique_events

@@ -36,7 +36,9 @@ __all__ = [
     "sliding_avg_value",
     "session_windows",
     "stream_dedup_events",
+    "stream_dedup_within_watermark",
     "stream_attribution_join",
+    "stream_attribution_join_outer",
     "stream_enriched_segment_counts",
 ]
 
@@ -257,6 +259,90 @@ def stream_attribution_join(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def stream_attribution_join_outer(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: every click
+    emits — matched ones per qualifying purchase, unmatched ones ONCE
+    with NULL purchase columns *after the watermark passes their join
+    window* (the state-eviction point: Spark can only declare "no
+    purchase will ever match" once no future input can land inside
+    (click_ts, click_ts + horizon]).
+
+    The outer side is the semantics batch joins get for free but
+    streams must EARN through watermarks, and it is exactly the shape
+    attribution pipelines need ("clicks that never converted"). Rows
+    whose window the final watermark never passes are withheld — on
+    an unbounded stream they'd still be waiting for a match, and the
+    AvailableNow run faithfully reproduces that: the oracle restricts
+    NULL rows to clicks with ``click_ts + horizon < min(max click ts,
+    max purchase ts) - delay`` (the two-source global watermark under
+    the default min policy). Output: ``user_id, click_id,
+    purchase_id (nullable), lag_us (nullable)``.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts > click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "left_outer",
+    )
+    out = _run_to_table(
+        joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on (user_id, event_type): the
+    bounded-state dedup for streams whose duplicates arrive within a
+    known delay of each other (retries, at-least-once sources). Unlike
+    ``dropDuplicates`` — whose per-key state lives FOREVER unless the
+    event-time key includes the watermark column — this evicts each
+    key ``delay`` after first sight, so state is O(keys per window),
+    the only shape that survives an unbounded 100 TB/day stream.
+
+    With one AvailableNow batch every duplicate is trivially "within
+    the watermark", so the output keyset equals batch DISTINCT. Which
+    physical row survives per key is nondeterministic (first-seen in
+    partition order), so only the dedup KEYS are projected — the
+    deterministic contract.
+    """
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(deduped, mode="append")
 
 
 def stream_enriched_segment_counts(

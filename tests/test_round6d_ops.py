@@ -1,0 +1,188 @@
+"""Final-session round-6 operator semantics beyond the registry
+differential:
+
+* corpus_shuffle: ranks are a dense 0-based permutation; same seed is
+  reproducible; different seeds give genuinely different orders; the
+  distributed rank equals the single-task row_number semantics on a
+  fixture small enough to check by hand.
+* disjunctive_predicate_revenue's hand-derived union bounds are
+  semantics-preserving (the manually pushed [1,30]/[1,15] ranges drop
+  no qualifying row).
+* majority-shipper (Q20 shape) strictness: exactly-half shippers are
+  excluded (2*sq > pq is strict), clear-majority shippers included.
+* streaming left-outer interval join: the matched subset equals the
+  inner join; NULL rows appear only for clicks whose join window the
+  final watermark passed.
+* dropDuplicatesWithinWatermark: the emitted keyset equals batch
+  DISTINCT on the dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.curation import corpus_shuffle
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------- corpus_shuffle
+
+def _docs(spark, n=97):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_corpus_shuffle_is_dense_permutation(spark):
+    out = corpus_shuffle(_docs(spark), "doc_id").collect()
+    ranks = sorted(r.shuffle_rank for r in out)
+    assert ranks == list(range(97)), "ranks must be a dense 0-based permutation"
+    assert len({r.doc_id for r in out}) == 97
+
+
+def test_corpus_shuffle_reproducible_and_seed_sensitive(spark):
+    a = {r.doc_id: r.shuffle_rank for r in corpus_shuffle(_docs(spark), "doc_id").collect()}
+    b = {r.doc_id: r.shuffle_rank for r in corpus_shuffle(_docs(spark), "doc_id").collect()}
+    c = {r.doc_id: r.shuffle_rank for r in
+         corpus_shuffle(_docs(spark), "doc_id", seed="7").collect()}
+    assert a == b, "same seed must replay the identical permutation"
+    assert a != c, "a different seed must give an independent permutation"
+    assert sorted(c.values()) == list(range(97))
+
+
+def test_corpus_shuffle_matches_row_number_semantics(spark):
+    out = {r.doc_id: r.shuffle_rank for r in corpus_shuffle(_docs(spark), "doc_id").collect()}
+    import hashlib
+
+    expected_order = sorted(
+        range(97), key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(), i)
+    )
+    expected = {doc: rank for rank, doc in enumerate(expected_order)}
+    assert out == expected
+
+
+# ------------------------------------- Q19 manual range-union pushdown
+
+def test_disjunctive_bounds_drop_no_rows(spark):
+    """The hand-pushed union bounds must be implied by the branch
+    disjunction: computing revenue WITHOUT the scan-level bounds must
+    give the identical answer."""
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    got = all_queries()["disjunctive_predicate_revenue"].fn(spark, SF_SMALL).collect()
+
+    prt = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    branch = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    want = (
+        li.join(prt, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.round(F.sum(disc), 2).cast("double").alias("revenue"))
+        .collect()
+    )
+    assert got[0].revenue == want[0].revenue
+
+
+# ----------------------------------------- Q20 majority strictness
+
+def test_majority_shipper_strictness(spark, tmp_path):
+    """2*sq > pq is strict: a supplier shipping exactly half a part's
+    quantity is NOT a majority shipper; one shipping more than half is."""
+    import datetime
+
+    d = datetime.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [
+            # part 1: supplier 10 ships 5, supplier 11 ships 5 -> 50/50, neither qualifies
+            (1, 10, 5.0, d), (1, 11, 5.0, d),
+            # part 2: supplier 10 ships 6, supplier 11 ships 4 -> 10 qualifies
+            (2, 10, 6.0, d), (2, 11, 4.0, d),
+            # part 3 shipped outside the year window -> ignored entirely
+            (3, 12, 9.0, datetime.datetime(1999, 1, 1)), (3, 13, 1.0, datetime.datetime(1999, 1, 1)),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp",
+    )
+    sup = spark.createDataFrame(
+        [(10, "S10", 7), (11, "S11", 7), (12, "S12", 7), (13, "S13", 7)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nat = spark.createDataFrame(
+        [(7, "NATION_7", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    base = str(tmp_path / "sf")
+    li.write.parquet(f"{base}/lineitem.parquet")
+    sup.write.parquet(f"{base}/supplier.parquet")
+    nat.write.parquet(f"{base}/nation.parquet")
+
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    out = all_queries()["excess_shipped_part_suppliers"].fn(spark, base).collect()
+    assert [(r.s_suppkey, r.s_name) for r in out] == [(10, "S10")]
+
+
+# ------------------------------------------------ streaming additions
+
+def test_stream_outer_join_nulls_only_past_watermark(spark):
+    from mapreduce_inverted_index_spark.streaming.windows import (
+        stream_attribution_join,
+        stream_attribution_join_outer,
+    )
+
+    outer = stream_attribution_join_outer(spark, SF_SMALL).cache()
+    inner = stream_attribution_join(spark, SF_SMALL)
+
+    matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in outer.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    want = {(r.user_id, r.click_id, r.purchase_id) for r in inner.collect()}
+    assert matched == want, "outer join's matched subset must equal the inner join"
+
+    # every NULL row's click window must have closed under the final
+    # two-source min watermark (else Spark could not know it's final)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    maxes = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    )
+    final_wm_us = min(
+        int(r.mx.timestamp() * 1_000_000) for r in maxes
+    ) - 2 * 3600 * 1_000_000
+
+    clicks = {
+        r.event_id: int(r.ts.timestamp() * 1_000_000)
+        for r in ev.where(F.col("event_type") == "click").collect()
+    }
+    for r in outer.where(F.col("purchase_id").isNull()).collect():
+        assert clicks[r.click_id] + 3600 * 1_000_000 < final_wm_us, (
+            "NULL rows may only emit once the watermark passed the click's window"
+        )
+        assert r.lag_us is None
+
+
+def test_dedup_within_watermark_keyset(spark):
+    from mapreduce_inverted_index_spark.streaming.windows import (
+        stream_dedup_within_watermark,
+    )
+
+    out = stream_dedup_within_watermark(spark, SF_SMALL)
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    assert len(got) == out.count(), "each key must emit exactly once"
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    want = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want

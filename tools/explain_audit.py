@@ -444,6 +444,85 @@ AUDITS = [
         ["Window"],
         ["CartesianProduct"],
     ),
+    (
+        # Q7 shape: nation-filtered dims broadcast; the ship-date
+        # filter reaches the lineitem scan; the only shuffle is the
+        # lineitem-orders fact join
+        "volume_shipping_nation_pairs",
+        ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q8 shape: part/customer/supplier dims all broadcast around
+        # the one fact-fact shuffle
+        "nation_market_share",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q9 shape: LIKE-filtered part + supplier->nation broadcast
+        "product_type_profit",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q14 shape: month filter pushed to the lineitem scan, part
+        # dim broadcast — zero shuffles of fact rows
+        "promo_revenue_share",
+        ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # Q19 shape: the common equi-conjunct keeps this a HASH join
+        # with the OR-of-conjunctions as residual (never nested-loop);
+        # hand-derived union bounds reach BOTH scans
+        "disjunctive_predicate_revenue",
+        [
+            "BroadcastHashJoin",
+            "GreaterThanOrEqual(l_quantity,1.0)",
+            "LessThanOrEqual(l_quantity,30.0)",
+            "In(p_brand",
+        ],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    (
+        # Q2 shape: correlated scalar MIN -> per-part agg equality
+        # join; part filter semi-joins the agg input first; top-100
+        # is a bounded heap
+        "min_cost_part_suppliers",
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q11 shape: nation-filtered shipments persisted across the
+        # per-part and global-total branches (computed once); the
+        # scalar total is a 1-row broadcast
+        "important_part_value_share",
+        ["InMemoryTableScan", "LeftSemi"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Q16 shape: denylist NOT IN -> broadcast LEFT ANTI before
+        # the distinct aggregation; no fact shuffle for any dim
+        "supplier_cnt_by_part_attrs",
+        ["LeftAnti", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # Q20 shape: one persisted year-filtered scan feeds both the
+        # per-(part,supp) and per-part aggregates; IN -> semi-join
+        "excess_shipped_part_suppliers",
+        ["InMemoryTableScan", "LeftSemi"],
+        ["CartesianProduct"],
+    ),
+    (
+        # global training-order shuffle: ranks come from the range-
+        # partition + prefix-sum path (RDD scan), NEVER a global
+        # row_number window through a single task
+        "corpus_shuffle_order",
+        ["Scan ExistingRDD"],
+        ["Window ["],
+    ),
 ]
 
 

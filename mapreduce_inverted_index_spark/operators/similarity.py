@@ -54,6 +54,7 @@ __all__ = [
     "dequantize",
     "label_centroids",
     "label_centroid_cosines",
+    "gram_matrix",
 ]
 
 N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
@@ -661,3 +662,58 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def gram_matrix(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Distributed uncentered Gram matrix G = Σ_v q(v) q(v)^T over an
+    embedding column — the one-pass reduction under PCA/whitening/
+    covariance (center and eigendecompose the d x d result driver-
+    side; d² is tiny even when N is 100 TB).
+
+    Plan shape is the whole point: each ``mapInPandas`` batch stacks
+    its vectors and emits ONE d x d partial via an integer matmul, so
+    the shuffle carries O(partitions x d²) cells, never the
+    O(N x d²) rows an explode + self-join + groupBy would (the
+    naive relational phrasing shuffles every pairwise component
+    product — unusable at scale).
+
+    Exactness across engines: components quantize to fixed-point
+    ``floor(x * scale + 0.5)`` int64 BEFORE any product (explicit
+    round-half-up — numpy's round() is half-to-even, SQL ROUND is
+    half-away; floor(+0.5) sidesteps both), and int64 sums are
+    order-independent, so a SQL oracle phrased as the naive unnest
+    self-join reproduces the distributed result bit-for-bit.
+
+    Output: ``i, j, gram`` for the upper triangle (i <= j), gram in
+    units of scale^-2.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # probe d from the schema-registered fixture contract at plan
+    # build: first batch defines it; emitting (i, j) longs keeps the
+    # schema d-agnostic.
+    def partial_grams(batches):
+        acc = None
+        dim = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(mat * scale + 0.5).astype(np.int64)
+            g = q.T @ q  # exact: int64 matmul, values << 2^63
+            acc = g if acc is None else acc + g
+            dim = g.shape[0]
+        if acc is not None:
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "gram": acc[iu, ju]}
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        partial_grams, schema="i int, j int, gram long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("gram").alias("gram"))

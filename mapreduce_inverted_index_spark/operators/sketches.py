@@ -32,6 +32,8 @@ __all__ = [
     "hll_merge",
     "approx_quantiles_rank_checked",
     "frequent_items",
+    "cms_build",
+    "cms_estimate",
 ]
 
 
@@ -198,3 +200,83 @@ def approx_quantiles_rank_checked(
         "q",
         (F.abs(F.col("rank_frac") - F.col("q")) <= tol).alias("within_tol"),
     )
+
+
+# ------------------------------------------------------ Count-Min Sketch
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Deterministic bucket for hash row ``row``: the first 8 hex
+    chars of ``md5('<row>:' || key)`` as an integer, mod width.
+    Engine-portable by construction — DuckDB replays it as
+    ``CAST(concat('0x', substr(md5(...),1,8)) AS UBIGINT) % width``,
+    which is what makes this sketch EXACTLY oracle-checkable, not
+    just contract-checkable (unusual for the sketch family: CMS has
+    no float state, so fixing the hashes fixes the whole sketch)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, key: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min Sketch of ``key``'s frequency distribution: a
+    ``depth x width`` counter grid where row ``r`` adds each key's
+    count at bucket ``h_r(key)``.
+
+    The build is one explode-free pass: each input row contributes to
+    ``depth`` (row, bucket) cells, expressed as a stack + groupBy so
+    Spark's partial aggregation gives per-partition partial sketches
+    merged by the shuffle — the mergeability that lets 1000 executors
+    each sketch their shard and combine O(depth*width) longs, never
+    the raw keys. Output: ``row, bucket, cnt`` (depth*width rows
+    total, the persistable sketch).
+    """
+    cells = [
+        _cms_bucket(F.col(key), r, width).alias(f"_b{r}") for r in range(depth)
+    ]
+    tagged = df.select(*cells)
+    stacked = tagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), F.col(f"_b{r}").alias("bucket"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return stacked.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` from a built sketch: the
+    MIN over hash rows of the key's bucket counter — the classic CMS
+    upper bound (est >= true always; over-count comes only from
+    collisions). The sketch is depth*width rows, so it broadcasts;
+    estimating any number of keys is a map-side join. Output:
+    ``<key>, cms_est``.
+    """
+    probes = keys.select(
+        F.col(key),
+        *[_cms_bucket(F.col(key), r, width).alias(f"_b{r}") for r in range(depth)],
+    )
+    est = None
+    out = probes
+    for r in range(depth):
+        s_r = sketch.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"_sb{r}"), F.col("cnt").alias(f"_cnt{r}")
+        )
+        out = out.join(
+            F.broadcast(s_r), F.col(f"_b{r}") == F.col(f"_sb{r}"), "left"
+        )
+        c = F.coalesce(F.col(f"_cnt{r}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    return out.select(F.col(key), est.alias("cms_est"))

@@ -1596,3 +1596,30 @@ def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.operators.curation import corpus_shuffle
 
     return corpus_shuffle(_docs(spark, sf_dir).select("doc_id"))
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, CAST(g.i AS INT) AS i,
+             CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(64)) AS i) g)
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+    """,
+    doc="Distributed uncentered Gram matrix over the embedding "
+        "corpus — the one-pass reduction under PCA/whitening (the "
+        "d x d result eigendecomposes driver-side). Each mapInPandas "
+        "batch emits ONE d x d integer-matmul partial, so the "
+        "shuffle carries O(partitions x d^2) cells — the oracle IS "
+        "the naive unnest self-join (O(N x d^2) shuffled rows, "
+        "unusable at scale), proving the partial-matmul plan equals "
+        "it bit-for-bit via round-half-up fixed-point quantization. "
+        "Operator: similarity.gram_matrix.",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.gram_matrix(_emb(spark, sf_dir))

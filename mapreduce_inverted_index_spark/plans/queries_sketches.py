@@ -110,3 +110,42 @@ def q_approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.approx_quantiles_rank_checked(
         li, "l_returnflag", "l_extendedprice", _QS
     )
+
+
+@register(
+    "cms_user_counts",
+    oracle="""
+    WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+    cells AS (
+      SELECT r,
+             CAST(concat('0x', substr(md5(concat(r, ':', k)), 1, 8)) AS UBIGINT)
+               % 64 AS bucket,
+             count(*) AS cnt
+      FROM ev CROSS JOIN rows GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT k, user_id FROM ev),
+    probes AS (
+      SELECT user_id, r,
+             CAST(concat('0x', substr(md5(concat(r, ':', k)), 1, 8)) AS UBIGINT)
+               % 64 AS bucket
+      FROM keys CROSS JOIN rows)
+    SELECT p.user_id, CAST(min(c.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.user_id
+    """,
+    doc="Count-Min Sketch (depth 4 x width 64) of per-user event "
+        "frequency, point-estimated for every distinct user. Unlike "
+        "the HLL/quantile contracts, this sketch is EXACTLY oracle-"
+        "replayable: CMS has no float state, and the hash rows are "
+        "fixed md5 prefixes both engines compute identically — the "
+        "DuckDB twin rebuilds the same 256-cell grid and takes the "
+        "same row-mins, value-equal. Build is one pass with "
+        "map-side partial sketches (the mergeability story: "
+        "executors sketch shards, the shuffle merges 256 longs, "
+        "never raw keys); estimation is a broadcast join.",
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = S.cms_build(ev, "user_id", depth=4, width=64).persist()
+    keys = ev.distinct()
+    return S.cms_estimate(sketch, keys, "user_id", depth=4, width=64)

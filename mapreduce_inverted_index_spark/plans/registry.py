@@ -113,6 +113,8 @@ _DRIVER_PRIORITY = (
     "stream_attribution_join_outer",
     "stream_dedup_within_watermark",
     "corpus_shuffle_order",
+    "cms_user_counts",
+    "embedding_gram_matrix",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
     "small_qty_part_revenue",
@@ -133,7 +135,6 @@ _DRIVER_PRIORITY = (
     "event_graph_triangles",
     "snapshot_merge_orders",
     "shard_manifest_docs",
-    "group_sample_docs",
     "zorder_layout_orders",
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
@@ -151,9 +152,11 @@ _DRIVER_PRIORITY = (
     "hard_negatives_topk",
     "media_resize_pixels",
     "vocab_token_ids",
-    # one stale-evidence slot: the events-adjacent query most
-    # exposed to the ts-encoding fixture hazard
-    "sessionize_events",
+    # (group_sample_docs and the stale-evidence sessionize_events
+    # slot rotated out for cms_user_counts/embedding_gram_matrix:
+    # group_sample_docs is the md5-bucket sibling of two queries
+    # that stay in-window, and never-proven queries outrank
+    # re-proof; both pass this session's local exact sweep.)
     # (tfidf_cosine_pairs, frequent_bigrams, bm25_topk rotated out:
     # their round-6 operator changes are performance-only (persist /
     # decimal width), value-identical, and all three hold green r5

@@ -186,3 +186,59 @@ def test_dedup_within_watermark_keyset(spark):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ CMS
+
+def test_cms_overestimates_and_merges(spark):
+    from mapreduce_inverted_index_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select("user_id")
+    sketch = cms_build(ev, "user_id").cache()
+    keys = ev.distinct()
+    est = {r.user_id: r.cms_est
+           for r in cms_estimate(sketch, keys, "user_id").collect()}
+    true = {r.user_id: r.cnt
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert est.keys() == true.keys()
+    for k, t in true.items():
+        assert est[k] >= t, "CMS must never undercount"
+
+    # mergeability: cell-wise sum of two half-sketches == one-shot sketch
+    h1 = cms_build(ev.where(F.col("user_id") % 2 == 0), "user_id")
+    h2 = cms_build(ev.where(F.col("user_id") % 2 == 1), "user_id")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    oneshot = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+    assert merged == oneshot
+
+
+# ------------------------------------------------------ gram matrix
+
+def test_gram_matrix_equals_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from mapreduce_inverted_index_spark.operators.similarity import gram_matrix
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {(r.i, r.j): r.gram for r in gram_matrix(emb).collect()}
+
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                    for r in emb.collect()])
+    q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(g.shape[0])
+    want = {(int(i), int(j)): int(g[i, j]) for i, j in zip(iu, ju)}
+    assert got == want
+
+    # per-batch partials must sum identically under any partitioning
+    got7 = {(r.i, r.j): r.gram for r in gram_matrix(emb.repartition(7)).collect()}
+    assert got7 == want

@@ -523,6 +523,22 @@ AUDITS = [
         ["Scan ExistingRDD"],
         ["Window ["],
     ),
+    (
+        # CMS: build is one partial-aggregated pass (the shuffle
+        # merges 256-cell partials, never raw keys); the 256-row
+        # sketch is persisted and estimation joins it broadcast
+        "cms_user_counts",
+        ["InMemoryTableScan", "BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # Gram matrix: one ArrowEvalPython/mapInPandas pass emitting
+        # per-batch d x d integer partials; the only shuffle is the
+        # O(d^2)-row final sum — no explode, no self-join
+        "embedding_gram_matrix",
+        ["MapInPandas", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct", "Generate explode"],
+    ),
 ]
 
 

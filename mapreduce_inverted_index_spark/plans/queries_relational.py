@@ -1894,3 +1894,120 @@ def q_grouped_agg_pandas_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         _wavg("l_extendedprice", "l_quantity").alias("wavg_price")
     )
+
+
+# ------------------------------------------- behavioral analytics
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    doc="Three-step conversion funnel (view -> click -> purchase, "
+        "each step within 24h of the previous, greedy-earliest "
+        "semantics): the canonical product-analytics query. Each "
+        "stage is a filtered aggregate joined to the previous "
+        "stage's per-user min-time — stage k's input shrinks to "
+        "stage k-1's survivors, so the plan narrows as the funnel "
+        "does (and each join key is user_id: with the events table "
+        "bucketed by user_id at scale, all three stages co-locate "
+        "shuffle-free).",
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df, stage, step):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"), F.lit(step).alias("step"), "n_users"
+        )
+
+    return (
+        _count(s1, 1, "view")
+        .unionByName(_count(s2, 2, "click"))
+        .unionByName(_count(s3, 3, "purchase"))
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    actives AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events)
+    SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS INT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN actives a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity "
+        "week, counted in each subsequent active week — the standard "
+        "growth-analytics triangle. Two user-keyed aggregates plus "
+        "one user-keyed join: a single shuffle partitioning serves "
+        "all three wide ops (co-located under user_id bucketing at "
+        "scale); the output is O(weeks^2) rows regardless of N.",
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    actives = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(actives, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

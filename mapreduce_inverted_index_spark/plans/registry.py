@@ -115,6 +115,9 @@ _DRIVER_PRIORITY = (
     "corpus_shuffle_order",
     "cms_user_counts",
     "embedding_gram_matrix",
+    "event_funnel_conversion",
+    "user_retention_cohorts",
+    "embedding_pca_contract",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
     "small_qty_part_revenue",
@@ -134,7 +137,6 @@ _DRIVER_PRIORITY = (
     "user_cooccurrence_edges",
     "event_graph_triangles",
     "snapshot_merge_orders",
-    "shard_manifest_docs",
     "zorder_layout_orders",
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
@@ -150,13 +152,14 @@ _DRIVER_PRIORITY = (
     "pagerank_user_graph",
     "contrastive_negatives_docs",
     "hard_negatives_topk",
-    "media_resize_pixels",
-    "vocab_token_ids",
-    # (group_sample_docs and the stale-evidence sessionize_events
-    # slot rotated out for cms_user_counts/embedding_gram_matrix:
-    # group_sample_docs is the md5-bucket sibling of two queries
-    # that stay in-window, and never-proven queries outrank
-    # re-proof; both pass this session's local exact sweep.)
+    # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
+    # vocab_token_ids and the stale-evidence sessionize_events slot
+    # rotated out for cms_user_counts / embedding_gram_matrix /
+    # event_funnel_conversion / user_retention_cohorts /
+    # embedding_pca_contract: the rotated-out five are simple
+    # deterministic ops with strong pytest + local-sweep coverage,
+    # while the five rotated in are new capability families; the
+    # window stays at exactly 50.)
     # (tfidf_cosine_pairs, frequent_bigrams, bm25_topk rotated out:
     # their round-6 operator changes are performance-only (persist /
     # decimal width), value-identical, and all three hold green r5

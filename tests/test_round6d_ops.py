@@ -242,3 +242,85 @@ def test_gram_matrix_equals_numpy_and_is_partition_invariant(spark):
     # per-batch partials must sum identically under any partitioning
     got7 = {(r.i, r.j): r.gram for r in gram_matrix(emb.repartition(7)).collect()}
     assert got7 == want
+
+
+# ------------------------------------------------------ PCA projection
+
+def test_pca_project_matches_numpy_reference(spark):
+    import numpy as np
+
+    from mapreduce_inverted_index_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {r.vec_id: np.asarray(r.proj) for r in pca_project(emb, k=4).collect()}
+
+    X = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64)
+         for r in emb.orderBy("vec_id").collect()]
+    )
+    ids = [r.vec_id for r in emb.orderBy("vec_id").collect()]
+    mu = X.mean(0)
+    cov = np.cov(X.T, ddof=0)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = V[:, order]
+    flips = np.sign(comps[np.abs(comps).argmax(0), np.arange(4)])
+    comps = comps * flips
+    want = (X - mu) @ comps
+    for row, vid in zip(want, ids):
+        assert np.allclose(got[vid], row, atol=1e-8), (
+            "distributed PCA must match the single-node eigendecomposition"
+        )
+
+
+def test_pca_variance_ordering_and_capture(spark):
+    import numpy as np
+
+    from mapreduce_inverted_index_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    Y = np.stack([np.asarray(r.proj) for r in pca_project(emb, k=8).collect()])
+    var = Y.var(0, ddof=0)
+    assert np.all(np.diff(var) <= 1e-9), "component variances must descend"
+    X = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    total = X.var(0, ddof=0).sum()
+    assert 0 < var.sum() <= total + 1e-9, (
+        "projected variance must be positive and bounded by total variance"
+    )
+
+
+# --------------------------------------------- funnel step narrowing
+
+def test_funnel_stages_narrow_and_count_users(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        # user 1: full funnel inside windows
+        (1, 1, "view", ts(0)), (2, 1, "click", ts(1)), (3, 1, "purchase", ts(2)),
+        # user 2: click arrives 30h after view -> funnel stops at stage 1
+        (4, 2, "view", ts(0)), (5, 2, "click", ts(30)), (6, 2, "purchase", ts(31)),
+        # user 3: purchase BEFORE click -> stops at stage 2
+        (7, 3, "view", ts(0)), (8, 3, "purchase", ts(1)), (9, 3, "click", ts(2)),
+        # user 4: never viewed -> not in the funnel at all
+        (10, 4, "click", ts(0)), (11, 4, "purchase", ts(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    base = str(tmp_path / "sf")
+    ev.write.parquet(f"{base}/events.parquet")
+
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    out = {
+        r.stage: r.n_users
+        for r in all_queries()["event_funnel_conversion"].fn(spark, base).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1}

@@ -539,6 +539,20 @@ AUDITS = [
         ["MapInPandas", "partial_sum"],
         ["SortMergeJoin", "CartesianProduct", "Generate explode"],
     ),
+    (
+        # funnel: every stage joins on user_id with partial min-aggs;
+        # type filters reach the events scans
+        "event_funnel_conversion",
+        ["partial_min", "PushedFilters: [IsNotNull(event_type)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # cohort retention: two user-keyed aggregates + one user-keyed
+        # join; output is O(weeks^2) regardless of N
+        "user_retention_cohorts",
+        ["HashAggregate", "partial_min"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 

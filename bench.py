@@ -76,6 +76,15 @@ HEADLINE = _R1SET + (
     # (5 fixed-point power steps = 5 join+agg rounds over the edge
     # list; measures the per-iteration join/shuffle cost)
     "pagerank_user_graph",
+    # closing-session: the heaviest members of the final families —
+    # the widest TPC-H join tree (Q7: 4 dims + fact-fact), the
+    # nested-correlation decorrelation (Q20: persisted scan + two
+    # aggs + self-join), the integer-matmul reduction, and the
+    # funnel's three chained user-keyed agg-joins
+    "volume_shipping_nation_pairs",
+    "excess_shipped_part_suppliers",
+    "embedding_gram_matrix",
+    "event_funnel_conversion",
 )
 
 

@@ -55,6 +55,15 @@ QUERIES = [
     "gap_fill_daily_user_values",
     "waiting_orders_suppliers",
     "dedup_keep_best",
+    # closing session: the widest TPC-H join tree (Q7), the nested
+    # Q20 decorrelation, the integer-matmul Gram reduction (cost is
+    # O(N x d) Arrow decode + O(partitions x d^2) shuffle), the
+    # chained funnel agg-joins, and the CMS partial-merge build
+    "volume_shipping_nation_pairs",
+    "excess_shipped_part_suppliers",
+    "embedding_gram_matrix",
+    "event_funnel_conversion",
+    "cms_user_counts",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when
@@ -99,6 +108,13 @@ Notes:
   linear in input and embarrassingly parallel — while the sketch's
   WIRE contract (<= k candidate rows per partition, no full-key
   shuffle) is the part that decides 100 TB feasibility.
+- embedding_gram_matrix's growth (the table's steepest) is the
+  Arrow decode of N x d float arrays into the partial-matmul pass —
+  linear in input, embarrassingly parallel, with a small fixed
+  overhead that flatters the tiny scales; the shuffled state is
+  O(partitions x d^2) cells at every sf (the part that matters at
+  100 TB). pagerank's 4x is 5 fixed-point rounds of join+agg over
+  an edge list that grows with sf — per-round cost is the probe.
 """
 
 

@@ -719,3 +719,39 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.bm25_rank(
         _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, k=10
     )
+
+
+@register(
+    "crawl_source_docs",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source corpus profile read through the CUSTOM Python "
+        "DataSource ('paged_crawl', sources/crawl_source.py) — the "
+        "reference's paginated category crawl (S1) as a first-class "
+        "Spark connector: one InputPartition per page (Spark "
+        "schedules pages as the reference's master scheduled page "
+        "fetches, with retry/speculation free), pyarrow reads serve "
+        "only the projected columns, and the streaming face keeps "
+        "the seen-page cursor as a checkpointed offset (exactly-once "
+        "across restarts, 5-run test). Matching the plain-table "
+        "oracle proves the connector is lossless.",
+)
+def q_crawl_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    docs = (
+        spark.read.format("paged_crawl")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("page_size", "500")
+        .load()
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "event_funnel_conversion",
     "user_retention_cohorts",
     "embedding_pca_contract",
+    "crawl_source_docs",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
     "small_qty_part_revenue",
@@ -145,7 +146,6 @@ _DRIVER_PRIORITY = (
     "compaction_plan_files",
     "rag_chunk_docs",
     "curation_policy_filter",
-    "join_skew_profile_events",
     "ewma_user_values",
     "stream_chunk_ingest",
     "media_phash_near_dup",
@@ -153,7 +153,8 @@ _DRIVER_PRIORITY = (
     "contrastive_negatives_docs",
     "hard_negatives_topk",
     # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
-    # vocab_token_ids and the stale-evidence sessionize_events slot
+    # vocab_token_ids, join_skew_profile_events (diagnostic profiling,
+    # strong pytest cover) and the stale-evidence sessionize_events slot
     # rotated out for cms_user_counts / embedding_gram_matrix /
     # event_funnel_conversion / user_retention_cohorts /
     # embedding_pca_contract: the rotated-out five are simple

@@ -30,7 +30,7 @@ from mapreduce_inverted_index_spark.streaming.windows import (
     events_stream,
 )
 
-__all__ = ["stateful_user_peaks"]
+__all__ = ["stateful_user_peaks", "tws_user_type_totals"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -75,3 +75,93 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(peaks, mode="append")
+
+
+def tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) running totals on the
+    ``transformWithStateInPandas`` API (Spark 4.x's arbitrary-state
+    successor to ``applyInPandasWithState``): state variables are
+    DECLARED through a typed handle (``getValueState``) instead of
+    packed into one tuple, and the same processor class can hold
+    value/list/map states plus timers — the surface the old API
+    lacked. State here is one (cents, cnt) ValueState per key.
+
+    Exactness: values accumulate as integer cents
+    (``floor(v*100+0.5)``, round-half-up both engines) so the
+    running sum is order-independent and the emitted double —
+    cents/100 — is bit-identical to the DuckDB oracle's. With
+    AvailableNow's single batch the snapshot equals the batch
+    aggregate, giving this custom stateful op a full value oracle.
+    Output: ``user_id, event_type, total_value, n_events``.
+
+    Environment gate (same pattern as ``multimodal.decode_image``'s
+    PIL gate): transformWithState's Python worker speaks a protobuf
+    protocol to the JVM state server, so it needs the ``protobuf``
+    package at runtime. This container ships pyspark WITHOUT
+    protobuf; the operator raises a clear ImportError here and its
+    test skips — the code path is exercised wherever protobuf is
+    present (any standard pyspark[connect] install). The
+    equivalent semantics stay fully driver-proven through
+    ``stateful_user_peaks`` (applyInPandasWithState, no protobuf).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's state-server protocol); not available in this "
+            "environment — use stateful_user_peaks "
+            "(applyInPandasWithState) for the same semantics"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "cents long, cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            cents, cnt = (
+                self._st.get() if self._st.exists() else (0, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    v = pdf["value"].to_numpy(dtype="float64")
+                    cents += int(
+                        np.floor(v * 100.0 + 0.5).astype("int64").sum()
+                    )
+                    cnt += len(pdf)
+            self._st.update((cents, cnt))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "total_value": [cents / 100.0],
+                    "n_events": [cnt],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir)
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            _Totals(),
+            outputStructType=(
+                "user_id long, event_type string, "
+                "total_value double, n_events long"
+            ),
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+    return _run_to_table(out, mode="append")

@@ -324,3 +324,108 @@ def test_funnel_stages_narrow_and_count_users(spark, tmp_path):
         for r in all_queries()["event_funnel_conversion"].fn(spark, base).collect()
     }
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+# ---------------------------------------- transformWithState gate
+
+def test_tws_totals_runs_or_gates_cleanly(spark):
+    """transformWithStateInPandas needs protobuf (the state-server
+    protocol); where present the new-API operator must equal the
+    batch aggregate, where absent it must raise the documented
+    ImportError (not crash mid-query)."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.streaming.stateful import (
+        tws_user_type_totals,
+    )
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            tws_user_type_totals(spark, SF_SMALL)
+        pytest.skip("protobuf absent: transformWithState gated off")
+
+    import numpy as np
+
+    out = tws_user_type_totals(spark, SF_SMALL)
+    got = {
+        (r.user_id, r.event_type): (r.total_value, r.n_events)
+        for r in out.collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = ev.select("user_id", "event_type", "value").collect()
+    want = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        c, n = want.get(k, (0, 0))
+        want[k] = (c + int(np.floor(r.value * 100.0 + 0.5)), n + 1)
+    want = {k: (c / 100.0, n) for k, (c, n) in want.items()}
+    assert got == want
+
+
+# --------------------------------------- custom Python DataSource
+
+def test_crawl_source_batch_equals_table_and_pages_partition(spark):
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    path = f"{SF_SMALL}/documents.parquet"
+    df = (
+        spark.read.format("paged_crawl")
+        .option("path", path).option("page_size", "37").load()
+    )
+    want = {
+        (r.doc_id, r.source, r.n_chars)
+        for r in spark.read.parquet(path)
+        .select("doc_id", "source", "n_chars").collect()
+    }
+    got = {(r.doc_id, r.source, r.n_chars) for r in df.collect()}
+    assert got == want, "the connector must serve the snapshot losslessly"
+    n = len(want)
+    assert df.rdd.getNumPartitions() == (n + 36) // 37, (
+        "one InputPartition per page"
+    )
+
+
+def test_crawl_source_stream_walks_pages_exactly_once(spark, tmp_path):
+    """The page cursor is a checkpointed stream offset: repeated
+    AvailableNow runs advance it until the site is exhausted, each
+    page served exactly once; idle runs are no-ops."""
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    path = f"{SF_SMALL}/documents.parquet"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    totals = []
+    for _ in range(5):
+        sdf = (
+            spark.readStream.format("paged_crawl")
+            .option("path", path)
+            .option("page_size", "37")
+            .option("pages_per_batch", "5")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals.append(spark.read.parquet(sink).count())
+
+    got = spark.read.parquet(sink)
+    n = spark.read.parquet(path).count()
+    assert totals[-1] == n and totals[-2] == n, "walk must exhaust the site"
+    assert got.count() == n
+    assert got.select("doc_id").distinct().count() == n, (
+        "each page exactly once — no replays across checkpointed runs"
+    )
+    assert totals[0] < n, "a single bounded run must NOT consume everything"

@@ -553,6 +553,14 @@ AUDITS = [
         ["HashAggregate", "partial_min"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    (
+        # custom Python DataSource: the aggregate runs over the
+        # connector's BatchScan with map-side partials; pages are
+        # the input partitions
+        "crawl_source_docs",
+        ["BatchScan paged_crawl", "partial_count"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

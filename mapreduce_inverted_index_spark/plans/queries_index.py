@@ -755,3 +755,46 @@ def q_crawl_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
     )
+
+
+@register(
+    "crawl_sink_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    doc="K1/K2 sink parity through the connector's WRITE face: the "
+        "corpus is written via the custom DataSource's transactional "
+        "two-phase commit (executors stage attempt-unique JSONL "
+        "pages; the driver publishes an atomic manifest naming "
+        "exactly the committed pages — readers never observe a "
+        "partial site; abort leaves nothing published, test-proven), "
+        "then read back MANIFEST-ONLY and profiled. Matching the "
+        "plain-table oracle proves the write-read cycle is lossless. "
+        "Module: sources/crawl_source.py (writer face).",
+)
+def q_crawl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        read_crawl_site,
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    site = tempfile.mkdtemp(prefix="mii_crawl_sink_")
+    (
+        docs.repartition(8)
+        .write.format("paged_crawl")
+        .option("path", site)
+        .mode("append")
+        .save()
+    )
+    return read_crawl_site(spark, site).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = (
     "user_retention_cohorts",
     "embedding_pca_contract",
     "crawl_source_docs",
+    "crawl_sink_roundtrip",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
     "small_qty_part_revenue",
@@ -138,7 +139,6 @@ _DRIVER_PRIORITY = (
     "user_cooccurrence_edges",
     "event_graph_triangles",
     "snapshot_merge_orders",
-    "zorder_layout_orders",
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
     "stream_frequent_terms",
@@ -153,8 +153,9 @@ _DRIVER_PRIORITY = (
     "contrastive_negatives_docs",
     "hard_negatives_topk",
     # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
-    # vocab_token_ids, join_skew_profile_events (diagnostic profiling,
-    # strong pytest cover) and the stale-evidence sessionize_events slot
+    # vocab_token_ids, join_skew_profile_events, zorder_layout_orders
+    # (diagnostic/layout profiling, strong pytest cover)
+    # and the stale-evidence sessionize_events slot
     # rotated out for cms_user_counts / embedding_gram_matrix /
     # event_funnel_conversion / user_retention_cohorts /
     # embedding_pca_contract: the rotated-out five are simple

@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-__all__ = ["CrawlSource", "register_crawl_source"]
+__all__ = ["CrawlSource", "register_crawl_source", "read_crawl_site"]
 
 _FULL_SCHEMA = "doc_id long, source string, n_chars long"
 
@@ -147,7 +147,99 @@ class CrawlSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _CrawlStreamReader(self.options, schema.fieldNames())
 
+    def writer(self, schema, overwrite: bool):
+        return _CrawlPageWriter(self.options, overwrite)
+
 
 def register_crawl_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(CrawlSource)
+
+
+# ------------------------------------------------------- writer face
+# The reference's K2 sink (final JSON index, reducer/src/processor.py)
+# as the connector's write path — with the transactional two-phase
+# protocol the reference's bare file write lacked: executors stage
+# task-unique JSONL page files and return commit messages; the driver
+# publishes an atomic MANIFEST naming exactly the committed pages
+# (os.replace — readers never observe a partial site); abort removes
+# staged files. A retried/speculated task stages a second file but
+# only the winning attempt's message reaches commit(), so the
+# manifest stays exactly-once — rename-based Hadoop committers pay a
+# listing+rename per file for the same guarantee.
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, file: str, n_rows: int):
+        self.file = file
+        self.n_rows = n_rows
+
+
+class _CrawlPageWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _PageCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        tc = TaskContext.get()
+        # attempt-unique name: a speculated/retried attempt writes its
+        # own file; only the committed attempt's message is published
+        fname = (
+            f"_staging/page-{tc.partitionId() if tc else 0}"
+            f"-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(f"{self.path}/{fname}", "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PageCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        pages = []
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                continue
+            final = m.file.replace("_staging/", "")
+            os.replace(f"{self.path}/{m.file}", f"{self.path}/{final}")
+            pages.append({"file": final, "n_rows": m.n_rows})
+        tmp = f"{self.path}/_MANIFEST.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"pages": pages}, f)
+        os.replace(tmp, f"{self.path}/_MANIFEST.json")  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(f"{self.path}/{m.file}")
+                except FileNotFoundError:
+                    pass
+
+
+def read_crawl_site(spark, path: str):
+    """Read back a published site: ONLY pages named by the manifest
+    (staged/aborted leftovers are invisible — the reader-side half of
+    the transactional contract)."""
+    import json
+
+    with open(f"{path}/_MANIFEST.json") as f:
+        manifest = json.load(f)
+    files = [f"{path}/{p['file']}" for p in manifest["pages"]]
+    if not files:
+        return spark.createDataFrame([], _FULL_SCHEMA)
+    return spark.read.json(files)

@@ -429,3 +429,50 @@ def test_crawl_source_stream_walks_pages_exactly_once(spark, tmp_path):
         "each page exactly once — no replays across checkpointed runs"
     )
     assert totals[0] < n, "a single bounded run must NOT consume everything"
+
+
+def test_crawl_sink_transactional_commit_and_abort(spark, tmp_path):
+    """The writer's two-phase protocol: a successful write publishes a
+    manifest naming every page (read-back equals input); a failing
+    write publishes NOTHING (no manifest, no visible pages)."""
+    import os
+
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        read_crawl_site,
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+    )
+
+    ok_dir = str(tmp_path / "ok")
+    docs.repartition(6).write.format("paged_crawl").option(
+        "path", ok_dir
+    ).mode("append").save()
+    back = read_crawl_site(spark, ok_dir)
+    assert {(r.doc_id, r.source, r.n_chars) for r in back.collect()} == {
+        (r.doc_id, r.source, r.n_chars) for r in docs.collect()
+    }
+
+    bad_dir = str(tmp_path / "bad")
+
+    @F.udf("long")
+    def _boom(x):
+        raise RuntimeError("boom")
+
+    import pytest
+
+    with pytest.raises(Exception):
+        docs.withColumn("n_chars", _boom("n_chars")).write.format(
+            "paged_crawl"
+        ).option("path", bad_dir).mode("append").save()
+    assert not os.path.exists(f"{bad_dir}/_MANIFEST.json"), (
+        "a failed write must never publish a manifest"
+    )
+    if os.path.exists(bad_dir):
+        assert not [f for f in os.listdir(bad_dir) if f.endswith(".jsonl")], (
+            "no pages may be visible outside _staging after abort"
+        )

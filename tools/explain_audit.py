@@ -561,6 +561,13 @@ AUDITS = [
         ["BatchScan paged_crawl", "partial_count"],
         ["CartesianProduct"],
     ),
+    (
+        # sink roundtrip: after the transactional write, the read-back
+        # is a plain JSON scan + map-side-combined profile
+        "crawl_sink_roundtrip",
+        ["FileScan json", "partial_count"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

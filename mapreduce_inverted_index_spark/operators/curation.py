@@ -31,6 +31,7 @@ __all__ = [
     "policy_filter",
     "contrastive_negatives",
     "corpus_shuffle",
+    "temperature_sample",
 ]
 
 # Gopher's rule-set requires a document to contain at least two of a
@@ -413,4 +414,71 @@ def train_val_test_split(
         F.when(bucket < train_cut, F.lit("train"))
         .when(bucket < train_cut + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.4,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the T5/mT5 data-mixing
+    step): per-group keep rates proportional to ``count^alpha`` so
+    small sources are up-weighted relative to their raw share
+    (alpha=1 reproduces natural proportions; alpha->0 approaches
+    uniform-over-groups). Rows are kept by deterministic md5 bucket
+    — reproducible, partition-independent, stable under reruns, and
+    a doc's keep/drop never depends on execution order.
+
+    Plan: one tiny per-group count aggregate, the rate arithmetic on
+    that ≤ |groups|-row table, then a broadcast join back and a scan
+    predicate — the corpus itself never shuffles.
+
+    Cross-engine exactness: alpha is fixed at 0.5 because sqrt IS
+    correctly rounded under IEEE-754 (identical in Spark and DuckDB)
+    while pow() is not (libm-dependent — a pow-based rate could
+    flicker the floor() threshold at a boundary). All downstream
+    ops on the rate are correctly-rounded double mul/div, so the
+    integer threshold ``floor(rate * 10000)`` is bit-identical and
+    the kept SET is exactly oracle-replayable.
+
+    Output: input rows that survive, plus ``keep_bps`` (the group's
+    keep rate in basis points) for auditability.
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "alpha is fixed at 0.5: sqrt is correctly rounded (engine-"
+            "portable); pow is not — see docstring"
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    # _sw sums doubles across groups — order-dependent as raw floats.
+    # Round each sqrt to 9 places (still correctly-rounded, identical
+    # both engines) and sum as DECIMAL: exact and order-independent,
+    # so the downstream floor() threshold can never flicker.
+    tot = counts.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.round(F.sqrt("_c"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("_sw"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("_c") / F.col("_sw") * F.lit(float(target_frac))
+                * F.col("_n") / F.col("_c"),
+            )
+            * 10000
+        ).cast("int").alias("keep_bps"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("keep_bps"))
     )

@@ -1685,3 +1685,47 @@ def q_embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(8, orthonormal_ok, recon_identity_ok)],
         "k int, orthonormal_ok boolean, recon_identity_ok boolean",
     )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(c) AS n,
+             CAST(SUM(CAST(ROUND(sqrt(c), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sw
+      FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(1.0, sqrt(c) / sw * 0.4 * n / c) * 10000) AS INT)
+               AS keep_bps
+      FROM counts CROSS JOIN tot)
+    SELECT d.source, r.keep_bps, count(*) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 10000 < r.keep_bps
+    GROUP BY 1, 2
+    """,
+    doc="Temperature-based mixture sampling (the T5/mT5 data-mixing "
+        "step): per-source keep rates proportional to sqrt(count) so "
+        "small sources up-weight, rows kept by deterministic md5 "
+        "bucket against an integer basis-point threshold. alpha is "
+        "pinned at 0.5 because sqrt IS correctly rounded under IEEE "
+        "(engine-identical) while pow() is libm-dependent; the "
+        "sqrt-sum is decimal-exact (order-independent), so the kept "
+        "SET replays exactly in DuckDB. Plan: tiny count agg -> rate "
+        "arithmetic on <= |sources| rows -> broadcast join + scan "
+        "predicate; the corpus never shuffles. Operator: "
+        "curation.temperature_sample.",
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        temperature_sample(d)
+        .groupBy("source", "keep_bps")
+        .agg(F.count("*").alias("n_kept"))
+    )

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = (
     "embedding_pca_contract",
     "crawl_source_docs",
     "crawl_sink_roundtrip",
+    "temperature_mixture_sample",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
     "small_qty_part_revenue",
@@ -146,15 +147,15 @@ _DRIVER_PRIORITY = (
     "compaction_plan_files",
     "rag_chunk_docs",
     "curation_policy_filter",
-    "ewma_user_values",
     "stream_chunk_ingest",
     "media_phash_near_dup",
     "pagerank_user_graph",
     "contrastive_negatives_docs",
     "hard_negatives_topk",
     # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
-    # vocab_token_ids, join_skew_profile_events, zorder_layout_orders
-    # (diagnostic/layout profiling, strong pytest cover)
+    # vocab_token_ids, join_skew_profile_events, zorder_layout_orders,
+    # ewma_user_values (diagnostic/layout/feature ops, strong pytest
+    # cover)
     # and the stale-evidence sessionize_events slot
     # rotated out for cms_user_counts / embedding_gram_matrix /
     # event_funnel_conversion / user_retention_cohorts /

@@ -476,3 +476,47 @@ def test_crawl_sink_transactional_commit_and_abort(spark, tmp_path):
         assert not [f for f in os.listdir(bad_dir) if f.endswith(".jsonl")], (
             "no pages may be visible outside _staging after abort"
         )
+
+
+# --------------------------------------- temperature mixture sampling
+
+def test_temperature_sample_properties(spark):
+    import math
+
+    from mapreduce_inverted_index_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    kept = temperature_sample(docs).cache()
+
+    # determinism: same keep-set under any partitioning
+    kept2 = temperature_sample(docs.repartition(13))
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in kept2.collect()}
+    assert a == b
+
+    # temperature property: smaller sources keep a HIGHER fraction
+    counts = {
+        r.source: r.c
+        for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    rates = {
+        r.source: r.keep_bps
+        for r in kept.select("source", "keep_bps").distinct().collect()
+    }
+    by_size = sorted(counts, key=counts.get)
+    fracs = [rates[s] for s in by_size if s in rates]
+    assert all(
+        f1 >= f2 for f1, f2 in zip(fracs, fracs[1:])
+    ), "smaller sources must keep at a rate >= larger sources"
+
+    # rate formula replay
+    n = sum(counts.values())
+    sw = sum(round(math.sqrt(c), 9) for c in counts.values())
+    for s, c in counts.items():
+        want = int(min(1.0, math.sqrt(c) / sw * 0.4 * n / c) * 10000)
+        if s in rates:
+            assert rates[s] == want

@@ -2011,3 +2011,73 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ------------------------------------------ Spark 4 SQL surfaces
+
+@register(
+    "variant_events_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured ingestion through the VARIANT type (Spark "
+        "4): props parses ONCE into the binary variant encoding, "
+        "then typed paths extract with variant_get — at scale this "
+        "is the schema-flexible ingest path (store variant, extract "
+        "lazily, no schema migration when producers add fields), "
+        "with shredded parquet storage as the forward path. Same "
+        "answer as the per-path get_json_object twin "
+        "(json_events_agg), which re-parses the string per "
+        "extraction — the plan difference that matters when one "
+        "row's JSON feeds many extractions.",
+)
+def q_variant_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select("event_type", F.variant_get("v", "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL pipe syntax (Spark 4's |> operator chaining — the "
+        "linear query form): FROM ... |> WHERE ... |> AGGREGATE. "
+        "Parses to the identical logical plan as the classic form "
+        "(same oracle), demonstrating the engine speaks the full "
+        "Spark 4 SQL surface, not just the DataFrame API.",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                          AS DOUBLE) AS total_value
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_value
+        """
+    )

@@ -520,3 +520,28 @@ def test_temperature_sample_properties(spark):
         want = int(min(1.0, math.sqrt(c) / sw * 0.4 * n / c) * 10000)
         if s in rates:
             assert rates[s] == want
+
+
+# ------------------------------------ observed metrics (no extra pass)
+
+def test_observation_metrics_piggyback_on_one_pass(spark):
+    """df.observe() collects pipeline health metrics AS the action
+    runs — at 100 TB this replaces the 'second scan just to count
+    nulls' anti-pattern: the metrics ride the same physical pass as
+    the real output."""
+    from pyspark.sql import Observation
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    obs = Observation("ingest_health")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    out = observed.groupBy("source").count().collect()  # the one action
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["null_texts"] == docs.where(F.col("text").isNull()).count()
+    assert m["max_chars"] == docs.agg(F.max("n_chars")).collect()[0][0]
+    assert len(out) > 0

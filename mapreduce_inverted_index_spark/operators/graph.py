@@ -176,42 +176,63 @@ def pagerank_fixed_point(
     de = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = de.groupBy("src").agg(F.count("*").alias("deg")).persist()
     de = de.persist()
-    n = deg.agg(F.count("*").alias("_n"))
-    teleport = F.expr(f"({(100 - d_pct)} * {scale}L) div (100 * _n)")
-    state = (
-        deg.crossJoin(F.broadcast(n))
-        .select(
-            F.col("src").alias("id"),
-            "deg",
-            F.expr(f"{scale}L div _n").alias("rank_nano"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(iters):
-        contrib = (
-            state.join(de, state.id == de.src)
-            .select(
-                F.col("dst"),
-                F.expr("rank_nano div deg").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
+    # Size each round's shuffles to the GRAPH, not the session
+    # default (same discipline as dedup.dup_components): 5 rounds x
+    # 2-3 shuffles each multiply per-task overhead, so a modest graph
+    # must not pay 32 near-empty tasks per shuffle (measured at
+    # sf0.1: 32 -> 4.7 s, 8 -> 2.1 s), while a huge one keeps full
+    # parallelism (~50k edges per task).
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    n_edges = de.count()
+    parts = max(1, min(int(orig_parts), n_edges // 50_000 + 1))
+    spark.conf.set(conf_key, str(parts))
+    try:
+        deg = de.groupBy("src").agg(F.count("*").alias("deg")).persist()
+        n = deg.agg(F.count("*").alias("_n"))
+        teleport = F.expr(f"({(100 - d_pct)} * {scale}L) div (100 * _n)")
         state = (
-            deg.join(contrib, deg.src == contrib.dst, "left")
-            .crossJoin(F.broadcast(n))
+            deg.crossJoin(F.broadcast(n))
             .select(
                 F.col("src").alias("id"),
                 "deg",
-                (
-                    teleport
-                    + F.expr(f"({d_pct} * coalesce(s, 0L)) div 100")
-                ).alias("rank_nano"),
+                F.expr(f"{scale}L div _n").alias("rank_nano"),
             )
             .localCheckpoint(eager=False)
         )
+        for _ in range(iters):
+            contrib = (
+                state.join(de, state.id == de.src)
+                .select(
+                    F.col("dst"),
+                    F.expr("rank_nano div deg").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            state = (
+                deg.join(contrib, deg.src == contrib.dst, "left")
+                .crossJoin(F.broadcast(n))
+                .select(
+                    F.col("src").alias("id"),
+                    "deg",
+                    (
+                        teleport
+                        + F.expr(f"({d_pct} * coalesce(s, 0L)) div 100")
+                    ).alias("rank_nano"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # Shuffle-partition conf is read at EXECUTION, not plan build,
+        # so the chain must materialize inside the conf window: one
+        # eager checkpoint of the final state evaluates all rounds
+        # (per-round checkpoints stay lazy truncation points). Same
+        # build-time-jobs tradeoff as ivf_centroids' default.
+        state = state.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, orig_parts)
     return state.select(
         "id",
         "rank_nano",

@@ -2081,3 +2081,90 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_value
         """
     )
+
+
+@register(
+    "recursive_monthly_cumsum",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DECIMAL(20,2)) AS revenue
+      FROM orders GROUP BY 1),
+    walk(month, revenue, cum_revenue) AS (
+      SELECT month, revenue, revenue FROM monthly
+      WHERE month = (SELECT min(month) FROM monthly)
+      UNION ALL
+      SELECT m.month, m.revenue,
+             CAST(w.cum_revenue + m.revenue AS DECIMAL(20,2))
+      FROM walk w JOIN monthly m ON m.month = w.month + INTERVAL 1 MONTH)
+    SELECT CAST(month AS VARCHAR) AS month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cum_revenue AS DOUBLE) AS cum_revenue
+    FROM walk
+    """,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE): a linear walk "
+        "over the monthly revenue chain carrying an exact-decimal "
+        "running total — each iteration is one Catalyst-planned "
+        "join, the recursion is acyclic by construction (month -> "
+        "next month), and the DuckDB oracle runs the IDENTICAL "
+        "recursive SQL, proving both engines' recursive evaluation "
+        "agree. The window-function twin (sum OVER (ORDER BY "
+        "month)) is the production form at scale; the recursion "
+        "demonstrates the SQL:2016 surface for genuinely iterative "
+        "chains (org hierarchies, BOM walks) that windows can't "
+        "express.",
+)
+def q_recursive_monthly_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                      AS DECIMAL(20,2)) AS revenue
+          FROM orders_rcte_v GROUP BY 1),
+        walk(month, revenue, cum_revenue) AS (
+          SELECT month, revenue, revenue FROM monthly
+          WHERE month = (SELECT min(month) FROM monthly)
+          UNION ALL
+          SELECT m.month, m.revenue,
+                 CAST(w.cum_revenue + m.revenue AS DECIMAL(20,2))
+          FROM walk w JOIN monthly m ON m.month = w.month + INTERVAL 1 MONTH)
+        SELECT CAST(month AS STRING) AS month,
+               CAST(revenue AS DOUBLE) AS revenue,
+               CAST(cum_revenue AS DOUBLE) AS cum_revenue
+        FROM walk
+        """
+    )
+
+
+@register(
+    "ansi_safe_math_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN l_quantity <> 1
+                      THEN 1.0 / (l_quantity - 1) END) AS n_divisible,
+           CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_by_zero,
+           count(TRY_CAST(l_returnflag AS INTEGER)) AS n_numeric_flags
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="ANSI-safe arithmetic surface (Spark 4 runs ANSI mode ON by "
+        "default, where 1/0 and bad casts are runtime ERRORS that "
+        "kill the job): try_divide / try_cast convert the poison "
+        "rows to NULLs so one malformed record can't fail a 100 TB "
+        "aggregation — counted per flag against a CASE-guarded "
+        "oracle. Counts only (no float sums), so the comparison is "
+        "exact.",
+)
+def q_ansi_safe_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    safe_div = F.try_divide(F.lit(1.0), F.col("l_quantity") - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        F.count(safe_div).alias("n_divisible"),
+        F.sum(safe_div.isNull().cast("int")).cast("bigint").alias("n_div_by_zero"),
+        F.count(F.try_to_number("l_returnflag", F.lit("999"))).alias(
+            "n_numeric_flags"
+        ),
+    )

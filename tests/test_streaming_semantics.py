@@ -224,3 +224,104 @@ def test_stream_maintained_index_equals_batch_rebuild(spark, tmp_path):
 
     maintain_index_available_now(spark, str(src), index_dir, ckpt)  # no new files
     assert stored() == after_two
+
+
+def test_outer_join_nulls_gated_by_watermark_across_batches(spark, tmp_path):
+    """Pin stream_attribution_join_outer's emission mechanics on a
+    hand-crafted multi-batch timeline (same watermarks/condition as
+    the operator): a never-matched click emits its NULL row only
+    because later batches advance the two-source watermark past its
+    join window, while unmatched clicks whose windows are still open
+    at termination are withheld — the state-eviction contract, not a
+    batch-join approximation of it."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "oj_src"
+    src.mkdir()
+    now = 1_700_000_000.0
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # b1: C1 never converts; C2 converts at +25min (inside 1h horizon)
+    write(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 00:00:00", 1, "click"),
+            (2, "2024-01-01 00:05:00", 2, "click"),
+            (3, "2024-01-01 00:30:00", 2, "purchase"),
+        ],
+        now,
+    )
+    # b2-b4: advance BOTH sides' watermarks (each side only sees its
+    # own type) well past C1's window; their own windows stay open.
+    for i, t in enumerate(["06:00", "06:10", "08:00"]):
+        write(
+            f"b{i + 2}.parquet",
+            [
+                (10 + i, f"2024-01-01 {t}:00", 80 + i, "click"),
+                (20 + i, f"2024-01-01 {t}:30", 90 + i, "purchase"),
+            ],
+            now + 60 * (i + 1),
+        )
+
+    def side(tp, a, b, c):
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .where(F.col("event_type") == tp)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias(a),
+                F.col("event_id").alias(b),
+                F.col("ts").alias(c),
+            )
+        )
+
+    joined = side("click", "user_id", "click_id", "click_ts").join(
+        side("purchase", "p_user_id", "purchase_id", "purchase_ts"),
+        F.expr(
+            "user_id = p_user_id AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 hour"
+        ),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mii_oj_gate_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3, "expected at least 4 micro-batches"
+
+    out = spark.table("mii_oj_gate_sink").collect()
+    matched = {(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    nulls = {r.click_id for r in out if r.purchase_id is None}
+    assert matched == {(2, 3)}, "only C2 converted inside the horizon"
+    assert nulls == {1}, (
+        "exactly the closed-window unmatched click emits NULL; clicks "
+        "whose windows the final watermark never passed stay withheld"
+    )

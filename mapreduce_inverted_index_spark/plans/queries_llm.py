@@ -1729,3 +1729,63 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "keep_bps")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@register(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({{}}) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substring(tok, i, 2) AS pair
+      FROM toks, unnest(range(1, length(tok))) AS u(i)
+    ),
+    counts AS (
+      SELECT pair, count(*) AS pair_count FROM pairs GROUP BY pair),
+    top AS (
+      SELECT pair, pair_count FROM counts
+      ORDER BY pair_count DESC, pair LIMIT 1)
+    SELECT t.pair, t.pair_count,
+           (SELECT count(*) FROM toks
+            WHERE position(t.pair IN tok) > 0) AS n_token_occurrences
+    FROM top t
+    """.format(_TOKS),
+    doc="The inner loop of BPE tokenizer training as ONE distributed "
+        "step: count all adjacent symbol pairs over every token "
+        "occurrence in the corpus (frequency-weighted, as BPE "
+        "requires — each occurrence votes), pick the argmax merge "
+        "candidate with a deterministic (count DESC, pair) tiebreak, "
+        "and report how many token occurrences the merge touches. "
+        "Training = iterate this step k times, re-tokenizing with "
+        "the merged symbol (documented; each round is one "
+        "explode+groupBy pass, embarrassingly parallel — the reason "
+        "distributed BPE training scales where a single-node counter "
+        "can't hold web-corpus pair tables). Single-char symbol "
+        "alphabet here, so pairs are character bigrams — position-"
+        "counted (overlaps count), matching the oracle exactly.",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .persist()  # feeds the pair count AND the touched-token count
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(1)
+    )
+    return toks.crossJoin(F.broadcast(top)).where(
+        F.expr("position(pair, tok) > 0")
+    ).groupBy("pair", "pair_count").agg(
+        F.count("*").alias("n_token_occurrences")
+    )

@@ -608,3 +608,32 @@ def test_bucketed_events_funnel_is_exchange_free(spark, tmp_path):
         }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------- BPE merge step
+
+def test_bpe_merge_step_matches_python_reference(spark, tmp_path):
+    from collections import Counter
+
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    docs = spark.createDataFrame(
+        [(1, "the theme there", "en", "s", 15),
+         (2, "other ethers the", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = str(tmp_path / "sf")
+    docs.write.parquet(f"{base}/documents.parquet")
+
+    out = all_queries()["bpe_merge_step"].fn(spark, base).collect()
+    assert len(out) == 1
+    got = (out[0].pair, out[0].pair_count, out[0].n_token_occurrences)
+
+    toks = "the theme there other ethers the".split()
+    counts = Counter(t[i:i + 2] for t in toks for i in range(len(t) - 1))
+    best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    # deterministic tiebreak: count DESC then pair ASC
+    top_count = max(counts.values())
+    best_pair = min(p for p, c in counts.items() if c == top_count)
+    touched = sum(1 for t in toks if best_pair in t)
+    assert got == (best_pair, counts[best_pair], touched)

@@ -568,6 +568,28 @@ AUDITS = [
         ["FileScan json", "partial_count"],
         ["CartesianProduct"],
     ),
+    (
+        # temperature sampling: rate table broadcasts; the corpus is
+        # filtered by a scan predicate, never shuffled
+        "temperature_mixture_sample",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # BPE step: pair counting is explode + partial-aggregated
+        # groupBy; the 1-row argmax broadcasts back over the
+        # persisted token table
+        "bpe_merge_step",
+        ["InMemoryTableScan", "partial_count", "TakeOrderedAndProject"],
+        ["SortMergeJoin"],
+    ),
+    (
+        # VARIANT path extraction stays a scan-side projection with
+        # map-side-combined aggregation — no join, no shuffle of rows
+        "variant_events_agg",
+        ["partial_sum", "variant_get"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

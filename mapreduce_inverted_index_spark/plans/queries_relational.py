@@ -2168,3 +2168,62 @@ def q_ansi_safe_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_numeric_flags"
         ),
     )
+
+
+@register(
+    "attribution_lag_quantiles",
+    oracle="""
+    WITH lags AS (
+      SELECT c.user_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+    SELECT count(*) AS n_conversions,
+           CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS p50_lag_us,
+           CAST(quantile_disc(lag_us, 0.9) AS BIGINT) AS p90_lag_us,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM lags
+    """,
+    doc="Time-to-convert distribution over the click->purchase "
+        "attribution pairs: exact DISCRETE percentiles (an actual "
+        "observed lag, as bigint microseconds — no interpolation, so "
+        "the comparison is integer-exact; continuous percentiles "
+        "would interpolate in floats). The interval join reuses the "
+        "attribution shape; the quantile is one sort-based aggregate "
+        "over the (small) conversions table — at 100 TB swap in "
+        "approx_percentile on the same column.",
+)
+def q_attribution_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+    )
+    lags = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("lag_us")
+    )
+    return lags.agg(
+        F.count("*").alias("n_conversions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p90_lag_us"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )

@@ -149,3 +149,74 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = S.cms_build(ev, "user_id", depth=4, width=64).persist()
     keys = ev.distinct()
     return S.cms_estimate(sketch, keys, "user_id", depth=4, width=64)
+
+
+@register(
+    "term_association_lift",
+    oracle=f"""
+    WITH t AS (SELECT {sql_tokens("text")} AS toks FROM documents),
+    occ AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+             AS bigram
+      FROM t),
+    uni AS (
+      SELECT unnest(toks) AS term FROM t),
+    n_uni AS (SELECT count(*) AS n FROM uni),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    bc AS (SELECT bigram, count(*) AS c_ab FROM occ
+           GROUP BY bigram HAVING count(*) >= 20)
+    SELECT bc.bigram, bc.c_ab,
+           CAST(n_uni.n * bc.c_ab AS DOUBLE) / (a.c * b.c) AS lift
+    FROM bc
+    JOIN uc a ON a.term = string_split(bc.bigram, ' ')[1]
+    JOIN uc b ON b.term = string_split(bc.bigram, ' ')[2]
+    CROSS JOIN n_uni
+    ORDER BY lift DESC, bc.bigram LIMIT 20
+    """,
+    doc="Collocation mining: top-20 bigrams by association LIFT "
+        "(n·c(ab) / (c(a)·c(b)) — PMI without the log, because log() "
+        "is libm-dependent across engines while ONE division of two "
+        "exact bigint products is correctly rounded and bit-"
+        "identical). min-support 20 occurrences. Plan: one tokenize "
+        "pass persisted across the bigram and unigram counts, "
+        "unigram count table broadcast onto the (small, support-"
+        "filtered) bigram table, top-20 via a bounded heap. The "
+        "classic 'new york'/'machine learning' phrase detector at "
+        "corpus scale.",
+)
+def q_term_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokenize("text").alias("toks")).persist()
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bc = (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 20)
+    )
+    uni = t.select(F.explode("toks").alias("term"))
+    n_uni = uni.agg(F.count("*").alias("n"))
+    uc = uni.groupBy("term").agg(F.count("*").alias("c"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bc.withColumn("_a", parts.getItem(0))
+        .withColumn("_b", parts.getItem(1))
+        .join(F.broadcast(uc.selectExpr("term AS _a", "c AS _ca")), "_a")
+        .join(F.broadcast(uc.selectExpr("term AS _b", "c AS _cb")), "_b")
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "bigram",
+            "c_ab",
+            (
+                (F.col("n") * F.col("c_ab")).cast("double")
+                / (F.col("_ca") * F.col("_cb"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "bigram").limit(20)

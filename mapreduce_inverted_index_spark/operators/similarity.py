@@ -696,6 +696,15 @@ def gram_matrix(
     # probe d from the schema-registered fixture contract at plan
     # build: first batch defines it; emitting (i, j) longs keeps the
     # schema d-agnostic.
+    # int64 overflow guard: numpy wraps SILENTLY past 2^63, so the
+    # accumulator flushes a partial whenever its largest |cell| could
+    # no longer absorb another batch (budget = 2^62; per-row cell
+    # contribution is bounded by (scale * max|x|)^2, checked against
+    # the actual batch values, not an assumed |x| <= 1). The final
+    # cross-partial sum runs in DECIMAL(38,0) — exact far past 2^63 —
+    # and only casts back to long for the output contract.
+    _FLUSH_AT = np.int64(1) << 62
+
     def partial_grams(batches):
         acc = None
         dim = None
@@ -704,9 +713,18 @@ def gram_matrix(
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(mat * scale + 0.5).astype(np.int64)
-            g = q.T @ q  # exact: int64 matmul, values << 2^63
-            acc = g if acc is None else acc + g
+            g = q.T @ q
             dim = g.shape[0]
+            if acc is not None and (
+                np.abs(acc).max() + np.abs(g).max() > _FLUSH_AT
+            ):
+                iu, ju = np.triu_indices(dim)
+                yield pd.DataFrame(
+                    {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                     "gram": acc[iu, ju]}
+                )
+                acc = None
+            acc = g if acc is None else acc + g
         if acc is not None:
             iu, ju = np.triu_indices(dim)
             yield pd.DataFrame(
@@ -717,7 +735,9 @@ def gram_matrix(
     partials = emb.select(vec_col).mapInPandas(
         partial_grams, schema="i int, j int, gram long"
     )
-    return partials.groupBy("i", "j").agg(F.sum("gram").alias("gram"))
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("gram").cast("decimal(38,0)")).cast("bigint").alias("gram")
+    )
 
 
 def pca_project(
@@ -808,7 +828,10 @@ def pca_project(
             y = (mat - m) @ c
             yield pd.DataFrame({"_pid": pdf[id_col], "proj": list(y)})
 
+    # id schema follows the input column's type (string keys, int32
+    # ids, ...) so the Arrow pass never casts through long
+    id_type = emb.schema[id_col].dataType.simpleString()
     out = emb.select(id_col, vec_col).mapInPandas(
-        project, schema=f"_pid long, proj array<double>"
+        project, schema=f"_pid {id_type}, proj array<double>"
     )
     return out.withColumnRenamed("_pid", id_col)

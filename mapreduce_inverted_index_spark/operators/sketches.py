@@ -229,10 +229,10 @@ def cms_build(
     ``depth x width`` counter grid where row ``r`` adds each key's
     count at bucket ``h_r(key)``.
 
-    The build is one explode-free pass: each input row contributes to
-    ``depth`` (row, bucket) cells, expressed as a stack + groupBy so
-    Spark's partial aggregation gives per-partition partial sketches
-    merged by the shuffle — the mergeability that lets 1000 executors
+    The build is one partial-aggregated pass: each input row explodes
+    into its ``depth`` (row, bucket) cells, and Spark's map-side
+    partial aggregation collapses them to per-partition partial
+    sketches (<= depth x width rows each) merged by the shuffle — the mergeability that lets 1000 executors
     each sketch their shard and combine O(depth*width) longs, never
     the raw keys. Output: ``row, bucket, cnt`` (depth*width rows
     total, the persistable sketch).

@@ -775,7 +775,10 @@ def q_crawl_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Module: sources/crawl_source.py (writer face).",
 )
 def q_crawl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from mapreduce_inverted_index_spark.sources.crawl_source import (
         read_crawl_site,
@@ -786,7 +789,11 @@ def q_crawl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    site = tempfile.mkdtemp(prefix="mii_crawl_sink_")
+    # one FIXED site dir per sf, recreated each run: repeated catalog
+    # sweeps must not accumulate corpus copies in /tmp
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    site = str(Path(tempfile.gettempdir()) / f"mii_crawl_sink_{tag}")
+    shutil.rmtree(site, ignore_errors=True)
     (
         docs.repartition(8)
         .write.format("paged_crawl")

@@ -1773,7 +1773,11 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokenize("text")).alias("tok"))
         .persist()  # feeds the pair count AND the touched-token count
     )
-    pairs = toks.select(
+    # length >= 2 guard: Spark's sequence(1, 0) auto-steps DOWN to
+    # [1, 0] (it is not empty like DuckDB's range(1, 1)), so an
+    # unguarded transform would fabricate "pairs" out of single-char
+    # tokens — a real divergence on corpora where 'a'/'i' dominate.
+    pairs = toks.where(F.length("tok") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")
         ).alias("pair")

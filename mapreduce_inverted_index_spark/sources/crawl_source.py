@@ -56,11 +56,34 @@ def _num_rows(path: str) -> int:
 
 
 def _read_page(path: str, start: int, end: int, columns: list[str]):
+    """Stream only the [start, end) rows: row groups wholly before the
+    page are SKIPPED via footer metadata (never decoded), decoding
+    stops at the first batch past the page end. Within the overlapping
+    row groups the decode is batch-granular — exact page-restricted
+    I/O needs page-aligned row groups, which is how a production
+    snapshot would be written (row_group_size = page_size)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=columns).slice(start, end - start)
-    for batch in t.to_batches():
-        yield from zip(*[c.to_pylist() for c in batch.columns])
+    pf = pq.ParquetFile(path)
+    pos = 0
+    first_rg = 0
+    # skip row groups entirely before the page (metadata only)
+    while first_rg < pf.metadata.num_row_groups:
+        n = pf.metadata.row_group(first_rg).num_rows
+        if pos + n > start:
+            break
+        pos += n
+        first_rg += 1
+    for batch in pf.iter_batches(
+        columns=columns, row_groups=range(first_rg, pf.metadata.num_row_groups)
+    ):
+        if pos >= end:
+            break
+        lo, hi = max(start - pos, 0), min(end - pos, len(batch))
+        if lo < hi:
+            sl = batch.slice(lo, hi - lo)
+            yield from zip(*[c.to_pylist() for c in sl.columns])
+        pos += len(batch)
 
 
 class _CrawlBatchReader(DataSourceReader):
@@ -103,8 +126,10 @@ class _CrawlStreamReader(SimpleDataSourceStreamReader):
         # one shape satisfying both — a raw generator fails pickling,
         # a raw list fails the next() probe. Batches are at most
         # pages_per_batch pages, so materializing is bounded.
+        n_rows = _num_rows(self.path)  # one footer read per trigger
+        n_pages = (n_rows + self.page_size - 1) // self.page_size
         first = start["page"]
-        last = min(first + self.pages_per_batch, self._n_pages())
+        last = min(first + self.pages_per_batch, n_pages)
         end_off = {"page": last}
         if last == first:
             return iter(()), end_off
@@ -112,7 +137,7 @@ class _CrawlStreamReader(SimpleDataSourceStreamReader):
             _read_page(
                 self.path,
                 first * self.page_size,
-                min(last * self.page_size, _num_rows(self.path)),
+                min(last * self.page_size, n_rows),
                 self.cols,
             )
         )
@@ -208,7 +233,22 @@ class _CrawlPageWriter(DataSourceWriter):
         import json
         import os
 
+        manifest_path = f"{self.path}/_MANIFEST.json"
+        # honor the save mode: append MERGES the previously published
+        # manifest (a second job must not unpublish earlier pages);
+        # overwrite retires the old pages before publishing
         pages = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                old_pages = json.load(f)["pages"]
+            if self.overwrite:
+                for p in old_pages:
+                    try:
+                        os.remove(f"{self.path}/{p['file']}")
+                    except FileNotFoundError:
+                        pass
+            else:
+                pages.extend(old_pages)
         for m in messages:
             if m is None or m.n_rows == 0:
                 continue
@@ -218,7 +258,7 @@ class _CrawlPageWriter(DataSourceWriter):
         tmp = f"{self.path}/_MANIFEST.tmp"
         with open(tmp, "w") as f:
             json.dump({"pages": pages}, f)
-        os.replace(tmp, f"{self.path}/_MANIFEST.json")  # atomic publish
+        os.replace(tmp, manifest_path)  # atomic publish
 
     def abort(self, messages) -> None:
         import os

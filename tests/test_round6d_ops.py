@@ -637,3 +637,47 @@ def test_bpe_merge_step_matches_python_reference(spark, tmp_path):
     best_pair = min(p for p, c in counts.items() if c == top_count)
     touched = sum(1 for t in toks if best_pair in t)
     assert got == (best_pair, counts[best_pair], touched)
+
+
+def test_crawl_sink_append_merges_and_overwrite_replaces(spark, tmp_path):
+    """Save-mode semantics of the connector sink: a second append
+    keeps earlier committed pages (manifest merge); overwrite retires
+    them."""
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        read_crawl_site,
+        register_crawl_source,
+    )
+
+    register_crawl_source(spark)
+    site = str(tmp_path / "site")
+    a = spark.createDataFrame(
+        [(1, "s1", 10), (2, "s1", 20)], "doc_id long, source string, n_chars long"
+    )
+    b = spark.createDataFrame(
+        [(3, "s2", 30)], "doc_id long, source string, n_chars long"
+    )
+    a.write.format("paged_crawl").option("path", site).mode("append").save()
+    b.write.format("paged_crawl").option("path", site).mode("append").save()
+    got = {r.doc_id for r in read_crawl_site(spark, site).collect()}
+    assert got == {1, 2, 3}, "append must merge the published manifest"
+
+    b.write.format("paged_crawl").option("path", site).mode("overwrite").save()
+    got = {r.doc_id for r in read_crawl_site(spark, site).collect()}
+    assert got == {3}, "overwrite must retire previously published pages"
+
+
+def test_bpe_merge_step_ignores_single_char_tokens(spark, tmp_path):
+    """Spark's sequence(1, 0) is [1, 0] (not empty): unguarded, each
+    1-char token would fabricate a doubled 'pair' of itself. A corpus
+    dominated by 'a' must still pick a real 2-char pair."""
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a a a xy xy", "en", "s", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = str(tmp_path / "sf")
+    docs.write.parquet(f"{base}/documents.parquet")
+    out = all_queries()["bpe_merge_step"].fn(spark, base).collect()
+    assert len(out) == 1 and out[0].pair == "xy" and out[0].pair_count == 2
+    assert out[0].n_token_occurrences == 2

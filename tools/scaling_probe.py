@@ -171,6 +171,23 @@ def main() -> None:
         )
     print(NOTES)
 
+    # Regeneration must not drop the stress-probe section (it did,
+    # twice): carry the existing one forward verbatim so
+    # `python tools/scaling_probe.py > SCALING.md` stays idempotent;
+    # re-run tools/stress_probe.py separately to refresh its numbers.
+    import os
+
+    scaling_md = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    try:
+        with open(scaling_md) as f:
+            prior = f.read()
+        idx = prior.find("## Stress probe")
+        if idx != -1:
+            print()
+            print(prior[idx:].rstrip())
+    except FileNotFoundError:
+        pass
+
 
 if __name__ == "__main__":
     main()

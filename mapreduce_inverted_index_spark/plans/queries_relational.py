@@ -2227,3 +2227,49 @@ def q_attribution_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lag_us").alias("min_lag_us"),
         F.max("lag_us").alias("max_lag_us"),
     )
+
+
+@register(
+    "range_partition_boundaries",
+    oracle="""
+    WITH qs AS (
+      SELECT quantile_disc(o_totalprice,
+                           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+               AS cuts
+      FROM orders)
+    SELECT CAST(u.i AS BIGINT) AS bucket,
+           CAST(cuts[u.i] AS DOUBLE) AS upper_bound
+    FROM qs, unnest(range(1, 8)) AS u(i)
+    """,
+    doc="Exact equi-depth range-partition boundaries: the 7 cut "
+        "points that split orders into 8 equal-count ranges by "
+        "total price — the planning computation behind "
+        "repartitionByRange/sorted writes (Spark's range partitioner "
+        "estimates these by reservoir sampling; this is the exact "
+        "answer a layout job computes once and reuses). DISCRETE "
+        "percentiles (observed values, no interpolation) keep the "
+        "cross-engine comparison float-exact; one sort-based "
+        "aggregate, no join, no shuffle of fact rows beyond it.",
+)
+def q_range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cuts = [
+        F.expr(
+            f"percentile_disc({b}/8.0) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(f"_q{b}")
+        for b in range(1, 8)
+    ]
+    wide = o.agg(*cuts)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("bucket"),
+                        F.col(f"_q{b}").cast("double").alias("upper_bound"),
+                    )
+                    for b in range(1, 8)
+                ]
+            )
+        ).alias("s")
+    ).select("s.bucket", "s.upper_bound")

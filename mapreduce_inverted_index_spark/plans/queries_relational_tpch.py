@@ -1,4 +1,4 @@
-"""The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20),
+"""The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q10/Q11/Q14/Q16/Q19/Q20),
 adapted to the fixture star schema (which carries no ``partsupp``
 table — cost/stock-flavored queries are re-grounded on ``lineitem``
 shipment facts, keeping the PLAN shape that makes each query a
@@ -638,4 +638,61 @@ def q_excess_shipped_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         sup.join(
             majority, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         ).orderBy("s_suppkey")
+    )
+
+
+# ------------------------------------------------------------ Q10 shape
+
+@register(
+    "returned_item_reporting",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(max(c_acctbal) AS DECIMAL(18,2)), 2) AS DOUBLE)
+             AS c_acctbal
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: the quarter's top-20 customers by revenue "
+        "lost to returned items — the churn-triage report. The "
+        "return-flag and date filters push to the two fact scans "
+        "BEFORE their join (the only shuffle); customer and nation "
+        "dims broadcast; top-20 is a bounded heap with (revenue "
+        "DESC, custkey) as a total order. Exact-decimal revenue so "
+        "the ranking cut cannot flicker between engines.",
+)
+def q_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "c_acctbal")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+            F.round(F.max("c_acctbal").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

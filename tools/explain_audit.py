@@ -590,6 +590,23 @@ AUDITS = [
         ["partial_sum", "variant_get"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # Q10 shape: both fact filters reach their scans before the
+        # one fact-fact shuffle; dims broadcast; top-20 bounded heap
+        "returned_item_reporting",
+        [
+            "TakeOrderedAndProject",
+            "BroadcastHashJoin",
+            "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)",
+        ],
+        ["CartesianProduct"],
+    ),
+    (
+        # equi-depth boundaries: one sort-based aggregate, no join
+        "range_partition_boundaries",
+        ["percentile_disc"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

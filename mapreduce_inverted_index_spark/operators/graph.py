@@ -26,6 +26,7 @@ from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
 __all__ = [
     "cooccurrence_edges",
     "triangle_stats",
+    "bfs_levels",
 ]
 
 
@@ -135,6 +136,66 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return counts.crossJoin(tris).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first levels over undirected ``(u, v)``
+    edges: for every vertex within ``max_hops`` of any seed, the
+    minimum hop count to the seed set. Output ``id, level`` (both
+    BIGINT/INT, exact — a DuckDB recursive CTE replays it verbatim,
+    no tolerance anywhere).
+
+    This is the neighborhood-expansion primitive behind "N hops from
+    a flagged account" abuse sweeps and contamination blast-radius
+    queries (which training shards touch a leaked document's
+    neighborhood?). ``max_hops`` is a hard contract, not a
+    convergence hope: frontier size can grow geometrically, so an
+    unbounded traversal on a 100 TB interaction graph is a query that
+    never comes back — the cap bounds both rounds and state.
+
+    Shape per round (the Pregel message pattern, as in
+    :func:`pagerank_fixed_point`): newly-reached frontier ⋈ edges on
+    ``src`` (one shuffle join), distinct on ``dst``, left-anti join
+    against the visited set (second shuffle) — so each round's cost
+    is O(frontier out-degree), NOT O(graph). The visited set and
+    each frontier are lineage-truncated per round
+    (``localCheckpoint``; at cluster scale use fault-tolerant
+    ``checkpoint()``). The driver loop holds only the hop COUNTER —
+    no data, no convergence ``collect``. Rounds whose frontier is
+    already empty cost two empty-input jobs each, never a scan.
+
+    Seeds outside the vertex set are still emitted at level 0 (they
+    are trivially at distance 0 from themselves), matching the
+    recursive-CTE oracle's UNION seed row.
+    """
+    de = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    de = de.persist()
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(de, frontier.id == de.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "id", "left_anti")
+            .withColumn("level", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+    return visited
 
 
 def pagerank_fixed_point(

@@ -29,6 +29,9 @@ __all__ = [
     "lag_lead",
     "sessionize",
     "ewma",
+    "gap_fill_daily",
+    "pareto_frontier_2d",
+    "group_trend_slope",
 ]
 
 
@@ -232,4 +235,107 @@ def gap_fill_daily(
         spine.join(daily, [key_col, day_col], "left")
         .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
         .withColumn("is_gap", F.col("day_value").isNull())
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto skyline, both dimensions MAXIMIZED: rows not
+    strictly dominated by any other row (``x' >= x AND y' >= y`` with
+    at least one strict). Duplicated points are all kept (equal rows
+    don't dominate each other).
+
+    Sort-based skyline, not the O(n²) dominance self-join: a row is
+    dominated iff (a) some row shares its ``x`` with a strictly
+    larger ``y`` — killed by comparing against the per-``x`` max —
+    or (b) some row has a strictly larger ``x`` and a ``>=`` ``y``
+    — killed by the running max of per-``x`` maxes over the
+    descending-``x`` axis. So:
+
+      keep  iff  y = max_y(x)  AND  (no x' > x  OR  y > max_{x'>x} max_y(x'))
+
+    Cost shape: one partial-aggregating groupBy on ``x`` (the only
+    full-data shuffle), then a window over the DISTINCT-``x`` axis —
+    |distinct x| rows, typically orders of magnitude below |df| (a
+    date axis at 100 TB is still thousands of rows), then a
+    broadcast-joinable axis table mapped back onto the data. The
+    single-partition window is over that tiny axis only, never the
+    fact table; for a near-unique continuous ``x`` axis, range-sort
+    the axis and run the running max as a two-pass
+    partition-prefix-max instead (same algebra; the merge table is
+    one row per partition). d > 2 skylines compose this pairwise or
+    fall back to block-local-skyline + merge — at d = 2 the sort
+    formulation is exact and one-pass.
+    """
+    gx = df.groupBy(x_col).agg(F.max(y_col).alias("_my"))
+    w = (
+        Window.orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    axis = gx.withColumn("_pmax", F.max("_my").over(w))
+    return (
+        df.join(F.broadcast(axis), x_col)
+        .where(
+            (F.col(y_col) == F.col("_my"))
+            & (F.col("_pmax").isNull() | (F.col(y_col) > F.col("_pmax")))
+        )
+        .drop("_my", "_pmax")
+    )
+
+
+def group_trend_slope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    y_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-group least-squares slope + intercept of ``y`` over an
+    integer axis ``x`` (the closed-form simple regression — the
+    per-segment trend extractor behind "is this nation's revenue
+    rising?" dashboards and drift monitors).
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Engine-exactness: ``x`` is integer (cast to DECIMAL(10,0) so the
+    ``x·y`` product type never walks Spark's precision-39
+    allowPrecisionLoss path) and ``y`` is quantized to ``y_decimal``,
+    so all five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    EXACT decimals/bigints — order- and partitioning-independent,
+    unlike a float covariance which no two engines sum in the same
+    order. The exact stats then convert to double (a correctly-
+    rounded conversion in every engine) and combine in a FIXED
+    expression order, so every engine evaluating the same formula on
+    the same exact inputs produces bit-identical doubles; round(6)
+    at the end. This is one partial-agg groupBy — the
+    sufficient-statistic pattern: at 100 TB the map-side combine
+    reduces each partition to 5 numbers per group before the
+    shuffle.
+    """
+    y = F.col(y_col).cast(y_decimal)
+    x = F.col(x_col).cast("decimal(10,0)")
+    sufficient = df.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n_d = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n_d
+    return sufficient.select(
+        *group_cols,
+        F.col("_n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
     )

@@ -28,6 +28,7 @@ __all__ = [
     "lm_unigram_scores",
     "build_vocab",
     "encode_docs",
+    "distribution_divergence",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -432,4 +433,74 @@ def encode_docs(
                 lambda x: x["tid"],
             ).alias("token_ids"),
         )
+    )
+
+
+def distribution_divergence(
+    docs: DataFrame,
+    part_col: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hellinger distance between the token distributions of two
+    corpus partitions — the distribution-shift monitor a training
+    pipeline runs between crawl snapshots, data sources, or a
+    candidate mix and its reference mix.
+
+        H²(P, Q) = ½ Σ_t (√p_t − √q_t)²,   H ∈ [0, 1]
+
+    Hellinger, not KL: it is symmetric, bounded, defined when a
+    term is absent from one side (KL needs smoothing there), and —
+    the engine-portability point — needs only ``sqrt``, which IEEE
+    754 requires to be correctly rounded in every engine, where
+    ``ln``/``pow`` are not (see ``lm_unigram_scores`` for the
+    rounds-before-sum discipline ``ln`` forces).
+
+    Exactness: per-term counts and totals are exact BIGINTs; each
+    term's contribution is a fixed chain of correctly-rounded IEEE
+    ops (two divides, two sqrts, subtract, square) on identical
+    operands in any engine, then quantized to the 1e-12 grid with
+    ``floor(x·1e12 + 0.5)`` (the repo's cross-engine quantizer —
+    ``round()`` tie rules differ between engines) and summed as
+    BIGINT — exact and order-independent. Only the final ÷2e12 and
+    √ happen in double.
+
+    Plan: one explode + one partial-agg groupBy(term) with both
+    sides' counts as conditional sums (ONE pass — no per-side scan,
+    no join of two aggregates), then a broadcast of the single-row
+    totals. ``part_col`` is any boolean expression over the doc row.
+
+    Output (one row): ``n_terms, tok_a, tok_b, hellinger_sq,
+    hellinger``.
+    """
+    from mapreduce_inverted_index_spark.functions.text import terms
+
+    tok = docs.select(
+        part_col.alias("_in_a"),
+        F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("_in_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("_in_a"), 0).otherwise(1)).alias("nb"),
+    )
+    tot = cnt.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    diff = F.sqrt(F.col("na").cast("double") / F.col("ta").cast("double")) - F.sqrt(
+        F.col("nb").cast("double") / F.col("tb").cast("double")
+    )
+    q = F.floor(diff * diff * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    agg = (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.max("ta").alias("tok_a"),
+            F.max("tb").alias("tok_b"),
+            F.sum(q).alias("_h2p"),
+        )
+    )
+    h2 = F.col("_h2p").cast("double") / F.lit(2e12)
+    return agg.select(
+        "n_terms",
+        "tok_a",
+        "tok_b",
+        F.round(h2, 9).alias("hellinger_sq"),
+        F.round(F.sqrt(h2), 9).alias("hellinger"),
     )

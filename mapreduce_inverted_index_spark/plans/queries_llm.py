@@ -1793,3 +1793,52 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("pair", "pair_count").agg(
         F.count("*").alias("n_token_occurrences")
     )
+
+
+_SQL_MD5_PART = (
+    "(CAST(concat('0x', substring(md5(source), 1, 15)) AS BIGINT) % 2 = 0)"
+)
+
+
+@register(
+    "source_token_hellinger",
+    oracle=f"""
+    WITH tok AS (SELECT {_SQL_MD5_PART} AS in_a,
+                        unnest({sql_terms("text")}) AS term
+                 FROM documents),
+         cnt AS (SELECT term,
+                        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                        CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+                 FROM tok GROUP BY term),
+         tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                        CAST(sum(nb) AS BIGINT) AS tb FROM cnt),
+         q AS (SELECT CAST(floor(
+                        (sqrt(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                         - sqrt(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                        * (sqrt(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                           - sqrt(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                        * 1e12 + 0.5) AS BIGINT) AS qv,
+                      ta, tb
+               FROM cnt, tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           max(ta) AS tok_a, max(tb) AS tok_b,
+           ROUND(CAST(sum(qv) AS DOUBLE) / 2e12, 9) AS hellinger_sq,
+           ROUND(sqrt(CAST(sum(qv) AS DOUBLE) / 2e12), 9) AS hellinger
+    FROM q
+    """,
+    doc="Corpus distribution-shift monitor: Hellinger distance "
+        "between the token distributions of two md5-split document "
+        "partitions (sqrt is IEEE-correctly-rounded in every engine "
+        "— unlike ln/pow — so per-term contributions are bit-"
+        "identical, quantized to the 1e-12 grid and summed as exact "
+        "BIGINT). One explode + one partial-agg groupBy computes "
+        "BOTH sides' counts as conditional sums; totals broadcast. "
+        "Operator: textstats.distribution_divergence.",
+)
+def q_source_token_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    part = (
+        F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("bigint") % 2
+        == 0
+    )
+    return T.distribution_divergence(docs, part)

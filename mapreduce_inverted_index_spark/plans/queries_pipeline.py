@@ -497,3 +497,36 @@ def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").alias("user_id"), "rank_nano", "rank"
     )
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_SQL_EDGES}),
+    de AS (SELECT u AS src, v AS dst FROM edges
+           UNION ALL SELECT v AS src, u AS dst FROM edges),
+    seeds AS (SELECT DISTINCT user_id AS id FROM events
+              WHERE user_id % 13 = 0),
+    r AS (SELECT id, 0 AS level FROM seeds
+          UNION
+          SELECT de.dst AS id, r.level + 1 AS level
+          FROM r JOIN de ON de.src = r.id
+          WHERE r.level < 4)
+    SELECT id AS user_id, CAST(min(level) AS INT) AS level
+    FROM r GROUP BY id
+    """,
+    doc="Multi-source BFS levels (<= 4 hops) over the user "
+        "co-occurrence graph from seed users (user_id % 13 = 0): the "
+        "blast-radius / abuse-neighborhood primitive. Per round one "
+        "frontier-edges shuffle join + one anti-join against the "
+        "visited set, so round cost is O(frontier out-degree) not "
+        "O(graph); hop cap bounds rounds and state; integer-exact, "
+        "replayed by a recursive-CTE oracle. Operator: "
+        "graph.bfs_levels.",
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    seeds = events.where(F.col("user_id") % 13 == 0).select("user_id")
+    return G.bfs_levels(
+        G.cooccurrence_edges(events), seeds, max_hops=4
+    ).select(F.col("id").alias("user_id"), "level")

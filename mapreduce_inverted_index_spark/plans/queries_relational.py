@@ -2273,3 +2273,107 @@ def q_range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.bucket", "s.upper_bound")
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+    WITH gx AS (SELECT o_orderdate AS x, max(o_totalprice) AS my
+                FROM orders GROUP BY 1),
+         axis AS (SELECT x, my,
+                         max(my) OVER (ORDER BY x DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+                  FROM gx)
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price
+    FROM orders o JOIN axis ON axis.x = o.o_orderdate
+    WHERE o.o_totalprice = axis.my
+      AND (axis.pmax IS NULL OR o.o_totalprice > axis.pmax)
+    """,
+    doc="2-D Pareto skyline of orders maximizing (recency, price): "
+        "orders no other order beats on both axes. Sort-based, not "
+        "the O(n^2) dominance self-join: one partial-agg groupBy on "
+        "the date axis, a running-max window over the DISTINCT-date "
+        "axis only (thousands of rows at any scale), and a broadcast "
+        "map-back — the fact table is scanned once and never "
+        "window-sorted. Exact decimal/date comparisons; operator: "
+        "relational.pareto_frontier_2d.",
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return R.pareto_frontier_2d(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_orderdate",
+        "o_totalprice",
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "nation_revenue_trend",
+    oracle="""
+    WITH pts AS (SELECT n_name,
+                        (year(o_orderdate) - 1992) * 12
+                          + month(o_orderdate) - 1 AS x,
+                        o_totalprice AS y
+                 FROM orders
+                 JOIN customer ON c_custkey = o_custkey
+                 JOIN nation ON n_nationkey = c_nationkey),
+         s AS (SELECT n_name, count(*) AS n,
+                      sum(CAST(x AS DECIMAL(10,0))) AS sx,
+                      sum(CAST(y AS DECIMAL(18,2))) AS sy,
+                      sum(CAST(x AS DECIMAL(10,0))
+                          * CAST(y AS DECIMAL(18,2))) AS sxy,
+                      sum(CAST(x AS DECIMAL(10,0))
+                          * CAST(x AS DECIMAL(10,0))) AS sxx
+               FROM pts GROUP BY 1),
+         d AS (SELECT n_name, n, CAST(n AS DOUBLE) AS nd,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+               FROM s),
+         sl AS (SELECT n_name, n, nd, sxd, syd,
+                       (nd * sxyd - sxd * syd)
+                         / (nd * sxxd - sxd * sxd) AS slope_raw
+                FROM d)
+    SELECT n_name, CAST(n AS BIGINT) AS n_points,
+           ROUND(slope_raw, 6) AS slope,
+           ROUND((syd - slope_raw * sxd) / nd, 6) AS intercept
+    FROM sl
+    """,
+    doc="Per-nation monthly revenue trend: closed-form least-squares "
+        "slope/intercept from five EXACT decimal sufficient "
+        "statistics (n, Sx, Sy, Sxy, Sxx) — order- and partitioning-"
+        "independent where a float covariance is neither — combined "
+        "in a fixed double expression order so DuckDB reproduces the "
+        "doubles bit-for-bit. One partial-agg groupBy after two "
+        "broadcast dim joins; map-side combine reduces each "
+        "partition to 5 numbers per nation before the shuffle. "
+        "Operator: relational.group_trend_slope.",
+)
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    # customer is fact-sized (it scales with SF) — shuffle join it;
+    # only the 25-row nation dim broadcasts.
+    pts = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .select(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    return R.group_trend_slope(
+        pts, ["n_name"], "x", "y"
+    ).select("n_name", "n_points", "slope", "intercept")

@@ -1,0 +1,143 @@
+"""Continuation-session round-6 operator semantics beyond the
+registry differential:
+
+* bfs_levels: exact min-hop levels on a hand graph (chain + branch +
+  unreachable island), multi-source min semantics, hop cap, and the
+  isolated-seed level-0 contract.
+* pareto_frontier_2d: dominance on hand points — per-x ties kept,
+  duplicated frontier points all kept, strictly-dominated interior
+  dropped, and the frontier equals the O(n^2) dominance definition.
+* group_trend_slope: recovers an exact known line per group, and a
+  constant series yields slope 0 with intercept = the constant.
+* distribution_divergence: identical halves -> 0; disjoint
+  vocabularies -> 1 (both bounds of Hellinger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.graph import bfs_levels
+from mapreduce_inverted_index_spark.operators.relational import (
+    group_trend_slope,
+    pareto_frontier_2d,
+)
+from mapreduce_inverted_index_spark.operators.textstats import (
+    distribution_divergence,
+)
+
+
+# ------------------------------------------------------------- bfs_levels
+
+def test_bfs_levels_hand_graph(spark):
+    # 1-2-3-4-5 chain, 2-6 branch, 8-9 island (unreachable), seed {1, 9}.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (8, 9)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], ["id"])
+    got = {
+        r["id"]: r["level"]
+        for r in bfs_levels(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 9: 0, 2: 1, 8: 1, 3: 2, 6: 2, 4: 3}
+    # 5 is 4 hops out -> cut by the cap; island vertex 8 reached via 9.
+
+
+def test_bfs_levels_multi_source_takes_min(spark):
+    # 1-2-3-4-5 with seeds at both ends: middle vertex takes the min.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["id"])
+    got = {
+        r["id"]: r["level"]
+        for r in bfs_levels(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_levels_isolated_seed_is_level_zero(spark):
+    edges = spark.createDataFrame([(1, 2)], ["u", "v"])
+    seeds = spark.createDataFrame([(99,)], ["id"])
+    got = {
+        r["id"]: r["level"]
+        for r in bfs_levels(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {99: 0}
+
+
+# ----------------------------------------------------- pareto_frontier_2d
+
+def _brute_skyline(points):
+    out = []
+    for x, y in points:
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for x2, y2 in points
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_dominance_definition(spark):
+    pts = [
+        (1, 9), (2, 9),          # (2,9) dominates (1,9) on x
+        (2, 9),                  # duplicate frontier point: both kept
+        (3, 5), (3, 7),          # per-x tie: only the max-y row survives
+        (4, 4), (5, 1), (2, 2),  # interior points
+        (5, 1),                  # duplicated dominated point
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect())
+    # _brute_skyline iterates per occurrence, so duplicated frontier
+    # points already appear once per copy.
+    assert got == sorted(_brute_skyline(pts))
+
+
+def test_pareto_frontier_single_point_and_total_order(spark):
+    df = spark.createDataFrame([(1, 1)], ["x", "y"])
+    assert pareto_frontier_2d(df, "x", "y").count() == 1
+    # Strictly increasing staircase: every point on the frontier of
+    # (x asc, y desc) pairs.
+    stair = [(i, 10 - i) for i in range(1, 6)]
+    df2 = spark.createDataFrame(stair, ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in pareto_frontier_2d(df2, "x", "y").collect())
+    assert got == sorted(stair)
+
+
+# ------------------------------------------------------ group_trend_slope
+
+def test_group_trend_slope_recovers_exact_line(spark):
+    # g1: y = 3x + 10 exactly; g2: constant 7.
+    rows = [("g1", x, 3 * x + 10) for x in range(10)] + [
+        ("g2", x, 7) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {
+        r["g"]: (r["n_points"], r["slope"], r["intercept"])
+        for r in group_trend_slope(df, ["g"], "x", "y").collect()
+    }
+    assert got["g1"] == (10, 3.0, 10.0)
+    assert got["g2"] == (5, 0.0, 7.0)
+
+
+# ------------------------------------------------ distribution_divergence
+
+def test_hellinger_identical_halves_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    row = distribution_divergence(docs, F.col("doc_id") == 0).collect()[0]
+    assert row["hellinger_sq"] == 0.0 and row["hellinger"] == 0.0
+    assert row["tok_a"] == row["tok_b"] == 3
+
+
+def test_hellinger_disjoint_vocabularies_is_one(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    row = distribution_divergence(docs, F.col("doc_id") == 0).collect()[0]
+    assert abs(row["hellinger"] - 1.0) < 1e-9
+    assert row["n_terms"] == 5

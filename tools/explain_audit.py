@@ -607,6 +607,31 @@ AUDITS = [
         ["percentile_disc"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # sort-based skyline: the only full-data shuffle is the
+        # partial-agg groupBy on the date axis; the running-max
+        # window runs over the distinct-date axis only and maps back
+        # via broadcast — the fact table is never window-sorted
+        "skyline_orders",
+        ["BroadcastHashJoin", "partial_max"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # sufficient-statistic regression: 5 exact sums combine
+        # map-side; nation broadcasts; customer-orders is the one
+        # fact-fact shuffle
+        "nation_revenue_trend",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct"],
+    ),
+    (
+        # Hellinger: one explode + one partial-agg groupBy carries
+        # BOTH sides' counts (conditional sums — no per-side scan,
+        # no join of two aggregates); 1-row totals broadcast
+        "source_token_hellinger",
+        ["partial_sum", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin"],
+    ),
 ]
 
 

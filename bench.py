@@ -85,6 +85,14 @@ HEADLINE = _R1SET + (
     "excess_shipped_part_suppliers",
     "embedding_gram_matrix",
     "event_funnel_conversion",
+    # continuation-session: the new operator families — frontier BFS
+    # (4 rounds of frontier-join + anti-join), sort-based skyline,
+    # sufficient-statistic regression, and the one-pass Hellinger
+    # distribution diff (explode + conditional-sum groupBy)
+    "graph_bfs_levels",
+    "skyline_orders",
+    "nation_revenue_trend",
+    "source_token_hellinger",
 )
 
 

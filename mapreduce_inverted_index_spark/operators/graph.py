@@ -176,25 +176,41 @@ def bfs_levels(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     de = de.persist()
-    visited = (
-        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
-        .distinct()
-        .withColumn("level", F.lit(0))
-        .localCheckpoint(eager=False)
-    )
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        reached = (
-            frontier.join(de, frontier.id == de.src)
-            .select(F.col("dst").alias("id"))
+    # Size the per-round shuffles to the GRAPH, not the session
+    # default (the pagerank_fixed_point discipline): max_hops rounds
+    # x 2 shuffles each multiply per-task overhead, so a modest graph
+    # must not pay 32 near-empty tasks per shuffle while a huge one
+    # keeps full parallelism. Conf is read at EXECUTION time, so the
+    # final state materializes (eager checkpoint) inside the window.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    n_edges = de.count()
+    parts = max(1, min(int(orig_parts), n_edges // 50_000 + 1))
+    spark.conf.set(conf_key, str(parts))
+    try:
+        visited = (
+            seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
             .distinct()
-        )
-        frontier = (
-            reached.join(visited, "id", "left_anti")
-            .withColumn("level", F.lit(hop))
+            .withColumn("level", F.lit(0))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            reached = (
+                frontier.join(de, frontier.id == de.src)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            frontier = (
+                reached.join(visited, "id", "left_anti")
+                .withColumn("level", F.lit(hop))
+                .localCheckpoint(eager=False)
+            )
+            visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+        visited = visited.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, orig_parts)
     return visited
 
 

@@ -64,6 +64,13 @@ QUERIES = [
     "embedding_gram_matrix",
     "event_funnel_conversion",
     "cms_user_counts",
+    # continuation session: frontier BFS (per-round cost tracks
+    # frontier out-degree, not graph size), the sort-based skyline
+    # (growth should track the groupBy scan — the window is over the
+    # distinct-date axis only), and the one-pass Hellinger groupBy
+    "graph_bfs_levels",
+    "skyline_orders",
+    "source_token_hellinger",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when
@@ -115,6 +122,14 @@ Notes:
   O(partitions x d^2) cells at every sf (the part that matters at
   100 TB). pagerank's 4x is 5 fixed-point rounds of join+agg over
   an edge list that grows with sf — per-round cost is the probe.
+- graph_bfs_levels' growth tracks the GRAPH (same Sum(|ctx|^2)
+  edge-count term as pagerank) times 4 frontier rounds; per-round
+  cost is one frontier-edges join + one anti-join, sized to the
+  edge count (the pagerank shuffle-window discipline), so the
+  2.3x at 100x data is per-round scan growth, not round count.
+  skyline_orders is flat because the only full-data work is one
+  partial-agg scan of orders; the window runs over the distinct
+  date axis (~2.4k rows at every sf).
 """
 
 

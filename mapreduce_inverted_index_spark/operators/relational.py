@@ -32,6 +32,7 @@ __all__ = [
     "gap_fill_daily",
     "pareto_frontier_2d",
     "group_trend_slope",
+    "peak_concurrency",
 ]
 
 
@@ -338,4 +339,102 @@ def group_trend_slope(
         F.col("_n").alias("n_points"),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Peak number of simultaneously-active intervals (inclusive
+    ends) and the earliest instant it occurs — the sweep-line
+    classic behind "max concurrent sessions/connections/streams"
+    capacity questions.
+
+    Semantics: each interval contributes +1 at ``start`` and −1 at
+    ``end``; the sweep orders by ``(ts, delta DESC)`` (+1 before −1
+    at ties, so two intervals meeting at an instant count as
+    overlapping — inclusive ends). The running sum after each event
+    is the concurrency; output is one row ``peak_concurrency,
+    peak_ts`` (earliest timestamp achieving the peak). All integer
+    math — a DuckDB oracle replays the sweep with one global window.
+
+    A global running sum is the textbook single-partition trap, so
+    this is the DISTRIBUTED prefix-sum plan (the
+    ``assign_partition_ids`` ledger discipline, kept fully
+    declarative — no driver collect):
+
+      1. range-bucket the ±1 events by exact equi-depth
+         ``percentile_disc`` cuts on ``ts`` (exact, deterministic —
+         no ``repartitionByRange`` sampling; all ties share one
+         bucket because cuts compare on ``ts`` alone),
+      2. per-bucket running sum (windows partitioned by bucket —
+         parallel),
+      3. per-bucket delta totals → exclusive prefix offsets via a
+         window over the ≤ ``buckets``-row ledger (tiny by
+         construction),
+      4. broadcast the ledger back; global cum = local cum + offset.
+
+    Per-event work is two parallel window passes; the only global
+    object is the ``buckets``-row ledger. Peak extraction is a
+    1-row aggregate + broadcast-filtered argmin — no sort of the
+    event stream.
+    """
+    d = intervals.select(
+        F.col(start_col).alias("_ts"), F.lit(1).alias("_delta")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("_ts"), F.lit(-1).alias("_delta"))
+    )
+    # Cuts over epoch seconds (percentile_disc takes NUMERIC, not
+    # TIMESTAMP); flooring to the second only coarsens the buckets —
+    # equal-ts rows still share one, and bucketing stays monotone.
+    d = d.withColumn("_ts_s", F.col("_ts").cast("timestamp").cast("long"))
+    if buckets >= 2:
+        cuts = d.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({b}/{buckets}.0)"
+                    " WITHIN GROUP (ORDER BY _ts_s)"
+                ).alias(f"_q{b}")
+                for b in range(1, buckets)
+            ]
+        )
+        pid = sum(
+            [
+                F.when(F.col("_ts_s") > F.col(f"_q{b}"), 1).otherwise(0)
+                for b in range(1, buckets)
+            ],
+            F.lit(0),
+        )
+        ev = d.crossJoin(F.broadcast(cuts)).select(
+            pid.alias("_pid"), "_ts", "_delta"
+        )
+    else:
+        # buckets=1: the naive single-partition sweep (useful as the
+        # equality anchor in tests).
+        ev = d.select(F.lit(0).alias("_pid"), "_ts", "_delta")
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("_ts", F.col("_delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ev.withColumn("_cum_local", F.sum("_delta").over(w_local))
+    ledger = ev.groupBy("_pid").agg(F.sum("_delta").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ledger.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    cum = local.join(F.broadcast(offs), "_pid").select(
+        "_ts", (F.col("_cum_local") + F.col("_off")).alias("_cum")
+    )
+    peak = cum.agg(F.max("_cum").alias("_pk"))
+    return (
+        cum.crossJoin(F.broadcast(peak))
+        .where(F.col("_cum") == F.col("_pk"))
+        .agg(
+            F.max("_cum").cast("bigint").alias("peak_concurrency"),
+            F.min("_ts").alias("peak_ts"),
+        )
     )

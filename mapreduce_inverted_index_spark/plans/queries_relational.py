@@ -2377,3 +2377,55 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.group_trend_slope(
         pts, ["n_name"], "x", "y"
     ).select("n_name", "n_points", "slope", "intercept")
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM x
+    ),
+    sess AS (SELECT user_id, sess_no, min(ts) AS s_ts, max(ts) AS e_ts
+             FROM s GROUP BY user_id, sess_no),
+    d AS (SELECT s_ts AS ts, 1 AS delta FROM sess
+          UNION ALL SELECT e_ts, -1 FROM sess),
+    c AS (SELECT ts, delta,
+                 sum(delta) OVER (ORDER BY ts, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    p AS (SELECT max(cum) AS pk FROM c)
+    SELECT CAST(max(c.cum) AS BIGINT) AS peak_concurrency,
+           min(c.ts) AS peak_ts
+    FROM c, p WHERE c.cum = p.pk
+    """,
+    doc="Peak concurrent user sessions (30-min-gap sessionization, "
+        "inclusive interval ends) and the earliest instant it "
+        "occurs: the sweep-line capacity classic, run as a "
+        "DISTRIBUTED prefix sum — exact percentile_disc range "
+        "buckets, per-bucket cumsum windows in parallel, a <= "
+        "32-row bucket-total ledger turned into exclusive offsets, "
+        "broadcast back — where the naive plan is one global "
+        "single-partition window over every +-1 event. The oracle "
+        "IS that naive global window (DuckDB runs it fine at "
+        "sf0.01); all integer math. Operator: "
+        "relational.peak_concurrency.",
+)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = (
+        R.sessionize(e, "user_id", "ts", gap_s=1800, tiebreak_col="event_id")
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    )
+    return R.peak_concurrency(sess, "s_ts", "e_ts", buckets=32)

@@ -141,3 +141,44 @@ def test_hellinger_disjoint_vocabularies_is_one(spark):
     row = distribution_divergence(docs, F.col("doc_id") == 0).collect()[0]
     assert abs(row["hellinger"] - 1.0) < 1e-9
     assert row["n_terms"] == 5
+
+
+# --------------------------------------------------- peak_concurrency
+
+def _pc(spark, rows, buckets=4):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+        for s, e in rows
+    ]
+    df = spark.createDataFrame(data, ["s", "e"])
+    from mapreduce_inverted_index_spark.operators.relational import (
+        peak_concurrency,
+    )
+
+    r = peak_concurrency(df, "s", "e", buckets=buckets).collect()[0]
+    return r["peak_concurrency"], (r["peak_ts"] - base).total_seconds() / 60
+
+
+def test_peak_concurrency_hand_intervals(spark):
+    # [0,10], [5,15], [12,20]: peak 2 first reached at t=5.
+    assert _pc(spark, [(0, 10), (5, 15), (12, 20)]) == (2, 5)
+
+
+def test_peak_concurrency_inclusive_ends_meet(spark):
+    # [0,10] and [10,20] meet at t=10: inclusive ends -> concurrent.
+    assert _pc(spark, [(0, 10), (10, 20)]) == (2, 10)
+
+
+def test_peak_concurrency_bucket_count_invariance(spark):
+    # The distributed prefix sum must not depend on the bucket count.
+    rows = [(i, i + 7) for i in range(0, 40, 3)] + [(4, 30), (6, 28)]
+    expected = _pc(spark, rows, buckets=1)  # single bucket == naive sweep
+    for b in (2, 4, 16):
+        assert _pc(spark, rows, buckets=b) == expected
+
+
+def test_peak_concurrency_all_disjoint(spark):
+    assert _pc(spark, [(0, 1), (2, 3), (4, 5)]) == (1, 0)

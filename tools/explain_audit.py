@@ -632,6 +632,14 @@ AUDITS = [
         ["partial_sum", "BroadcastNestedLoopJoin"],
         ["SortMergeJoin"],
     ),
+    (
+        # distributed sweep-line: the event cumsum must be a window
+        # PARTITIONED by the range bucket (parallel), with exact
+        # percentile_disc cuts; the ledger/cuts sides broadcast
+        "peak_concurrent_sessions",
+        ["windowspecdefinition(_pid", "percentile_disc"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

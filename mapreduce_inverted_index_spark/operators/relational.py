@@ -33,6 +33,7 @@ __all__ = [
     "pareto_frontier_2d",
     "group_trend_slope",
     "peak_concurrency",
+    "ols2_fit",
 ]
 
 
@@ -437,4 +438,80 @@ def peak_concurrency(
             F.max("_cum").cast("bigint").alias("peak_concurrency"),
             F.min("_ts").alias("peak_ts"),
         )
+    )
+
+
+def ols2_fit(
+    df: DataFrame,
+    x1_col: Column,
+    x2_col: Column,
+    y_col: Column,
+) -> DataFrame:
+    """Two-feature least squares with intercept — the linear-probe
+    fit (y ≈ β0 + β1·x1 + β2·x2) a training pipeline runs to ask
+    "how much signal do these features carry?" — distributed as ONE
+    sufficient-statistic aggregate; the 2×2 normal-equation solve is
+    closed-form (Cramer), so there is no iteration, no driver-side
+    data, no matrix library.
+
+    Engine-exactness (the ``group_trend_slope`` discipline, one
+    dimension up): features quantize to nano-units
+    (``floor(x·1e9 + 0.5)`` → DECIMAL(18,0)) so all ten sufficient
+    statistics — n, Σu1, Σu2, Σy, Σu1², Σu2², Σu1u2, Σu1y, Σu2y,
+    Σy² — are EXACT decimals (products stay ≤ (37,0), never walking
+    Spark's precision-39 allowPrecisionLoss path), order- and
+    partitioning-independent. The exact stats convert to double
+    (correctly rounded everywhere) and the Cramer solve runs in a
+    FIXED expression order, so any engine replaying the formula
+    produces bit-identical doubles. Slopes rescale from nano-units
+    (β = c·1e9) in one double multiply; round(6) last.
+
+    At 100 TB this is the canonical shape: map-side combine reduces
+    every partition to 10 numbers, the shuffle carries 10 numbers
+    per partition, and the "solve" is a scalar projection of the
+    1-row aggregate. A d-feature probe generalizes via the Gram
+    matrix (``embedding_gram_matrix``) + a driver-side d×d solve.
+
+    Output (one row): ``n_points, beta0, beta1, beta2, r2``.
+    """
+    u1 = F.floor(x1_col.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(18,0)"
+    )
+    u2 = F.floor(x2_col.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(18,0)"
+    )
+    y = y_col.cast("decimal(9,0)")
+    s = df.agg(
+        F.count("*").alias("_n"),
+        F.sum(u1).alias("_s1"),
+        F.sum(u2).alias("_s2"),
+        F.sum(y).alias("_sy"),
+        F.sum(u1 * u1).alias("_s11"),
+        F.sum(u2 * u2).alias("_s22"),
+        F.sum(u1 * u2).alias("_s12"),
+        F.sum(u1 * y).alias("_s1y"),
+        F.sum(u2 * y).alias("_s2y"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("_s1", "_s2", "_sy"))
+    s11, s22, s12 = (F.col(c).cast("double") for c in ("_s11", "_s22", "_s12"))
+    s1y, s2y, syy = (F.col(c).cast("double") for c in ("_s1y", "_s2y", "_syy"))
+    a11 = n * s11 - s1 * s1
+    a22 = n * s22 - s2 * s2
+    a12 = n * s12 - s1 * s2
+    b1v = n * s1y - s1 * sy
+    b2v = n * s2y - s2 * sy
+    det = a11 * a22 - a12 * a12
+    c1 = (b1v * a22 - b2v * a12) / det
+    c2 = (b2v * a11 - b1v * a12) / det
+    beta0 = (sy - c1 * s1 - c2 * s2) / n
+    sst = n * syy - sy * sy
+    r2 = (c1 * b1v + c2 * b2v) / sst
+    return s.select(
+        F.col("_n").alias("n_points"),
+        F.round(beta0, 6).alias("beta0"),
+        F.round(c1 * F.lit(1e9), 6).alias("beta1"),
+        F.round(c2 * F.lit(1e9), 6).alias("beta2"),
+        F.round(r2, 6).alias("r2"),
     )

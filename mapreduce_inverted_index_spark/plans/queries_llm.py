@@ -1842,3 +1842,68 @@ def q_source_token_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     return T.distribution_divergence(docs, part)
+
+
+@register(
+    "linear_probe_embeddings",
+    oracle="""
+    WITH q AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9 + 0.5)
+                           AS DECIMAL(18,0)) AS u1,
+                      CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e9 + 0.5)
+                           AS DECIMAL(18,0)) AS u2,
+                      CAST(label AS DECIMAL(9,0)) AS y
+               FROM embeddings),
+         s AS (SELECT count(*) AS n,
+                      sum(u1) AS s1, sum(u2) AS s2, sum(y) AS sy,
+                      sum(u1 * u1) AS s11, sum(u2 * u2) AS s22,
+                      sum(u1 * u2) AS s12,
+                      sum(u1 * y) AS s1y, sum(u2 * y) AS s2y,
+                      sum(y * y) AS syy
+               FROM q),
+         d AS (SELECT CAST(n AS BIGINT) AS n0, CAST(n AS DOUBLE) AS nd,
+                      CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                      CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+                      CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+                      CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+                      CAST(syy AS DOUBLE) AS syy
+               FROM s),
+         m AS (SELECT n0, nd, s1, s2, sy, s1y, s2y, syy,
+                      nd * s11 - s1 * s1 AS a11,
+                      nd * s22 - s2 * s2 AS a22,
+                      nd * s12 - s1 * s2 AS a12,
+                      nd * s1y - s1 * sy AS b1v,
+                      nd * s2y - s2 * sy AS b2v
+               FROM d),
+         c AS (SELECT n0, nd, s1, s2, sy, syy, b1v, b2v,
+                      (b1v * a22 - b2v * a12)
+                        / (a11 * a22 - a12 * a12) AS c1,
+                      (b2v * a11 - b1v * a12)
+                        / (a11 * a22 - a12 * a12) AS c2
+               FROM m)
+    SELECT n0 AS n_points,
+           ROUND((sy - c1 * s1 - c2 * s2) / nd, 6) AS beta0,
+           ROUND(c1 * 1e9, 6) AS beta1,
+           ROUND(c2 * 1e9, 6) AS beta2,
+           ROUND((c1 * b1v + c2 * b2v) / (nd * syy - sy * sy), 6) AS r2
+    FROM c
+    """,
+    doc="Linear-probe fit: two-feature least squares (label ~ "
+        "embedding[0] + embedding[1]) as ONE sufficient-statistic "
+        "aggregate + closed-form Cramer solve — no iteration, no "
+        "driver-side data; every partition reduces to 10 exact "
+        "decimal numbers before the shuffle (features quantized to "
+        "nano-units so products never hit Spark's precision-39 "
+        "loss path). The d-feature generalization is "
+        "embedding_gram_matrix + a d x d solve. Operator: "
+        "relational.ols2_fit.",
+)
+def q_linear_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.relational import ols2_fit
+
+    e = _emb(spark, sf_dir)
+    return ols2_fit(
+        e,
+        F.element_at("embedding", 1),
+        F.element_at("embedding", 2),
+        F.col("label"),
+    )

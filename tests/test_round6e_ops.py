@@ -182,3 +182,39 @@ def test_peak_concurrency_bucket_count_invariance(spark):
 
 def test_peak_concurrency_all_disjoint(spark):
     assert _pc(spark, [(0, 1), (2, 3), (4, 5)]) == (1, 0)
+
+
+# ----------------------------------------------------------- ols2_fit
+
+def test_ols2_recovers_exact_plane(spark):
+    from mapreduce_inverted_index_spark.operators.relational import ols2_fit
+
+    # y = 2 + 3*x1 - 5*x2 exactly, on a non-degenerate integer grid.
+    rows = [
+        (float(i), float(j), 2 + 3 * i - 5 * j)
+        for i in range(5)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    r = ols2_fit(df, F.col("x1"), F.col("x2"), F.col("y")).collect()[0]
+    assert (
+        r["n_points"],
+        r["beta0"],
+        r["beta1"],
+        r["beta2"],
+        r["r2"],
+    ) == (20, 2.0, 3.0, -5.0, 1.0)
+
+
+def test_ols2_orthogonal_feature_gets_zero_weight(spark):
+    from mapreduce_inverted_index_spark.operators.relational import ols2_fit
+
+    # y depends only on x1; x2 varies independently -> beta2 == 0.
+    rows = [
+        (float(i), float(j), 7 * i)
+        for i in range(4)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    r = ols2_fit(df, F.col("x1"), F.col("x2"), F.col("y")).collect()[0]
+    assert (r["beta1"], r["beta2"], r["r2"]) == (7.0, 0.0, 1.0)

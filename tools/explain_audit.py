@@ -640,6 +640,13 @@ AUDITS = [
         ["windowspecdefinition(_pid", "percentile_disc"],
         ["CartesianProduct"],
     ),
+    (
+        # linear probe: ONE sufficient-statistic aggregate with
+        # map-side combine; no join, no window, no second scan
+        "linear_probe_embeddings",
+        ["partial_sum", "partial_count"],
+        ["Join", "Window", "CartesianProduct"],
+    ),
 ]
 
 

@@ -14,10 +14,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile"]
+__all__ = ["column_profile", "chi_square_independence"]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -54,4 +54,67 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "n_distinct",
         "min_value",
         "max_value",
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns — the feature-association screen (is
+    event_type independent of day-of-week? is label independent of
+    source?) a curation pipeline runs before trusting a stratified
+    split.
+
+    One partial-agg groupBy builds the contingency table, which is
+    then DENSIFIED to the full |A|·|B| grid (distinct-A × distinct-B,
+    observed cells left-joined, zeros filled): a zero-observed cell
+    still carries its full expected mass, and dropping it silently
+    understates the statistic — e.g. a diagonal 2×2 would report
+    n/2 instead of n. The grid is small by definition for
+    categoricals; margins derive from it with window sums (never a
+    second scan of the data). Each cell's ``(observed − expected)² /
+    expected`` is a fixed chain of IEEE ops on exact integer counts,
+    quantized to the 1e-9 grid (``floor(x·1e9 + 0.5)`` — the repo's
+    cross-engine quantizer) and summed as exact BIGINT, so the
+    statistic is order-independent and bit-identical across engines.
+
+    Output (one row): ``n_rows, n_cells, dof, chi2`` (``n_cells`` =
+    grid size |A|·|B|, counting the zero cells).
+    """
+    observed = df.groupBy(col_a, col_b).agg(F.count("*").alias("_obs"))
+    grid = (
+        df.select(col_a).distinct().crossJoin(df.select(col_b).distinct())
+    )
+    cells = grid.join(observed, [col_a, col_b], "left").select(
+        col_a, col_b, F.coalesce("_obs", F.lit(0)).alias("_o")
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wt = Window.partitionBy()
+    with_m = cells.select(
+        "_o",
+        F.sum("_o").over(wa).alias("_ra"),
+        F.sum("_o").over(wb).alias("_cb"),
+        F.sum("_o").over(wt).alias("_n"),
+        F.count("*").over(wt).alias("_cells"),
+        (
+            (F.size(F.collect_set(col_a).over(wt)) - 1)
+            * (F.size(F.collect_set(col_b).over(wt)) - 1)
+        ).alias("_dof"),
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    d = F.col("_o").cast("double") - e
+    q = F.floor(d * d / e * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return with_m.agg(
+        F.max("_n").alias("n_rows"),
+        F.max("_cells").cast("bigint").alias("n_cells"),
+        F.max("_dof").cast("bigint").alias("dof"),
+        (F.sum(q).cast("double") / F.lit(1e9)).alias("chi2"),
     )

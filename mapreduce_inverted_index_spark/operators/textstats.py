@@ -29,6 +29,7 @@ __all__ = [
     "build_vocab",
     "encode_docs",
     "distribution_divergence",
+    "token_entropy",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -503,4 +504,53 @@ def distribution_divergence(
         "tok_b",
         F.round(h2, 9).alias("hellinger_sq"),
         F.round(F.sqrt(h2), 9).alias("hellinger"),
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of the corpus token distribution, plus
+    the normalized form — the vocabulary-diversity health metric a
+    curation pipeline tracks across snapshots (entropy collapsing =
+    boilerplate/spam flooding the mix; rising toward ln V = healthy
+    diversity).
+
+        H = ln N − (Σ_t c_t · ln c_t) / N,   H_norm = H / ln V
+
+    Engine-stability: the ``lm_unigram_scores`` transcendental
+    discipline — each ``ln c`` is computed once per DISTINCT count,
+    rounded to 9 decimals, cast DECIMAL(18,9) BEFORE aggregation;
+    ``c`` multiplies as DECIMAL(12,0) so products stay exact at
+    (31,9) (never Spark's precision-39 loss path) and the sum is
+    order-independent. The final ln N / ln V terms are single
+    rounded-then-combined doubles. One explode + one partial-agg
+    groupBy(term) + a 1-row rollup.
+
+    Output (one row): ``n_tokens, n_terms, entropy, entropy_norm``.
+    """
+    from mapreduce_inverted_index_spark.functions.text import terms
+
+    cnt = (
+        docs.select(F.explode(terms(text_col, keep_duplicates=True)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("_c"))
+    )
+    per_term = F.col("_c").cast("decimal(12,0)") * F.round(
+        F.ln("_c"), 9
+    ).cast("decimal(18,9)")
+    agg = cnt.agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.sum(per_term).alias("_s"),
+    )
+    h = F.round(F.ln("n_tokens"), 9) - F.col("_s").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return agg.select(
+        "n_tokens",
+        "n_terms",
+        F.round(h, 6).alias("entropy"),
+        F.round(h / F.round(F.ln("n_terms"), 9), 6).alias("entropy_norm"),
     )

@@ -1907,3 +1907,36 @@ def q_linear_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 2),
         F.col("label"),
     )
+
+
+@register(
+    "corpus_token_entropy",
+    oracle=f"""
+    WITH cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest({sql_terms("text")}) AS term
+                       FROM documents)
+                 GROUP BY term),
+         s AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      sum(CAST(c AS DECIMAL(12,0))
+                          * CAST(round(ln(c), 9) AS DECIMAL(18,9))) AS sc
+               FROM cnt)
+    SELECT n_tokens, n_terms,
+           ROUND(round(ln(n_tokens), 9)
+                 - CAST(sc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS entropy,
+           ROUND((round(ln(n_tokens), 9)
+                  - CAST(sc AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 / round(ln(n_terms), 9), 6) AS entropy_norm
+    FROM s
+    """,
+    doc="Shannon entropy (nats) of the corpus token distribution + "
+        "the ln-V-normalized form — the vocabulary-diversity health "
+        "metric tracked across crawl snapshots (collapse = spam "
+        "flood). ln is rounded per DISTINCT count and summed as "
+        "exact decimal (the lm_quality_scores transcendental "
+        "discipline); one explode + one partial-agg groupBy + a "
+        "1-row rollup. Operator: textstats.token_entropy.",
+)
+def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_entropy(load_table(spark, sf_dir, "documents"))

@@ -2429,3 +2429,63 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
     )
     return R.peak_concurrency(sess, "s_ts", "e_ts", buckets=32)
+
+
+@register(
+    "event_type_hour_chi2",
+    oracle="""
+    WITH obs AS (SELECT event_type AS a, hour(ts) AS b,
+                        CAST(count(*) AS BIGINT) AS obs
+                 FROM events GROUP BY 1, 2),
+         grid AS (SELECT da.a, db.b
+                  FROM (SELECT DISTINCT event_type AS a FROM events) da,
+                       (SELECT DISTINCT hour(ts) AS b FROM events) db),
+         cells AS (SELECT grid.a, grid.b,
+                          CAST(coalesce(obs.obs, 0) AS BIGINT) AS o
+                   FROM grid LEFT JOIN obs
+                     ON obs.a = grid.a AND obs.b = grid.b),
+         marg AS (SELECT o,
+                         sum(o) OVER (PARTITION BY a) AS ra,
+                         sum(o) OVER (PARTITION BY b) AS cb,
+                         sum(o) OVER () AS n
+                  FROM cells),
+         q AS (SELECT n,
+                      CAST(floor(
+                        (CAST(o AS DOUBLE)
+                         - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(o AS DOUBLE)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS qv
+               FROM marg),
+         d AS (SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+                      count(*) AS cells
+               FROM cells)
+    SELECT CAST(max(q.n) AS BIGINT) AS n_rows,
+           CAST(max(d.cells) AS BIGINT) AS n_cells,
+           CAST(max(d.dof) AS BIGINT) AS dof,
+           CAST(sum(q.qv) AS DOUBLE) / 1e9 AS chi2
+    FROM q, d
+    """,
+    doc="Pearson chi-square independence test (event_type x "
+        "hour-of-day): the feature-association screen before "
+        "trusting a stratified split. One partial-agg groupBy builds "
+        "the contingency table, densified to the full category grid "
+        "(zero cells carry expected mass); margins come from window "
+        "sums over the tiny cell table (no second scan); per-cell "
+        "(o-e)^2/e quantized to the 1e-9 grid and summed as exact "
+        "BIGINT — order-independent, bit-identical across engines. "
+        "Operator: quality.chi_square_independence.",
+)
+def q_event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import (
+        chi_square_independence,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour")
+    )
+    return chi_square_independence(e, "event_type", "hour")

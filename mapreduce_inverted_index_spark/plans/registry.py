@@ -97,29 +97,28 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — six wholly new operator
+    # continuation-session additions — eight wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
-    # linear-probe OLS), so they outrank keeping all nine
-    # decorrelated TPC-H shapes in-window (that family keeps three
-    # representatives below; the six rotated out — min_cost/
-    # important_part/supplier_cnt/excess_shipped/product_type_profit/
-    # promo_revenue_share — are the same decorrelation pattern as
-    # the three that stay and hold this session's exact local DuckDB
-    # sweep)
+    # linear-probe OLS, chi-square association, token entropy), so
+    # they outrank keeping all nine decorrelated TPC-H shapes
+    # in-window (volume_shipping — the widest join tree — stays as
+    # the family representative; the eight rotated out are the same
+    # decorrelation pattern and hold this session's exact local
+    # DuckDB sweep)
     "graph_bfs_levels",
     "skyline_orders",
     "nation_revenue_trend",
     "source_token_hellinger",
     "peak_concurrent_sessions",
     "linear_probe_embeddings",
+    "event_type_hour_chi2",
+    "corpus_token_entropy",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
     # training-order shuffle
     "volume_shipping_nation_pairs",
-    "nation_market_share",
-    "disjunctive_predicate_revenue",
     "stream_attribution_join_outer",
     "stream_dedup_within_watermark",
     "corpus_shuffle_order",

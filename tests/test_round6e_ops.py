@@ -218,3 +218,59 @@ def test_ols2_orthogonal_feature_gets_zero_weight(spark):
     df = spark.createDataFrame(rows, ["x1", "x2", "y"])
     r = ols2_fit(df, F.col("x1"), F.col("x2"), F.col("y")).collect()[0]
     assert (r["beta1"], r["beta2"], r["r2"]) == (7.0, 0.0, 1.0)
+
+
+# --------------------------------------------- chi_square_independence
+
+def test_chi2_independent_table_is_zero(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        chi_square_independence,
+    )
+
+    # Perfectly independent 2x2: every cell = ra*cb/n exactly.
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 8
+        + [("b", "x")] * 2 + [("b", "y")] * 4
+    )
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = chi_square_independence(df, "u", "v").collect()[0]
+    assert (r["n_rows"], r["n_cells"], r["dof"], r["chi2"]) == (18, 4, 1, 0.0)
+
+
+def test_chi2_perfect_association_equals_n(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        chi_square_independence,
+    )
+
+    # Diagonal 2x2 (u determines v): chi2 == n for a 2x2 table.
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = chi_square_independence(df, "u", "v").collect()[0]
+    assert (r["n_rows"], r["dof"], r["chi2"]) == (10, 1, 10.0)
+
+
+# ------------------------------------------------------- token_entropy
+
+def test_token_entropy_uniform_is_ln_v(spark):
+    import math
+
+    from mapreduce_inverted_index_spark.operators.textstats import token_entropy
+
+    # 4 terms, equal counts -> H = ln 4, normalized = 1.
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
+    )
+    r = token_entropy(docs).collect()[0]
+    assert r["n_tokens"] == 4 and r["n_terms"] == 4
+    assert abs(r["entropy"] - math.log(4)) < 1e-5
+    assert r["entropy_norm"] == 1.0
+
+
+def test_token_entropy_skew_below_uniform(spark):
+    from mapreduce_inverted_index_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha alpha alpha alpha alpha beta")], ["doc_id", "text"]
+    )
+    r = token_entropy(docs).collect()[0]
+    assert 0.0 < r["entropy_norm"] < 1.0

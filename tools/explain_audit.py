@@ -647,6 +647,21 @@ AUDITS = [
         ["partial_sum", "partial_count"],
         ["Join", "Window", "CartesianProduct"],
     ),
+    (
+        # chi-square: contingency cells partial-aggregate; the
+        # densify grid + margin windows run over the tiny cell
+        # table; the grid cross of two distinct sets broadcasts
+        "event_type_hour_chi2",
+        ["partial_count", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # entropy: explode + partial-agg groupBy(term) + 1-row
+        # rollup; no join anywhere
+        "corpus_token_entropy",
+        ["partial_count", "partial_sum"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

@@ -1940,3 +1940,47 @@ def q_linear_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_dim_auc",
+    oracle="""
+    WITH g AS (SELECT q AS s,
+                      CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)
+                           AS BIGINT) AS n0
+               FROM (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                       * 1000000.0 + 0.5) AS BIGINT) AS q,
+                            label
+                     FROM embeddings)
+               GROUP BY q),
+         c AS (SELECT n1, n0,
+                      coalesce(sum(n0) OVER (ORDER BY s
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS cum0
+               FROM g)
+    SELECT (SELECT CAST(sum(n1) AS BIGINT) FROM g) AS n_pos,
+           (SELECT CAST(sum(n0) AS BIGINT) FROM g) AS n_neg,
+           ROUND(CAST(sum(2 * cum0 * n1 + n0 * n1) AS DOUBLE)
+                 / (2.0 * CAST((SELECT sum(n1) FROM g) AS DOUBLE)
+                        * CAST((SELECT sum(n0) FROM g) AS DOUBLE)), 6) AS auc
+    FROM c
+    """,
+    doc="Exact corpus-scale ROC-AUC (Mann-Whitney U with standard "
+        "tie credit) of embedding[0] as a detector of label 0: "
+        "scores quantize to the 1e-6 grid and aggregate to one row "
+        "per distinct score (the only full-data shuffle); the "
+        "negatives-below prefix runs as the peak_concurrency "
+        "distributed prefix sum (percentile_disc buckets, parallel "
+        "per-bucket windows, broadcast ledger) — no global sort, no "
+        "single-partition window. The oracle is the naive global "
+        "window. Operator: quality.binary_auc.",
+)
+def q_embedding_dim_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import binary_auc
+
+    e = _emb(spark, sf_dir)
+    return binary_auc(
+        e, F.element_at("embedding", 1), F.col("label") == 0
+    )

@@ -97,15 +97,16 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — eight wholly new operator
+    # continuation-session additions — nine wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
-    # linear-probe OLS, chi-square association, token entropy), so
-    # they outrank keeping all nine decorrelated TPC-H shapes
-    # in-window (volume_shipping — the widest join tree — stays as
-    # the family representative; the eight rotated out are the same
-    # decorrelation pattern and hold this session's exact local
-    # DuckDB sweep)
+    # linear-probe OLS, chi-square association, token entropy,
+    # distributed exact AUC), so they outrank keeping the nine
+    # decorrelated TPC-H shapes in-window (all nine rotate out —
+    # the family shares one decorrelation pattern, is bench-covered
+    # by volume_shipping/excess_shipped in BENCH_r06, and every
+    # member holds this session's exact local DuckDB sweep at
+    # sf0.01 AND sf0.1)
     "graph_bfs_levels",
     "skyline_orders",
     "nation_revenue_trend",
@@ -114,11 +115,11 @@ _DRIVER_PRIORITY = (
     "linear_probe_embeddings",
     "event_type_hour_chi2",
     "corpus_token_entropy",
+    "embedding_dim_auc",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
     # training-order shuffle
-    "volume_shipping_nation_pairs",
     "stream_attribution_join_outer",
     "stream_dedup_within_watermark",
     "corpus_shuffle_order",

@@ -274,3 +274,50 @@ def test_token_entropy_skew_below_uniform(spark):
     )
     r = token_entropy(docs).collect()[0]
     assert 0.0 < r["entropy_norm"] < 1.0
+
+
+# ------------------------------------------------------------ binary_auc
+
+def _auc(spark, scored, buckets=4):
+    from mapreduce_inverted_index_spark.operators.quality import binary_auc
+
+    df = spark.createDataFrame(scored, ["score", "pos"])
+    r = binary_auc(
+        df, F.col("score"), F.col("pos"), buckets=buckets
+    ).collect()[0]
+    return r["n_pos"], r["n_neg"], r["auc"]
+
+
+def _brute_auc(scored):
+    # pairwise definition with half credit on ties
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return round(wins / (len(pos) * len(neg)), 6)
+
+
+def test_auc_perfect_and_reversed(spark):
+    perfect = [(float(i), True) for i in range(5, 10)] + [
+        (float(i), False) for i in range(5)
+    ]
+    assert _auc(spark, perfect) == (5, 5, 1.0)
+    reverse = [(s, not p) for s, p in perfect]
+    assert _auc(spark, reverse) == (5, 5, 0.0)
+
+
+def test_auc_all_tied_is_half(spark):
+    tied = [(1.0, True)] * 3 + [(1.0, False)] * 7
+    assert _auc(spark, tied) == (3, 7, 0.5)
+
+
+def test_auc_matches_pairwise_definition_and_buckets(spark):
+    scored = [
+        (0.1, False), (0.4, True), (0.35, True), (0.8, False),
+        (0.35, False), (0.9, True), (0.62, True), (0.5, False),
+        (0.1, True), (0.62, False), (0.62, True),
+    ]
+    expect = _brute_auc(scored)
+    for b in (1, 2, 4, 16):
+        assert _auc(spark, scored, buckets=b)[2] == expect

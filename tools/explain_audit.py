@@ -662,6 +662,15 @@ AUDITS = [
         ["partial_count", "partial_sum"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # exact AUC: per-score partial agg is the only full-data
+        # shuffle; the prefix runs bucket-partitioned (parallel
+        # windows), never a global single-partition window over the
+        # score axis; cuts/ledger broadcast
+        "embedding_dim_auc",
+        ["windowspecdefinition(_pid", "percentile_disc", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

@@ -93,6 +93,12 @@ HEADLINE = _R1SET + (
     "skyline_orders",
     "nation_revenue_trend",
     "source_token_hellinger",
+    # second continuation batch: the distributed-prefix-sum family's
+    # two members (sweep-line concurrency over sessionized events;
+    # exact AUC over the score axis) and the corpus-entropy rollup
+    "peak_concurrent_sessions",
+    "embedding_dim_auc",
+    "corpus_token_entropy",
 )
 
 

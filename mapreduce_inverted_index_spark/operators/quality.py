@@ -146,10 +146,12 @@ def binary_auc(
     one row per distinct score — the only full-data shuffle. The
     prefix ``cum0`` then runs as the DISTRIBUTED prefix sum of
     :func:`~mapreduce_inverted_index_spark.operators.relational.peak_concurrency`:
-    exact ``percentile_disc`` range buckets over the score axis,
-    per-bucket exclusive window sums in parallel, a ≤ ``buckets``-row
-    ledger of bucket totals turned into offsets, broadcast back.
-    No global sort, no single-partition window over the axis.
+    equi-depth range buckets from one mergeable ``percentile_approx``
+    sketch over the score axis (cut placement affects balance only,
+    never the result), per-bucket exclusive window sums in parallel,
+    a ≤ ``buckets``-row ledger of bucket totals turned into offsets,
+    broadcast back. No global sort, no single-partition window over
+    the axis.
 
     Output (one row): ``n_pos, n_neg, auc``.
     """
@@ -161,20 +163,16 @@ def binary_auc(
         F.sum("_y").alias("_n1"),
         (F.count("*") - F.sum("_y")).alias("_n0"),
     )
+    # g feeds the cuts aggregate, the prefix window, and the ledger;
+    # persist so the score scan+agg runs once (the bm25_rank lesson).
+    g = g.persist()
     if buckets >= 2:
-        cuts = g.agg(
-            *[
-                F.expr(
-                    f"percentile_disc({b}/{buckets}.0)"
-                    " WITHIN GROUP (ORDER BY _s)"
-                ).alias(f"_q{b}")
-                for b in range(1, buckets)
-            ]
-        )
+        fracs = [b / buckets for b in range(1, buckets)]
+        cuts = g.agg(F.percentile_approx("_s", fracs, 10_000).alias("_qs"))
         pid = sum(
             [
-                F.when(F.col("_s") > F.col(f"_q{b}"), 1).otherwise(0)
-                for b in range(1, buckets)
+                F.when(F.col("_s") > F.col("_qs")[i], 1).otherwise(0)
+                for i in range(buckets - 1)
             ],
             F.lit(0),
         )

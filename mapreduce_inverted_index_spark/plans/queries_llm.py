@@ -1972,8 +1972,9 @@ def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scores quantize to the 1e-6 grid and aggregate to one row "
         "per distinct score (the only full-data shuffle); the "
         "negatives-below prefix runs as the peak_concurrency "
-        "distributed prefix sum (percentile_disc buckets, parallel "
-        "per-bucket windows, broadcast ledger) — no global sort, no "
+        "distributed prefix sum (mergeable percentile_approx sketch "
+        "buckets, parallel per-bucket windows, broadcast ledger) — "
+        "no global sort, no "
         "single-partition window. The oracle is the naive global "
         "window. Operator: quality.binary_auc.",
 )

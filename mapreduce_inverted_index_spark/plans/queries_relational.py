@@ -2412,8 +2412,10 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Peak concurrent user sessions (30-min-gap sessionization, "
         "inclusive interval ends) and the earliest instant it "
         "occurs: the sweep-line capacity classic, run as a "
-        "DISTRIBUTED prefix sum — exact percentile_disc range "
-        "buckets, per-bucket cumsum windows in parallel, a <= "
+        "DISTRIBUTED prefix sum — equi-depth buckets from one "
+        "mergeable percentile_approx sketch (cut placement affects "
+        "balance only, never the result), per-bucket cumsum windows "
+        "in parallel, a <= "
         "32-row bucket-total ledger turned into exclusive offsets, "
         "broadcast back — where the naive plan is one global "
         "single-partition window over every +-1 event. The oracle "

@@ -637,7 +637,7 @@ AUDITS = [
         # PARTITIONED by the range bucket (parallel), with exact
         # percentile_disc cuts; the ledger/cuts sides broadcast
         "peak_concurrent_sessions",
-        ["windowspecdefinition(_pid", "percentile_disc"],
+        ["windowspecdefinition(_pid", "percentile_approx"],
         ["CartesianProduct"],
     ),
     (
@@ -668,7 +668,7 @@ AUDITS = [
         # windows), never a global single-partition window over the
         # score axis; cuts/ledger broadcast
         "embedding_dim_auc",
-        ["windowspecdefinition(_pid", "percentile_disc", "partial_sum"],
+        ["windowspecdefinition(_pid", "percentile_approx", "partial_sum"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
 ]

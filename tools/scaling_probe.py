@@ -71,6 +71,11 @@ QUERIES = [
     "graph_bfs_levels",
     "skyline_orders",
     "source_token_hellinger",
+    # second batch: the distributed-prefix-sum family (sweep-line
+    # concurrency; exact AUC) — growth should track the one
+    # full-data groupBy, the prefix windows run per-bucket
+    "peak_concurrent_sessions",
+    "embedding_dim_auc",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

@@ -183,6 +183,10 @@ def binary_auc(
         # buckets=1: the naive single-partition prefix (the test
         # equality anchor).
         ev = g.select(F.lit(0).alias("_pid"), "_s", "_n1", "_n0")
+    # Pinned for the same reason as peak_concurrency's ev: the
+    # window pass and the ledger pass must see ONE set of sketch
+    # cuts, or bucket ids diverge between them.
+    ev = ev.persist()
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("_s")

@@ -421,6 +421,13 @@ def peak_concurrency(
         # buckets=1: the naive single-partition sweep (useful as the
         # equality anchor in tests).
         ev = d.select(F.lit(0).alias("_pid"), "_ts", "_delta")
+    # ev MUST be pinned: the window pass and the ledger pass both
+    # consume it, and re-evaluating the sketch aggregate could place
+    # a cut differently (sketch merge order is not guaranteed
+    # deterministic) — inconsistent bucket ids between the two
+    # passes would corrupt the offsets. One materialization, one
+    # set of cuts.
+    ev = ev.persist()
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("_ts", F.col("_delta").desc())

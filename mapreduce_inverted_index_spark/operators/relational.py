@@ -34,6 +34,7 @@ __all__ = [
     "group_trend_slope",
     "peak_concurrency",
     "ols2_fit",
+    "transition_matrix",
 ]
 
 
@@ -529,4 +530,58 @@ def ols2_fit(
         F.round(c1 * F.lit(1e9), 6).alias("beta1"),
         F.round(c2 * F.lit(1e9), 6).alias("beta2"),
         F.round(r2, 6).alias("r2"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key state
+    sequences — the behavioral-sequence summary (what follows what)
+    behind session-flow dashboards, anomalous-path detection, and
+    synthetic-sequence generators.
+
+    Each key's events, ordered by ``(ts, tiebreak)``, contribute one
+    ``(prev_state → state)`` observation per consecutive pair (the
+    first event of a key has no predecessor and contributes
+    nothing). Output: one row per observed transition with its count
+    and row-normalized probability:
+
+        ``from_state, to_state, n_trans, p`` where
+        ``p = n_trans / Σ n_trans over from_state``  (row-stochastic)
+
+    Exactness: counts are exact BIGINTs; ``p`` is one double
+    division of exact integers (correctly rounded in any engine),
+    then round(6). Plan: one ``lag`` window + one partial-agg
+    groupBy; the row totals come from a window over the transition
+    table (|states|² rows — tiny), never a second scan. Both wide
+    ops hash on ``key_col`` / the pair, so the event table shuffles
+    once. The ordering must be total for a deterministic matrix —
+    pass a unique ``tiebreak_col``.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    w_row = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_row).cast("double"),
+            6,
+        ).alias("p"),
     )

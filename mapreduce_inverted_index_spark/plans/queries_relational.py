@@ -2491,3 +2491,34 @@ def q_event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").alias("hour")
     )
     return chi_square_independence(e, "event_type", "hour")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events),
+         pairs AS (SELECT prev AS from_state, event_type AS to_state,
+                          CAST(count(*) AS BIGINT) AS n_trans
+                   FROM seq WHERE prev IS NOT NULL
+                   GROUP BY 1, 2)
+    SELECT from_state, to_state, n_trans,
+           ROUND(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY from_state)
+                        AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix of per-user event "
+        "sequences (what follows what): one lag window + one "
+        "partial-agg groupBy; row-stochastic normalization from a "
+        "window over the |states|^2 transition table (tiny), never "
+        "a second scan. Counts exact; p is one double division. "
+        "Operator: relational.transition_matrix.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return R.transition_matrix(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )

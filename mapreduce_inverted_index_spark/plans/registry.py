@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — nine wholly new operator
+    # continuation-session additions — ten wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -116,6 +116,7 @@ _DRIVER_PRIORITY = (
     "event_type_hour_chi2",
     "corpus_token_entropy",
     "embedding_dim_auc",
+    "event_transition_matrix",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -161,7 +162,10 @@ _DRIVER_PRIORITY = (
     "media_phash_near_dup",
     "pagerank_user_graph",
     "contrastive_negatives_docs",
-    "hard_negatives_topk",
+    # (hard_negatives_topk rotated out for event_transition_matrix:
+    # contrastive_negatives_docs stays as the contrastive family's
+    # window representative; hard_negatives_topk holds this
+    # session's exact local sweep at both scales.)
     # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
     # vocab_token_ids, join_skew_profile_events, zorder_layout_orders,
     # ewma_user_values (diagnostic/layout/feature ops, strong pytest

@@ -321,3 +321,44 @@ def test_auc_matches_pairwise_definition_and_buckets(spark):
     expect = _brute_auc(scored)
     for b in (1, 2, 4, 16):
         assert _auc(spark, scored, buckets=b)[2] == expect
+
+
+# ------------------------------------------------------ transition_matrix
+
+def test_transition_matrix_hand_sequence(spark):
+    from mapreduce_inverted_index_spark.operators.relational import (
+        transition_matrix,
+    )
+
+    # user 1: a->b->a->c ; user 2: b->b. First events contribute no pair.
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "b"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "s"])
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_trans"], r["p"])
+        for r in transition_matrix(df, "k", "t", "s", tiebreak_col="t").collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from mapreduce_inverted_index_spark.operators.relational import (
+        transition_matrix,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    tm = transition_matrix(e, "user_id", "ts", "event_type", "event_id")
+    sums = (
+        tm.groupBy("from_state").agg(F.round(F.sum("p"), 3).alias("s")).collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) <= 0.001 for r in sums)

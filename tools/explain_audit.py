@@ -671,6 +671,14 @@ AUDITS = [
         ["windowspecdefinition(_pid", "percentile_approx", "partial_sum"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # Markov transitions: one lag window + one partial-agg
+        # groupBy; normalization windows over the tiny pair table;
+        # no join anywhere
+        "event_transition_matrix",
+        ["Window", "partial_count"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "chi_square_independence", "binary_auc"]
+__all__ = ["column_profile", "chi_square_independence", "binary_auc", "quantile_normalize"]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -145,7 +145,7 @@ def binary_auc(
     ranking metric is insensitive below the grid) and aggregate to
     one row per distinct score — the only full-data shuffle. The
     prefix ``cum0`` then runs as the DISTRIBUTED prefix sum of
-    :func:`~mapreduce_inverted_index_spark.operators.relational.peak_concurrency`:
+    :func:`~mapreduce_inverted_index_spark.operators.prefix.bucketed_prefix_sum`:
     equi-depth range buckets from one mergeable ``percentile_approx``
     sketch over the score axis (cut placement affects balance only,
     never the result), per-bucket exclusive window sums in parallel,
@@ -166,45 +166,19 @@ def binary_auc(
     # g feeds the cuts aggregate, the prefix window, and the ledger;
     # persist so the score scan+agg runs once (the bm25_rank lesson).
     g = g.persist()
-    if buckets >= 2:
-        fracs = [b / buckets for b in range(1, buckets)]
-        cuts = g.agg(F.percentile_approx("_s", fracs, 10_000).alias("_qs"))
-        pid = sum(
-            [
-                F.when(F.col("_s") > F.col("_qs")[i], 1).otherwise(0)
-                for i in range(buckets - 1)
-            ],
-            F.lit(0),
-        )
-        ev = g.crossJoin(F.broadcast(cuts)).select(
-            pid.alias("_pid"), "_s", "_n1", "_n0"
-        )
-    else:
-        # buckets=1: the naive single-partition prefix (the test
-        # equality anchor).
-        ev = g.select(F.lit(0).alias("_pid"), "_s", "_n1", "_n0")
-    # Pinned for the same reason as peak_concurrency's ev: the
-    # window pass and the ledger pass must see ONE set of sketch
-    # cuts, or bucket ids diverge between them.
-    ev = ev.persist()
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("_s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from mapreduce_inverted_index_spark.operators.prefix import (
+        bucketed_prefix_sum,
     )
-    local = ev.withColumn(
-        "_c0l", F.coalesce(F.sum("_n0").over(w_local), F.lit(0))
-    )
-    ledger = ev.groupBy("_pid").agg(F.sum("_n0").alias("_tot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ledger.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
-    )
-    cum = local.join(F.broadcast(offs), "_pid").select(
-        "_n1",
+
+    cum = bucketed_prefix_sum(
+        g,
+        "_s",
+        ["_s"],
         "_n0",
-        (F.col("_c0l") + F.col("_off")).alias("_cum0"),
-    )
+        "_cum0",
+        inclusive=False,
+        buckets=buckets,
+    ).select("_n1", "_n0", "_cum0")
     agg = cum.agg(
         F.sum("_n1").alias("n_pos"),
         F.sum("_n0").alias("n_neg"),
@@ -226,3 +200,54 @@ def binary_auc(
             6,
         ).alias("auc"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    score_col: F.Column,
+    buckets: int = 32,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Quantile (rank) normalization of a score column: each row's
+    score becomes its mid-rank percentile ``(below + ties/2) / N``
+    (the Hazen plotting position) — the feature transform that makes
+    heterogeneous quality signals comparable before mixing them into
+    one curation score, robust to any monotone distortion of the
+    raw scale.
+
+    Scores quantize to the 1e-6 grid and aggregate to one row per
+    distinct value; the strictly-below counts come from the shared
+    :func:`~mapreduce_inverted_index_spark.operators.prefix.bucketed_prefix_sum`
+    primitive (exclusive prefix, parallel per-bucket windows — no
+    global sort); percentiles map back onto the rows with one join
+    on the quantized score. Everything is exact integers until one
+    double division, so the DuckDB oracle (a naive global window)
+    matches bit-for-bit.
+
+    Output: ``<id_col>, pct`` (pct ∈ (0, 1), round(6)).
+    """
+    from mapreduce_inverted_index_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    q = F.floor(score_col.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    v = df.select(F.col(id_col), q.alias("_q"))
+    g = v.groupBy("_q").agg(F.count("*").alias("_n"))
+    cum = bucketed_prefix_sum(
+        g, "_q", ["_q"], "_n", "_below", inclusive=False, buckets=buckets
+    )
+    # "_ntot", not "_N": Spark resolves case-insensitively by default,
+    # so "_N" would collide with the per-score "_n".
+    tot = g.agg(F.sum("_n").alias("_ntot"))
+    pct = cum.crossJoin(F.broadcast(tot)).select(
+        "_q",
+        F.round(
+            (F.lit(2) * F.col("_below") + F.col("_n")).cast("double")
+            / (F.lit(2.0) * F.col("_ntot").cast("double")),
+            6,
+        ).alias("pct"),
+    )
+    return v.join(pct, "_q").select(id_col, "pct")

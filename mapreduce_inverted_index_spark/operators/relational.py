@@ -364,9 +364,10 @@ def peak_concurrency(
     math — a DuckDB oracle replays the sweep with one global window.
 
     A global running sum is the textbook single-partition trap, so
-    this is the DISTRIBUTED prefix-sum plan (the
-    ``assign_partition_ids`` ledger discipline, kept fully
-    declarative — no driver collect):
+    this is the DISTRIBUTED prefix-sum plan — now the shared
+    :mod:`~mapreduce_inverted_index_spark.operators.prefix`
+    primitive (the ``assign_partition_ids`` ledger discipline, kept
+    fully declarative — no driver collect):
 
       1. range-bucket the ±1 events by equi-depth cuts from ONE
          mergeable ``percentile_approx`` sketch (partial-aggregated —
@@ -403,46 +404,19 @@ def peak_concurrency(
     # re-executes per consumer (the bm25_rank lesson; measured 10.6 s
     # → 1.9 s at sf0.1). Persisted for the query's lifetime.
     d = d.persist()
-    if buckets >= 2:
-        fracs = [b / buckets for b in range(1, buckets)]
-        cuts = d.agg(
-            F.percentile_approx("_ts_s", fracs, 10_000).alias("_qs")
-        )
-        pid = sum(
-            [
-                F.when(F.col("_ts_s") > F.col("_qs")[i], 1).otherwise(0)
-                for i in range(buckets - 1)
-            ],
-            F.lit(0),
-        )
-        ev = d.crossJoin(F.broadcast(cuts)).select(
-            pid.alias("_pid"), "_ts", "_delta"
-        )
-    else:
-        # buckets=1: the naive single-partition sweep (useful as the
-        # equality anchor in tests).
-        ev = d.select(F.lit(0).alias("_pid"), "_ts", "_delta")
-    # ev MUST be pinned: the window pass and the ledger pass both
-    # consume it, and re-evaluating the sketch aggregate could place
-    # a cut differently (sketch merge order is not guaranteed
-    # deterministic) — inconsistent bucket ids between the two
-    # passes would corrupt the offsets. One materialization, one
-    # set of cuts.
-    ev = ev.persist()
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("_ts", F.col("_delta").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from mapreduce_inverted_index_spark.operators.prefix import (
+        bucketed_prefix_sum,
     )
-    local = ev.withColumn("_cum_local", F.sum("_delta").over(w_local))
-    ledger = ev.groupBy("_pid").agg(F.sum("_delta").alias("_tot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ledger.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
-    )
-    cum = local.join(F.broadcast(offs), "_pid").select(
-        "_ts", (F.col("_cum_local") + F.col("_off")).alias("_cum")
-    )
+
+    cum = bucketed_prefix_sum(
+        d,
+        "_ts_s",
+        ["_ts", F.col("_delta").desc()],
+        "_delta",
+        "_cum",
+        inclusive=True,
+        buckets=buckets,
+    ).select("_ts", "_cum")
     # cum feeds the 1-row peak aggregate AND the argmin filter —
     # persist so the bucket windows run once, not twice.
     cum = cum.persist()

@@ -1985,3 +1985,41 @@ def q_embedding_dim_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(
         e, F.element_at("embedding", 1), F.col("label") == 0
     )
+
+
+@register(
+    "embedding_quantile_normalize",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM embeddings),
+         g AS (SELECT q, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY q),
+         c AS (SELECT q, n,
+                      coalesce(sum(n) OVER (ORDER BY q
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS below
+               FROM g),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g)
+    SELECT v.vec_id,
+           ROUND(CAST(2 * c.below + c.n AS DOUBLE)
+                 / (2.0 * CAST(t.nn AS DOUBLE)), 6) AS pct
+    FROM v JOIN c ON c.q = v.q, t
+    """,
+    doc="Quantile normalization of embedding[0]: each vector's "
+        "component becomes its mid-rank percentile (Hazen position "
+        "(below + ties/2)/N) — the monotone-robust transform for "
+        "mixing heterogeneous quality signals. Third consumer of "
+        "the shared bucketed_prefix_sum primitive (exclusive "
+        "prefix, parallel per-bucket windows); percentiles map back "
+        "with one join on the quantized score; exact integers until "
+        "one division. Operator: quality.quantile_normalize.",
+)
+def q_embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(
+        _emb(spark, sf_dir), "vec_id", F.element_at("embedding", 1)
+    )

@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — ten wholly new operator
+    # continuation-session additions — eleven wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = (
     "corpus_token_entropy",
     "embedding_dim_auc",
     "event_transition_matrix",
+    "embedding_quantile_normalize",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -161,11 +162,10 @@ _DRIVER_PRIORITY = (
     "stream_chunk_ingest",
     "media_phash_near_dup",
     "pagerank_user_graph",
-    "contrastive_negatives_docs",
-    # (hard_negatives_topk rotated out for event_transition_matrix:
-    # contrastive_negatives_docs stays as the contrastive family's
-    # window representative; hard_negatives_topk holds this
-    # session's exact local sweep at both scales.)
+    # (hard_negatives_topk and contrastive_negatives_docs rotated
+    # out for event_transition_matrix / embedding_quantile_normalize:
+    # the contrastive pair holds this session's exact local sweep at
+    # both scales and strong pytest cover.)
     # (group_sample_docs, shard_manifest_docs, media_resize_pixels,
     # vocab_token_ids, join_skew_profile_events, zorder_layout_orders,
     # ewma_user_values (diagnostic/layout/feature ops, strong pytest

@@ -362,3 +362,41 @@ def test_transition_matrix_rows_sum_to_one(spark):
         tm.groupBy("from_state").agg(F.round(F.sum("p"), 3).alias("s")).collect()
     )
     assert sums and all(abs(r["s"] - 1.0) <= 0.001 for r in sums)
+
+
+# -------------------------------------------------- quantile_normalize
+
+def test_quantile_normalize_hand_values(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        quantile_normalize,
+    )
+
+    # scores 10,20,20,30: mid-rank pcts 0.125, 0.5, 0.5, 0.875
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)], ["id", "s"]
+    )
+    got = {
+        r["id"]: r["pct"]
+        for r in quantile_normalize(df, "id", F.col("s"), buckets=2).collect()
+    }
+    assert got == {1: 0.125, 2: 0.5, 3: 0.5, 4: 0.875}
+
+
+def test_quantile_normalize_bucket_invariance_and_bounds(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        quantile_normalize,
+    )
+
+    rows = [(i, float((i * 37) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    base = sorted(
+        (r["id"], r["pct"])
+        for r in quantile_normalize(df, "id", F.col("s"), buckets=1).collect()
+    )
+    for b in (4, 16):
+        got = sorted(
+            (r["id"], r["pct"])
+            for r in quantile_normalize(df, "id", F.col("s"), buckets=b).collect()
+        )
+        assert got == base
+    assert all(0.0 < p < 1.0 for _, p in base)

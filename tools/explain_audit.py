@@ -679,6 +679,14 @@ AUDITS = [
         ["Window", "partial_count"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # quantile normalization: bucketed exclusive prefix (shared
+        # primitive), map-back join on the quantized score; no
+        # global single-partition window over the score axis
+        "embedding_quantile_normalize",
+        ["windowspecdefinition(_pid", "percentile_approx"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "chi_square_independence", "binary_auc", "quantile_normalize"]
+__all__ = ["column_profile", "chi_square_independence", "binary_auc", "quantile_normalize", "gini_coefficient"]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -251,3 +251,69 @@ def quantile_normalize(
         ).alias("pct"),
     )
     return v.join(pct, "_q").select(id_col, "pct")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: F.Column,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integer value column
+    — the concentration profile (how top-heavy is revenue per
+    customer / tokens per domain / samples per source?) a curation
+    pipeline tracks to catch a corpus collapsing onto a few heavy
+    contributors.
+
+    Rank formulation, tie-safe: with ascending ranks 1..n,
+
+        G = 2·Σ rankᵢ·xᵢ / (n·Σx) − (n + 1)/n
+
+    and for a distinct value ``v`` with count ``c`` and ``below``
+    items strictly smaller, its rank block contributes
+    ``v·(c·below + c(c+1)/2)`` — independent of how ties are
+    ordered, so the statistic is deterministic. Values aggregate to
+    one row per distinct value (the only full-data shuffle); the
+    strictly-below counts come from the shared
+    :func:`~mapreduce_inverted_index_spark.operators.prefix.bucketed_prefix_sum`
+    primitive (exclusive prefix, parallel windows). All sums are
+    exact DECIMAL(38,0) (the rank-weighted terms overflow BIGINT at
+    scale); one final fixed-order double expression, round(6).
+
+    Output (one row): ``n_items, total_value, gini``.
+    """
+    from mapreduce_inverted_index_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    g = (
+        df.select(value_col.cast("bigint").alias("_v"))
+        .groupBy("_v")
+        .agg(F.count("*").alias("_c"))
+    )
+    cum = bucketed_prefix_sum(
+        g, "_v", ["_v"], "_c", "_below", inclusive=False, buckets=buckets
+    )
+    vd = F.col("_v").cast("decimal(18,0)")
+    cd = F.col("_c").cast("decimal(18,0)")
+    # The rank-block sum c·below + c(c+1)/2 stays in BIGINT (c(c+1)
+    # is always even, so `div 2` is exact); only the v· product runs
+    # in decimal — Spark's decimal DIVISION would widen the scale
+    # and walk the precision-loss path.
+    rank_block = F.expr("_c * _below + (_c * (_c + 1)) div 2").cast(
+        "decimal(18,0)"
+    )
+    agg = cum.agg(
+        F.sum("_c").alias("n_items"),
+        F.sum(vd * cd).alias("_s"),
+        F.sum(vd * rank_block).alias("_s1"),
+    )
+    n = F.col("n_items").cast("double")
+    s = F.col("_s").cast("double")
+    s1 = F.col("_s1").cast("double")
+    return agg.select(
+        "n_items",
+        F.col("_s").cast("double").alias("total_value"),
+        F.round(
+            F.lit(2.0) * s1 / (n * s) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )

@@ -2522,3 +2522,56 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.transition_matrix(
         e, "user_id", "ts", "event_type", tiebreak_col="event_id"
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH spend AS (SELECT o_custkey,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               * 100 AS BIGINT) AS v
+                   FROM orders GROUP BY o_custkey),
+         g AS (SELECT v AS _v, CAST(count(*) AS BIGINT) AS _c
+               FROM spend GROUP BY v),
+         c AS (SELECT _v, _c,
+                      coalesce(sum(_c) OVER (ORDER BY _v
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS _below
+               FROM g),
+         s AS (SELECT CAST(sum(_c) AS BIGINT) AS n_items,
+                      sum(CAST(_v AS DECIMAL(18,0))
+                          * CAST(_c AS DECIMAL(18,0))) AS _s,
+                      sum(CAST(_v AS DECIMAL(18,0))
+                          * CAST(_c * _below
+                                 + (_c * (_c + 1)) // 2
+                                 AS DECIMAL(18,0))) AS _s1
+               FROM c)
+    SELECT n_items,
+           CAST(_s AS DOUBLE) AS total_value,
+           ROUND(2.0 * CAST(_s1 AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * CAST(_s AS DOUBLE))
+                 - (CAST(n_items AS DOUBLE) + 1.0)
+                   / CAST(n_items AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+    doc="Exact Gini coefficient of per-customer revenue (cents, "
+        "exact decimal sums): the concentration profile that flags "
+        "a corpus/revenue base collapsing onto few heavy "
+        "contributors. Tie-safe rank-block formulation; "
+        "strictly-below counts from the shared bucketed_prefix_sum "
+        "primitive (fourth consumer); DECIMAL(37,0)-exact "
+        "rank-weighted sums, one final double expression. Operator: "
+        "quality.gini_coefficient.",
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return gini_coefficient(spend, F.col("cents"))

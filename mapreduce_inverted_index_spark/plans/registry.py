@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — eleven wholly new operator
+    # continuation-session additions — twelve wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "embedding_dim_auc",
     "event_transition_matrix",
     "embedding_quantile_normalize",
+    "customer_revenue_gini",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -156,12 +157,14 @@ _DRIVER_PRIORITY = (
     "ann_ivf_pruned_scan",
     "stream_frequent_terms",
     "scd2_order_status_history",
-    "compaction_plan_files",
     "rag_chunk_docs",
     "curation_policy_filter",
     "stream_chunk_ingest",
     "media_phash_near_dup",
     "pagerank_user_graph",
+    # (compaction_plan_files rotated out for customer_revenue_gini:
+    # it is a file-layout diagnostic with strong pytest cover and
+    # this session's local sweep.)
     # (hard_negatives_topk and contrastive_negatives_docs rotated
     # out for event_transition_matrix / embedding_quantile_normalize:
     # the contrastive pair holds this session's exact local sweep at

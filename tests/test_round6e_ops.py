@@ -400,3 +400,30 @@ def test_quantile_normalize_bucket_invariance_and_bounds(spark):
         )
         assert got == base
     assert all(0.0 < p < 1.0 for _, p in base)
+
+
+# ----------------------------------------------------- gini_coefficient
+
+def test_gini_equal_values_is_zero(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    df = spark.createDataFrame([(i, 100) for i in range(8)], ["id", "v"])
+    r = gini_coefficient(df.select("v"), F.col("v")).collect()[0]
+    assert (r["n_items"], r["gini"]) == (8, 0.0)
+
+
+def test_gini_matches_brute_force(spark):
+    from mapreduce_inverted_index_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    vals = [1, 1, 2, 5, 5, 5, 10, 40, 100, 100]
+    # brute: mean absolute difference / (2*mean)
+    n = len(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+    expect = round(mad / (2 * sum(vals) / n), 6)
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    r = gini_coefficient(df, F.col("v"), buckets=4).collect()[0]
+    assert r["gini"] == expect

@@ -687,6 +687,13 @@ AUDITS = [
         ["windowspecdefinition(_pid", "percentile_approx"],
         ["CartesianProduct"],
     ),
+    (
+        # Gini: per-customer rollup + per-value rollup partial-agg;
+        # prefix bucket-partitioned; decimal-exact rank sums
+        "customer_revenue_gini",
+        ["windowspecdefinition(_pid", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 ]
 
 

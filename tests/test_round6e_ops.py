@@ -427,3 +427,119 @@ def test_gini_matches_brute_force(spark):
     df = spark.createDataFrame([(v,) for v in vals], ["v"])
     r = gini_coefficient(df, F.col("v"), buckets=4).collect()[0]
     assert r["gini"] == expect
+
+
+# ------------------------------------------------------- property tests
+
+def test_pareto_frontier_property(spark):
+    """Property: for arbitrary integer point sets (duplicates and
+    per-x ties included), the sort-based skyline equals the O(n^2)
+    dominance definition, per occurrence."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=8),
+                st.integers(min_value=0, max_value=8),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(pts):
+        df = spark.createDataFrame(pts, ["x", "y"])
+        got = sorted(
+            (r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()
+        )
+        assert got == _brute_skyline(pts)
+
+    run()
+
+
+def test_peak_concurrency_property(spark):
+    """Property: for arbitrary inclusive integer intervals, the
+    distributed sweep equals the brute-force pointwise maximum (and
+    its earliest argmax)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_inverted_index_spark.operators.relational import (
+        peak_concurrency,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        iv=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=15),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(iv):
+        intervals = [(s, s + d) for s, d in iv]
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+                for s, e in intervals
+            ],
+            ["s", "e"],
+        )
+        r = peak_concurrency(df, "s", "e", buckets=4).collect()[0]
+        # brute force: concurrency at each interval endpoint
+        cand = sorted({t for s, e in intervals for t in (s, e)})
+        conc = {
+            t: sum(1 for s, e in intervals if s <= t <= e) for t in cand
+        }
+        peak = max(conc.values())
+        first = min(t for t, c in conc.items() if c == peak)
+        got_min = (r["peak_ts"] - base).total_seconds() / 60
+        assert (r["peak_concurrency"], got_min) == (peak, first)
+
+    run()
+
+
+def test_binary_auc_property(spark):
+    """Property: for arbitrary scored label sets with both classes
+    present, the distributed AUC equals the pairwise definition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        scored=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.booleans(),
+            ),
+            min_size=2,
+            max_size=25,
+        ).filter(
+            lambda xs: any(p for _, p in xs) and any(not p for _, p in xs)
+        )
+    )
+    def run(scored):
+        data = [(float(s) / 2.0, p) for s, p in scored]
+        assert _auc(spark, data, buckets=4)[2] == _brute_auc(data)
+
+    run()

@@ -12,6 +12,7 @@ streaming ops.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_inverted_index_spark.functions.text import sql_terms, sql_tokens
 from mapreduce_inverted_index_spark.plans.registry import register
@@ -275,3 +276,53 @@ def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, f"{work}/chunks", f"{work}/ckpt"
     )
     return spark.read.parquet(f"{work}/chunks")
+
+
+@register(
+    "stream_transition_matrix",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events),
+         pairs AS (SELECT prev AS from_state, event_type AS to_state,
+                          CAST(count(*) AS BIGINT) AS n_trans
+                   FROM seq WHERE prev IS NOT NULL
+                   GROUP BY 1, 2)
+    SELECT from_state, to_state, n_trans,
+           ROUND(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY from_state)
+                        AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+    doc="Streaming twin of event_transition_matrix: per-user last "
+        "event_type held as applyInPandasWithState state, so the "
+        "transition spanning a micro-batch boundary is emitted "
+        "(a stateless per-batch lag drops it); observations "
+        "accumulate in the sink and roll up to the row-stochastic "
+        "matrix in batch. AvailableNow single batch == batch lag -> "
+        "full value oracle; the boundary case is pytest-proven "
+        "with a chunked feed.",
+)
+def q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreduce_inverted_index_spark.streaming.stateful import (
+        stateful_transition_counts,
+    )
+
+    pairs = stateful_transition_counts(spark, sf_dir)
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_trans")
+    )
+    w_row = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_row).cast("double"),
+            6,
+        ).alias("p"),
+    )

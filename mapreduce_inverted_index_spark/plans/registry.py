@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — twelve wholly new operator
+    # continuation-session additions — thirteen wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = (
     "event_transition_matrix",
     "embedding_quantile_normalize",
     "customer_revenue_gini",
+    "stream_transition_matrix",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -159,9 +160,11 @@ _DRIVER_PRIORITY = (
     "scd2_order_status_history",
     "rag_chunk_docs",
     "curation_policy_filter",
-    "stream_chunk_ingest",
     "media_phash_near_dup",
     "pagerank_user_graph",
+    # (stream_chunk_ingest rotated out for stream_transition_matrix:
+    # the ingest walker is 3-pass pytest-proven and the streaming
+    # family keeps five window slots incl. the new stateful op.)
     # (compaction_plan_files rotated out for customer_revenue_gini:
     # it is a file-layout diagnostic with strong pytest cover and
     # this session's local sweep.)

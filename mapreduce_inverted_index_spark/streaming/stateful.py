@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -30,7 +31,7 @@ from mapreduce_inverted_index_spark.streaming.windows import (
     events_stream,
 )
 
-__all__ = ["stateful_user_peaks", "tws_user_type_totals"]
+__all__ = ["stateful_user_peaks", "tws_user_type_totals", "stateful_transition_counts"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -165,3 +166,69 @@ def tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(out, mode="append")
+
+
+_TRANS_OUT = StructType(
+    [
+        StructField("from_state", StringType()),
+        StructField("to_state", StringType()),
+    ]
+)
+
+_TRANS_STATE = StructType([StructField("last", StringType())])
+
+
+def _update_transitions(
+    key: tuple, batches: "Iterator[pd.DataFrame]", state: "GroupState"
+):
+    last = state.get[0] if state.exists else None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        # Within-batch order is the user's (ts, event_id) order —
+        # restored here because the grouped batch arrives in shuffle
+        # order. Vectorized shift, no per-row loop.
+        pdf = pdf.sort_values(["ts", "event_id"])
+        seq = pdf["event_type"].reset_index(drop=True)
+        prev = seq.shift(1)
+        if last is not None:
+            prev.iloc[0] = last
+        mask = prev.notna()
+        last = seq.iloc[-1]
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "from_state": prev[mask].to_numpy(),
+                    "to_state": seq[mask].to_numpy(),
+                }
+            )
+    state.update((last,))
+
+
+def stateful_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-maintained Markov transition observations: per-user
+    ``last event_type`` kept as streaming state, so the pair that
+    SPANS a micro-batch boundary (last event of batch N → first of
+    batch N+1) is emitted correctly — the part a stateless
+    per-batch lag would silently drop. Emitted observations
+    accumulate in the sink; the caller rolls them up to the
+    transition matrix in batch (counts exact, one division).
+
+    With AvailableNow's single batch this equals the batch lag
+    exactly → full value oracle; the multi-batch boundary behavior
+    is pytest-proven with a chunked feed (the
+    ``incremental_index_merge`` evidence pattern).
+    """
+    ev = events_stream(spark, sf_dir)
+    pairs = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=_TRANS_OUT,
+            stateStructType=_TRANS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_table(pairs, mode="append")

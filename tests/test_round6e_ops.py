@@ -543,3 +543,78 @@ def test_binary_auc_property(spark):
         assert _auc(spark, data, buckets=4)[2] == _brute_auc(data)
 
     run()
+
+
+# --------------------------------------- stream transition state boundary
+
+def test_stream_transitions_span_batch_boundary(spark, tmp_path):
+    """The pair that spans two AvailableNow passes (last event of
+    pass 1 -> first event of pass 2) must be emitted — that is what
+    the per-user `last` state exists for; a stateless per-batch lag
+    would drop it. Also: a pass with nothing new emits nothing."""
+    import datetime as dt
+
+    from mapreduce_inverted_index_spark.streaming.stateful import (
+        _TRANS_OUT,
+        _TRANS_STATE,
+        _update_transitions,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path / "landing"
+    sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_pass():
+        ev = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            ).parquet(str(src))
+        )
+        pairs = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_transitions,
+                outputStructType=_TRANS_OUT,
+                stateStructType=_TRANS_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["from_state"], r["to_state"])
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    write_chunk("c1", [
+        (1, base + dt.timedelta(minutes=0), 7, "a"),
+        (2, base + dt.timedelta(minutes=1), 7, "b"),
+    ])
+    assert run_pass() == [("a", "b")]
+
+    write_chunk("c2", [
+        (3, base + dt.timedelta(minutes=2), 7, "c"),
+        (4, base + dt.timedelta(minutes=3), 7, "d"),
+    ])
+    # boundary pair b->c carried by state
+    assert run_pass() == [("a", "b"), ("b", "c"), ("c", "d")]
+
+    # nothing new: no rows added
+    assert run_pass() == [("a", "b"), ("b", "c"), ("c", "d")]

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "chi_square_independence", "binary_auc", "quantile_normalize", "gini_coefficient"]
+__all__ = ["column_profile", "chi_square_independence", "binary_auc", "quantile_normalize", "gini_coefficient", "anova_f"]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -316,4 +316,73 @@ def gini_coefficient(
         F.round(
             F.lit(2.0) * s1 / (n * s) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: F.Column,
+    quant: int = 10**6,
+) -> DataFrame:
+    """One-way ANOVA F statistic of a numeric column across a
+    categorical grouping — the numeric-by-category association
+    screen completing the family (chi-square: cat × cat; AUC:
+    score × binary): does this feature's mean actually differ
+    across labels/sources, or is the split noise?
+
+    Values quantize to the 1e-6 grid; per-group sufficient
+    statistics (n, Σq, Σq²) are EXACT decimal sums from ONE
+    partial-agg groupBy. The cross-group reductions then follow the
+    chi-square discipline: each group's ``(Σq)²/n`` runs as a fixed
+    double chain, quantizes to the 1e-3 grid (``floor(x·1e3+0.5)``),
+    and sums as exact BIGINT — order-independent where a raw double
+    sum across groups is not. SSB/SSW/F are a final fixed-order
+    double expression on the 1-row rollup.
+
+        F = (SSB / (k−1)) / (SSW / (N−k)),   η² = SSB / SST
+
+    Output (one row): ``n_rows, k_groups, f_stat, eta_sq``.
+    """
+    q = F.floor(value_col.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = (
+        df.select(F.col(group_col).alias("_g"), q.alias("_q"))
+        .groupBy("_g")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("_q").cast("decimal(18,0)")).alias("_s"),
+            F.sum(
+                F.col("_q").cast("decimal(18,0)")
+                * F.col("_q").cast("decimal(18,0)")
+            ).alias("_ss"),
+        )
+    )
+    term = (
+        F.col("_s").cast("double") * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    )
+    tq = F.floor(term * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    agg = per.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("*").alias("k_groups"),
+        F.sum(F.col("_s")).alias("_st"),
+        F.sum(F.col("_ss")).alias("_sst"),
+        F.sum(tq).alias("_tq"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("k_groups").cast("double")
+    grand = F.col("_st").cast("double")
+    ss_total_raw = F.col("_sst").cast("double")
+    groups_term = F.col("_tq").cast("double") / F.lit(1e3)
+    ssb = groups_term - grand * grand / n
+    ssw = ss_total_raw - groups_term
+    sst = ss_total_raw - grand * grand / n
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return agg.select(
+        "n_rows",
+        "k_groups",
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
     )

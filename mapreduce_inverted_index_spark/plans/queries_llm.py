@@ -2023,3 +2023,54 @@ def q_embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFram
     return quantile_normalize(
         _emb(spark, sf_dir), "vec_id", F.element_at("embedding", 1)
     )
+
+
+@register(
+    "label_embedding_anova",
+    oracle="""
+    WITH v AS (SELECT label AS g,
+                      CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM embeddings),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                        sum(CAST(q AS DECIMAL(18,0))) AS s,
+                        sum(CAST(q AS DECIMAL(18,0))
+                            * CAST(q AS DECIMAL(18,0))) AS ss
+                 FROM v GROUP BY g),
+         tq AS (SELECT n, s, ss,
+                       CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1e3 + 0.5)
+                            AS BIGINT) AS t
+                FROM per),
+         a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS k_groups,
+                      sum(s) AS st, sum(ss) AS sst,
+                      CAST(sum(t) AS BIGINT) AS tqs
+               FROM tq),
+         d AS (SELECT n_rows, k_groups,
+                      CAST(n_rows AS DOUBLE) AS nd,
+                      CAST(k_groups AS DOUBLE) AS kd,
+                      CAST(st AS DOUBLE) AS grand,
+                      CAST(sst AS DOUBLE) AS ssr,
+                      CAST(tqs AS DOUBLE) / 1e3 AS gt
+               FROM a)
+    SELECT n_rows, k_groups,
+           ROUND(((gt - grand * grand / nd) / (kd - 1.0))
+                 / ((ssr - gt) / (nd - kd)), 6) AS f_stat,
+           ROUND((gt - grand * grand / nd)
+                 / (ssr - grand * grand / nd), 6) AS eta_sq
+    FROM d
+    """,
+    doc="One-way ANOVA of embedding[0] across labels (does the "
+        "feature's mean differ by class, or is the split noise?): "
+        "per-group exact decimal sufficient stats from one "
+        "partial-agg groupBy; cross-group reductions quantized to "
+        "the 1e-3 grid and summed as exact BIGINT (the chi-square "
+        "discipline — raw double sums across groups are "
+        "order-dependent); F and eta^2 from a fixed-order double "
+        "expression. Operator: quality.anova_f.",
+)
+def q_label_embedding_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import anova_f
+
+    return anova_f(_emb(spark, sf_dir), "label", F.element_at("embedding", 1))

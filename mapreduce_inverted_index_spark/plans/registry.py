@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — thirteen wholly new operator
+    # continuation-session additions — fourteen wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = (
     "embedding_quantile_normalize",
     "customer_revenue_gini",
     "stream_transition_matrix",
+    "label_embedding_anova",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -158,10 +159,12 @@ _DRIVER_PRIORITY = (
     "ann_ivf_pruned_scan",
     "stream_frequent_terms",
     "scd2_order_status_history",
-    "rag_chunk_docs",
     "curation_policy_filter",
     "media_phash_near_dup",
     "pagerank_user_graph",
+    # (rag_chunk_docs rotated out for label_embedding_anova: the
+    # chunker is property-tested (coverage/uniqueness invariants) and
+    # holds this session's local sweep at both scales.)
     # (stream_chunk_ingest rotated out for stream_transition_matrix:
     # the ingest walker is 3-pass pytest-proven and the streaming
     # family keeps five window slots incl. the new stateful op.)

@@ -618,3 +618,45 @@ def test_stream_transitions_span_batch_boundary(spark, tmp_path):
 
     # nothing new: no rows added
     assert run_pass() == [("a", "b"), ("b", "c"), ("c", "d")]
+
+
+# --------------------------------------------------------------- anova_f
+
+def test_anova_identical_groups_f_zero(spark):
+    from mapreduce_inverted_index_spark.operators.quality import anova_f
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = anova_f(df, "g", F.col("v")).collect()[0]
+    assert (r["n_rows"], r["k_groups"], r["f_stat"], r["eta_sq"]) == (
+        6, 2, 0.0, 0.0,
+    )
+
+
+def test_anova_matches_reference_formula(spark):
+    from mapreduce_inverted_index_spark.operators.quality import anova_f
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 3.0, 4.0], "c": [6.0, 7.0, 8.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    # reference computation (on the same 1e-6 quantized values)
+    import math
+    qs = {g: [round(v * 1e6) for v in vs] for g, vs in groups.items()}
+    n = sum(len(v) for v in qs.values())
+    k = len(qs)
+    grand = sum(sum(v) for v in qs.values())
+    sst = sum(x * x for v in qs.values() for x in v) - grand * grand / n
+    gt = sum(
+        round(sum(v) ** 2 / len(v) * 1e3 + 0.5 - 0.5) for v in qs.values()
+    )
+    # mirror the 1e-3 quantization
+    gt = sum(math.floor(sum(v) ** 2 / len(v) * 1e3 + 0.5) for v in qs.values()) / 1e3
+    ssb = gt - grand * grand / n
+    ssw = (sum(x * x for v in qs.values() for x in v)) - gt
+    expect_f = round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+    expect_eta = round(ssb / sst, 6)
+
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = anova_f(df, "g", F.col("v")).collect()[0]
+    assert (r["f_stat"], r["eta_sq"]) == (expect_f, expect_eta)

@@ -694,6 +694,13 @@ AUDITS = [
         ["windowspecdefinition(_pid", "partial_sum"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    (
+        # ANOVA: one partial-agg groupBy of sufficient stats + a
+        # 1-row rollup; no join, no window
+        "label_embedding_anova",
+        ["partial_sum", "partial_count"],
+        ["Join", "Window", "CartesianProduct"],
+    ),
 ]
 
 

@@ -2074,3 +2074,105 @@ def q_label_embedding_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_inverted_index_spark.operators.quality import anova_f
 
     return anova_f(_emb(spark, sf_dir), "label", F.element_at("embedding", 1))
+
+
+@register(
+    "source_mixture_report",
+    oracle=rf"""
+    WITH d AS (SELECT source,
+                      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                        AS h,
+                      len({sql_terms("text")}) AS n_toks,
+                      lang, n_chars
+               FROM documents),
+         dup AS (SELECT h, count(*) AS copies FROM d GROUP BY h),
+         per AS (SELECT source,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                        CAST(count(*) FILTER (WHERE copies > 1) AS BIGINT)
+                          AS n_dup_docs,
+                        CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                          AS n_en_docs,
+                        CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,2))), 2)
+                             AS DOUBLE) / count(*) AS avg_chars
+                 FROM d JOIN dup USING (h)
+                 GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           ROUND(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS dup_rate,
+           ROUND(CAST(n_en_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS en_rate,
+           ROUND(avg_chars, 2) AS avg_chars
+    FROM per
+    """,
+    doc="Per-source corpus mixture report — the one-page dashboard a "
+        "data lead reads before changing the training mix: doc and "
+        "token counts, token share of the whole corpus, "
+        "exact-duplicate participation rate (via the dedup family's "
+        "normalized-md5 groups), English rate, mean length. One "
+        "doc-table scan feeds the hash rollup and the per-source "
+        "rollup; the share window runs over the ~|sources| rows. "
+        "Exact counts; decimal-exact mean; fixed double divisions.",
+)
+def q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreduce_inverted_index_spark.functions.text import terms
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        normalize_for_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.md5(normalize_for_dedup("text")).alias("h"),
+        F.size(terms("text", keep_duplicates=True)).alias("n_toks"),
+        "lang",
+        "n_chars",
+    )
+    # d feeds the duplicate-group rollup AND the per-source rollup —
+    # persist so tokenize/normalize runs once (the bm25_rank lesson).
+    d = d.persist()
+    dup = d.groupBy("h").agg(F.count("*").alias("copies"))
+    per = (
+        d.join(dup, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "n_en_docs"
+            ),
+            (
+                F.round(F.sum(F.col("n_chars").cast("decimal(18,2)")), 2).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("avg_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double"),
+            6,
+        ).alias("token_share"),
+        F.round(
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("n_en_docs").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("en_rate"),
+        F.round("avg_chars", 2).alias("avg_chars"),
+    )

@@ -97,7 +97,7 @@ def _load() -> None:
 # a later window.
 _DRIVER_PRIORITY = (
     "approx_distinct_users",
-    # continuation-session additions — fourteen wholly new operator
+    # continuation-session additions — fifteen wholly new operator
     # FAMILIES (graph traversal, skyline, sufficient-statistic
     # regression, distribution divergence, distributed sweep-line,
     # linear-probe OLS, chi-square association, token entropy,
@@ -121,6 +121,7 @@ _DRIVER_PRIORITY = (
     "customer_revenue_gini",
     "stream_transition_matrix",
     "label_embedding_anova",
+    "source_mixture_report",
     # final-session round-6 additions (no driver row exists yet):
     # the Q2/Q7/Q8/Q9/Q11/Q14/Q16/Q19/Q20 decorrelated family, the
     # outer stream-stream join, watermark-bounded dedup, and the
@@ -158,10 +159,13 @@ _DRIVER_PRIORITY = (
     "lm_quality_scores",
     "ann_ivf_pruned_scan",
     "stream_frequent_terms",
-    "scd2_order_status_history",
     "curation_policy_filter",
     "media_phash_near_dup",
     "pagerank_user_graph",
+    # (scd2_order_status_history rotated out for
+    # source_mixture_report: snapshot_merge_orders stays as the
+    # lakehouse-write representative; scd2 holds strong pytest cover
+    # and this session's local sweep.)
     # (rag_chunk_docs rotated out for label_embedding_anova: the
     # chunker is property-tested (coverage/uniqueness invariants) and
     # holds this session's local sweep at both scales.)

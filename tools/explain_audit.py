@@ -701,6 +701,14 @@ AUDITS = [
         ["partial_sum", "partial_count"],
         ["Join", "Window", "CartesianProduct"],
     ),
+    (
+        # mixture report: the tokenize/normalize scan is persisted
+        # (read back from cache by both rollups); dup join and share
+        # window run on rolled-up rows
+        "source_mixture_report",
+        ["InMemoryTableScan", "partial_count"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

@@ -99,6 +99,11 @@ HEADLINE = _R1SET + (
     "peak_concurrent_sessions",
     "embedding_dim_auc",
     "corpus_token_entropy",
+    # closing batch: the stateful streaming transition matrix (state
+    # carry across micro-batches) and the composed per-source
+    # mixture dashboard (persisted tokenize scan, two rollups)
+    "stream_transition_matrix",
+    "source_mixture_report",
 )
 
 

@@ -76,6 +76,11 @@ QUERIES = [
     # full-data groupBy, the prefix windows run per-bucket
     "peak_concurrent_sessions",
     "embedding_dim_auc",
+    # closing batch: transition lag+rollup, rank-block Gini, and the
+    # composed mixture dashboard (persisted scan, two rollups)
+    "event_transition_matrix",
+    "customer_revenue_gini",
+    "source_mixture_report",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "keyless_band_self_join"]
 
 
 def asof_join(
@@ -99,3 +99,66 @@ def range_join(
         F.unix_timestamp(left[left_ts]) - F.unix_timestamp(right[right_ts])
     )
     return left.join(right, (left[key] == right[key]) & (gap <= max_gap_seconds))
+
+
+def keyless_band_self_join(
+    df: DataFrame,
+    id_col: str,
+    ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """All id-ordered row pairs whose timestamps differ by at most
+    ``max_gap_seconds`` — with NO equi key. Output: ``id_a, id_b,
+    gap_seconds`` (gap on floored epoch seconds).
+
+    The naive plan for a keyless band predicate is a
+    BroadcastNestedLoopJoin / cartesian — O(n²) compares and a
+    broadcast of a whole side, both fatal at 100 TB. This uses the
+    standard time-grid trick to make it a HASH join:
+
+    * bucket each row into a bin of width ``max_gap_seconds``
+      (``floor(epoch_sec / gap)``);
+    * two rows within the band are always in the same or adjacent
+      bins, so replicate ONE side to bins {b-1, b, b+1} via
+      ``explode`` (3× one side, never n²) and equi-join on the
+      other side's own bin;
+    * re-check the exact band predicate after the join.
+
+    Each qualifying pair surfaces exactly once: the replica set
+    covers the partner's bin at exactly one of the three offsets,
+    and the ``id_a < id_b`` filter (applied with ``id_a`` from the
+    replicated side) kills the mirror orientation.
+
+    At scale the bin is the shuffle key — per-bin group size is the
+    row count per ``max_gap_seconds`` of time, so output stays
+    Σ|bin|·|adjacent bins| and a hot instant is ordinary key skew
+    (AQE split / salting), not a plan catastrophe.
+    """
+    if max_gap_seconds < 1:
+        raise ValueError(
+            f"max_gap_seconds must be >= 1, got {max_gap_seconds}"
+        )
+    sec = F.unix_timestamp(F.col(ts))
+    binned = df.select(
+        F.col(id_col).alias("_id"),
+        sec.alias("_s"),
+        F.floor(sec / F.lit(max_gap_seconds)).alias("_b"),
+    )
+    replicated = binned.select(
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_bin"),
+    )
+    probe = binned.select(
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_b").alias("_bin"),
+    )
+    gap = F.abs(F.col("_sb") - F.col("_sa"))
+    return (
+        replicated.join(probe, "_bin")
+        .where((F.col("id_a") < F.col("id_b")) & (gap <= max_gap_seconds))
+        .select("id_a", "id_b", gap.cast("bigint").alias("gap_seconds"))
+    )

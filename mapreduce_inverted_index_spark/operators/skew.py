@@ -1,4 +1,4 @@
-"""Skew-mitigation patterns: salted two-phase aggregation.
+"""Skew-mitigation patterns: salted aggregation and salted join.
 
 AQE's skew-join splitting handles join-side skew automatically; for
 *aggregation* skew (a handful of hot keys swamping their reducers)
@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count", "join_skew_profile"]
+__all__ = ["salted_sum_count", "join_skew_profile", "salted_skew_join"]
 
 
 def join_skew_profile(
@@ -72,6 +72,98 @@ def join_skew_profile(
         .orderBy(F.col("est_out_rows").desc(), F.col("key"))
         .limit(top_n)
     )
+
+
+def salted_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    hot_threshold: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Inner join with manual hot-key splitting: the classic salted
+    skew join for when BOTH sides are too big to broadcast and a few
+    left-side keys would swamp their reducers.
+
+    Mechanics (each phase is the at-scale shape):
+
+    1. Hot-key census: an exact left-side key histogram filtered to
+       ``count >= hot_threshold`` — O(distinct keys) shuffle rows,
+       map-side combined. (At 100 TB you'd feed this from a sampled
+       histogram or ``join_skew_profile``; the routing decision only
+       affects WHICH path a key takes, never the join result, so a
+       stale/sampled census stays correct.)
+    2. Both sides split by a broadcast hash of the hot-key list —
+       no extra shuffle, just two filtered branches of each scan.
+    3. Cold path: plain shuffle join (AQE handles residual skew).
+    4. Hot path: left rows get a salt in ``[0, n_salts)`` from
+       ``xxhash64(salt_source)`` (pass a high-entropy column like a
+       row id; default is a partition-local counter — either way the
+       salt is a function of the ROW, never of the key, or the hot
+       key would land on one reducer again); right rows matching a
+       hot key are REPLICATED ``n_salts`` times via
+       ``explode(sequence)``; the join key becomes (key, salt), so
+       each hot key fans out over ``n_salts`` reducers instead of
+       one.
+    5. ``unionByName`` of the two paths.
+
+    Replication cost is ``n_salts × |hot right rows|`` — bounded by
+    the census, which is the entire point: you pay a small constant
+    on the few hot keys instead of one straggler task owning an
+    entire hot key's output.
+
+    Output columns: all of ``left`` then all of ``right`` (the key
+    columns from both sides, like a plain ``a.join(b, a.k == b.k)``).
+    Result is oracle-equivalent to the plain inner join for any
+    (n_salts, hot_threshold) — the parameters tune routing only.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    hot = (
+        left.groupBy(F.col(left_key).alias("_hk"))
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= F.lit(hot_threshold))
+        .select("_hk")
+    )
+    left_hot = left.join(
+        F.broadcast(hot), left[left_key] == F.col("_hk"), "left_semi"
+    )
+    left_cold = left.join(
+        F.broadcast(hot), left[left_key] == F.col("_hk"), "left_anti"
+    )
+    right_hot = right.join(
+        F.broadcast(hot), right[right_key] == F.col("_hk"), "left_semi"
+    )
+    right_cold = right.join(
+        F.broadcast(hot), right[right_key] == F.col("_hk"), "left_anti"
+    )
+
+    # The salt must spread ROWS of one hot key across reducers, so it
+    # must NOT be a function of the key: hash a high-entropy column
+    # (a row id), falling back to a partition-local counter.
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    lh = left_hot.withColumn("_salt", salt)
+    rh = right_hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+
+    out_cols = [left[c] for c in left.columns] + [
+        right[c] for c in right.columns
+    ]
+    hot_joined = lh.join(
+        rh,
+        (left[left_key] == right[right_key]) & (lh["_salt"] == rh["_salt"]),
+    ).select(*out_cols)
+    cold_joined = left_cold.join(
+        right_cold, left[left_key] == right[right_key]
+    ).select(*out_cols)
+    return hot_joined.unionByName(cold_joined)
 
 
 def salted_sum_count(

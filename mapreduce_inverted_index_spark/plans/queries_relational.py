@@ -740,6 +740,38 @@ def q_range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "keyless_band_pairs_events",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+               - CAST(floor(epoch(a.ts)) AS BIGINT)) AS gap_seconds
+    FROM events a JOIN events b ON a.event_id < b.event_id
+    WHERE abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+              - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 10
+    """,
+    doc="KEYLESS band self-join (event pairs within 10 s across ALL "
+        "users): time-grid bucketing — bin rows at band width, "
+        "explode one side to bins {b-1,b,b+1}, equi-join on bin, "
+        "re-check the exact band — turning the O(n^2) "
+        "BroadcastNestedLoopJoin a bare inequality predicate plans "
+        "into a hash join whose shuffle key is the time bin. Oracle "
+        "is the naive inequality join. "
+        "Operator: asof.keyless_band_self_join.",
+)
+def q_keyless_band_pairs_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.asof import (
+        keyless_band_self_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return keyless_band_self_join(
+        e, id_col="event_id", ts="ts", max_gap_seconds=10
+    )
+
+
+@register(
     "salted_agg_event_values",
     oracle="""
     SELECT event_type,
@@ -758,6 +790,36 @@ def q_salted_agg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(
         e, keys=["event_type"], value=F.col("value"), n_salts=8,
         salt_source="event_id",
+    )
+
+
+@register(
+    "salted_skew_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Salted skew JOIN (both sides shuffle-sized): exact hot-key "
+        "census -> broadcast-split both sides -> cold keys join "
+        "plainly, hot-key left rows salted over 8 sub-keys with the "
+        "right side replicated 8x on those keys only -> union. "
+        "Oracle proves equivalence to the plain inner join; the "
+        "(n_salts, hot_threshold) knobs tune routing, never results. "
+        "Operator: skew.salted_skew_join.",
+)
+def q_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.skew import salted_skew_join
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    joined = salted_skew_join(
+        e, c, "user_id", "c_custkey",
+        n_salts=8, hot_threshold=60, salt_source="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "value",
+        "c_mktsegment", "c_nationkey",
     )
 
 

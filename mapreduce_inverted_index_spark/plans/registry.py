@@ -139,9 +139,7 @@ _DRIVER_PRIORITY = (
     "temperature_mixture_sample",
     # late-round-6 additions (no driver row exists yet for these)
     "late_order_priority_counts",
-    "small_qty_part_revenue",
     "waiting_orders_suppliers",
-    "top_revenue_supplier",
     "gap_fill_daily_user_values",
     "grouped_agg_pandas_wavg",
     "dedup_keep_best",
@@ -162,6 +160,14 @@ _DRIVER_PRIORITY = (
     "curation_policy_filter",
     "media_phash_near_dup",
     "pagerank_user_graph",
+    # continuation-session-2 additions: the salted skew JOIN and the
+    # keyless grid-bucketed band join (never driver-proven;
+    # small_qty_part_revenue and top_revenue_supplier rotated out —
+    # their decorrelation pattern is represented in-window by
+    # late_order_priority_counts / waiting_orders_suppliers and both
+    # hold the exact local sweep)
+    "salted_skew_join_events",
+    "keyless_band_pairs_events",
     # (scd2_order_status_history rotated out for
     # source_mixture_report: snapshot_merge_orders stays as the
     # lakehouse-write representative; scd2 holds strong pytest cover

@@ -224,3 +224,67 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_skew_join_equals_plain_join(spark):
+    """salted_skew_join == plain inner join on 90%-hot-key data, for
+    every routing regime: all-hot, all-cold, and mixed."""
+    from mapreduce_inverted_index_spark.operators.skew import salted_skew_join
+
+    left = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("rk"), F.concat(F.lit("dim_"), F.col("id")).alias("attr")
+    )
+    plain = sorted(
+        (r["k"], r["row_id"], r["attr"])
+        for r in left.join(right, left["k"] == right["rk"]).collect()
+    )
+    for thresh in (1, 100, 10**9):  # all keys hot / only the 90% key / none
+        got = sorted(
+            (r["k"], r["row_id"], r["attr"])
+            for r in salted_skew_join(
+                left, right, "k", "rk", n_salts=16,
+                hot_threshold=thresh, salt_source="row_id",
+            ).collect()
+        )
+        assert got == plain, f"mismatch at hot_threshold={thresh}"
+
+
+def test_keyless_band_self_join_equals_naive(spark):
+    """Grid-bucketed keyless band join == naive inequality join,
+    including pairs exactly at the band edge and across bin
+    boundaries."""
+    from mapreduce_inverted_index_spark.operators.asof import (
+        keyless_band_self_join,
+    )
+
+    # seconds chosen to hit: same bin, adjacent bins, gap == band,
+    # gap == band+1 (excluded), duplicates at one instant
+    secs = [0, 1, 9, 10, 11, 19, 20, 21, 30, 41, 41, 52, 100, 110, 111]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(secs)], "id long, s long"
+    ).select("id", F.timestamp_seconds("s").alias("ts"))
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap_seconds"])
+        for r in keyless_band_self_join(df, "id", "ts", 10).collect()
+    )
+    naive = sorted(
+        (a_id, b_id, abs(sb - sa))
+        for a_id, sa in enumerate(secs)
+        for b_id, sb in enumerate(secs)
+        if a_id < b_id and abs(sb - sa) <= 10
+    )
+    assert got == naive
+
+    plan = (
+        keyless_band_self_join(df, "id", "ts", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

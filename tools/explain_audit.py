@@ -709,6 +709,25 @@ AUDITS = [
         ["InMemoryTableScan", "partial_count"],
         ["CartesianProduct"],
     ),
+    (
+        # salted skew join: the hot-key census broadcasts into
+        # semi/anti splits (no pre-join shuffle), right-side salt
+        # replication is an explode of a constant-folded sequence,
+        # and the two paths union; the only shuffles are the two
+        # path joins themselves
+        "salted_skew_join_events",
+        ["BroadcastHashJoin", "Union", "Generate explode("],
+        ["CartesianProduct"],
+    ),
+    (
+        # keyless band self-join: the bare inequality predicate
+        # would plan as BroadcastNestedLoopJoin; grid bucketing
+        # must turn it into a hash join on the time bin with a 3x
+        # explode on one side
+        "keyless_band_pairs_events",
+        ["Generate explode(", "HashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 ]
 
 

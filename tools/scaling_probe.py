@@ -81,6 +81,12 @@ QUERIES = [
     "event_transition_matrix",
     "customer_revenue_gini",
     "source_mixture_report",
+    # continuation-session-2: the two manual join-strategy ops —
+    # salted skew join (census + split + 8x hot replication) and the
+    # keyless grid-bucketed band join (pair count itself grows ~n^2/
+    # span at fixed band, so growth tracks OUTPUT, not the plan)
+    "salted_skew_join_events",
+    "keyless_band_pairs_events",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

@@ -107,37 +107,55 @@ def salted_skew_join(
        ``explode(sequence)``; the join key becomes (key, salt), so
        each hot key fans out over ``n_salts`` reducers instead of
        one.
-    5. ``unionByName`` of the two paths.
+    5. Positional ``union`` of the two paths (both branches project
+       the identical column list, and positional union — unlike
+       ``unionByName`` — stays correct when left and right share
+       column names, which a plain join permits).
 
     Replication cost is ``n_salts × |hot right rows|`` — bounded by
     the census, which is the entire point: you pay a small constant
     on the few hot keys instead of one straggler task owning an
     entire hot key's output.
 
+    The census DataFrame is ``persist()``-ed: four branches (the
+    semi/anti split of each side) consume it, and Catalyst does NOT
+    reuse the aggregation subtree across them (measured: four census
+    scans, zero ReusedExchange) — the persist makes it one census
+    computation + four tiny cache reads. It is unpersisted lazily by
+    cache eviction; at 100 TB you'd land the (tiny) hot-key list in
+    a table instead.
+
     Output columns: all of ``left`` then all of ``right`` (the key
     columns from both sides, like a plain ``a.join(b, a.k == b.k)``).
-    Result is oracle-equivalent to the plain inner join for any
-    (n_salts, hot_threshold) — the parameters tune routing only.
+    ``__ssj_hot_key`` and ``__ssj_salt`` are reserved internal names
+    — inputs must not carry them. Result is oracle-equivalent to the
+    plain inner join for any (n_salts, hot_threshold) — the
+    parameters tune routing only.
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    reserved = {"__ssj_hot_key", "__ssj_salt"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"reserved column names in input: {sorted(clash)}")
     hot = (
-        left.groupBy(F.col(left_key).alias("_hk"))
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") >= F.lit(hot_threshold))
-        .select("_hk")
+        left.groupBy(F.col(left_key).alias("__ssj_hot_key"))
+        .agg(F.count("*").alias("__ssj_n"))
+        .where(F.col("__ssj_n") >= F.lit(hot_threshold))
+        .select("__ssj_hot_key")
+        .persist()
     )
     left_hot = left.join(
-        F.broadcast(hot), left[left_key] == F.col("_hk"), "left_semi"
+        F.broadcast(hot), left[left_key] == hot["__ssj_hot_key"], "left_semi"
     )
     left_cold = left.join(
-        F.broadcast(hot), left[left_key] == F.col("_hk"), "left_anti"
+        F.broadcast(hot), left[left_key] == hot["__ssj_hot_key"], "left_anti"
     )
     right_hot = right.join(
-        F.broadcast(hot), right[right_key] == F.col("_hk"), "left_semi"
+        F.broadcast(hot), right[right_key] == hot["__ssj_hot_key"], "left_semi"
     )
     right_cold = right.join(
-        F.broadcast(hot), right[right_key] == F.col("_hk"), "left_anti"
+        F.broadcast(hot), right[right_key] == hot["__ssj_hot_key"], "left_anti"
     )
 
     # The salt must spread ROWS of one hot key across reducers, so it
@@ -148,22 +166,23 @@ def salted_skew_join(
         if salt_source
         else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
-    lh = left_hot.withColumn("_salt", salt)
+    lh = left_hot.withColumn("__ssj_salt", salt)
     rh = right_hot.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+        "__ssj_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__ssj_salt", F.col("__ssj_salt").cast("bigint"))
 
     out_cols = [left[c] for c in left.columns] + [
         right[c] for c in right.columns
     ]
     hot_joined = lh.join(
         rh,
-        (left[left_key] == right[right_key]) & (lh["_salt"] == rh["_salt"]),
+        (left[left_key] == right[right_key])
+        & (lh["__ssj_salt"] == rh["__ssj_salt"]),
     ).select(*out_cols)
     cold_joined = left_cold.join(
         right_cold, left[left_key] == right[right_key]
     ).select(*out_cols)
-    return hot_joined.unionByName(cold_joined)
+    return hot_joined.union(cold_joined)
 
 
 def salted_sum_count(

@@ -242,7 +242,10 @@ def test_salted_skew_join_equals_plain_join(spark):
         (r["k"], r["row_id"], r["attr"])
         for r in left.join(right, left["k"] == right["rk"]).collect()
     )
-    for thresh in (1, 100, 10**9):  # all keys hot / only the 90% key / none
+    # thresholds: all keys hot / genuinely MIXED (key 7 has 4500
+    # rows, each minor key exactly 100 — 200 routes only key 7 hot,
+    # both union branches non-empty) / all cold
+    for thresh in (1, 200, 10**9):
         got = sorted(
             (r["k"], r["row_id"], r["attr"])
             for r in salted_skew_join(
@@ -251,6 +254,25 @@ def test_salted_skew_join_equals_plain_join(spark):
             ).collect()
         )
         assert got == plain, f"mismatch at hot_threshold={thresh}"
+    # default salt path (partition-local counter, no salt_source)
+    got_default = sorted(
+        (r["k"], r["row_id"], r["attr"])
+        for r in salted_skew_join(
+            left, right, "k", "rk", n_salts=4, hot_threshold=200
+        ).collect()
+    )
+    assert got_default == plain
+    # duplicate non-key column names are legal in a plain join and
+    # must survive the union of the two paths (positional, not
+    # by-name)
+    l2 = left.select("k", F.col("row_id").alias("value"))
+    r2 = right.select("rk", F.col("attr").alias("value"))
+    plain2 = sorted(tuple(r) for r in l2.join(r2, l2["k"] == r2["rk"]).collect())
+    got2 = sorted(
+        tuple(r)
+        for r in salted_skew_join(l2, r2, "k", "rk", hot_threshold=200).collect()
+    )
+    assert got2 == plain2
 
 
 def test_keyless_band_self_join_equals_naive(spark):

@@ -310,3 +310,47 @@ def test_keyless_band_self_join_equals_naive(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keyless_band_self_join_property(spark):
+    """Property: for arbitrary second-offsets and band widths, the
+    grid-bucketed keyless band join equals the O(n^2) definition —
+    clustered draws make same-bin/adjacent-bin/band-edge collisions
+    common."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_inverted_index_spark.operators.asof import (
+        keyless_band_self_join,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        secs=st.lists(
+            st.integers(min_value=0, max_value=120),
+            min_size=1,
+            max_size=20,
+        ),
+        band=st.integers(min_value=1, max_value=40),
+    )
+    def run(secs, band):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(secs)], "id long, s long"
+        ).select("id", F.timestamp_seconds("s").alias("ts"))
+        got = sorted(
+            (r["id_a"], r["id_b"], r["gap_seconds"])
+            for r in keyless_band_self_join(df, "id", "ts", band).collect()
+        )
+        naive = sorted(
+            (a, b, abs(secs[b] - secs[a]))
+            for a in range(len(secs))
+            for b in range(a + 1, len(secs))
+            if abs(secs[b] - secs[a]) <= band
+        )
+        assert got == naive
+
+    run()

@@ -30,6 +30,8 @@ __all__ = [
     "encode_docs",
     "distribution_divergence",
     "token_entropy",
+    "hashed_classifier_scores",
+    "vocab_growth_curve",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -553,4 +555,132 @@ def token_entropy(
         "n_terms",
         F.round(h, 6).alias("entropy"),
         F.round(h / F.round(F.ln("n_terms"), 9), 6).alias("entropy_norm"),
+    )
+
+
+def hashed_classifier_scores(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE as pure
+    relational plumbing — the shape of the quality/toxicity
+    classifiers that gate documents into a pretraining mix:
+
+        token → hashed feature bucket → broadcast weight lookup →
+        per-doc margin sum → threshold.
+
+    The hashing trick (Weinberger et al. 2009) makes the feature
+    space a fixed ``n_buckets`` regardless of vocabulary, so the
+    weight table is a small broadcastable dimension (kilobytes for
+    2^20 buckets) and scoring 100 TB of text is one scan + one
+    broadcast hash join + one partial-agg groupBy — no shuffle of
+    tokens, no vocabulary build, no Python in the row path.
+
+    ``weights``: a ``(bucket BIGINT, w_milli BIGINT)`` table — in
+    real use the trained weights, loaded and broadcast exactly as
+    here. The default is a deterministic synthetic stand-in
+    (Knuth-multiplicative spread of the bucket id onto a
+    [-1000, 1000] milli grid) so the operator is oracle-checkable:
+    integer milli-weights make margins EXACT bigint sums in any
+    engine under any partitioning/order. The bucket hash is
+    md5-based (the repo's cross-engine hash; xxhash64 is
+    Spark-only).
+
+    Docs whose token list is empty produce no output row (no
+    features → no score), matching the SQL GROUP BY twin.
+
+    Output: ``id_col, n_tokens, margin DOUBLE (exact at 3
+    decimals), quality_pass BOOLEAN (margin > 0)``.
+    """
+    spark = docs.sparkSession
+    if weights is None:
+        weights = spark.range(n_buckets).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias(
+                "w_milli"
+            ),
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
+    )
+    feats = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+        % n_buckets,
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_milli").alias("_mm"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("_mm").cast("double") / F.lit(1000.0)).alias("margin"),
+        (F.col("_mm") > 0).alias("quality_pass"),
+    )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: after ingesting docs in id
+    order, how many tokens have been seen and how many DISTINCT
+    terms — the curve whose flattening (or refusal to flatten)
+    tells a corpus-curation pipeline whether new data still adds
+    vocabulary or is recycling the same material.
+
+    Distribution shape: "is this term NEW at doc d" needs no
+    ordered scan — a term is new exactly at ``min(doc_id)`` over
+    its postings (one groupBy). That reduces the curve to two
+    running sums over the doc axis (tokens per doc, first-seen
+    terms per doc), each a :func:`~mapreduce_inverted_index_spark.
+    operators.prefix.bucketed_prefix_sum` — parallel per-bucket
+    windows, never the single-partition global window (which the
+    DuckDB oracle IS).
+
+    Output per doc: ``doc_id, n_tokens, n_new_terms, tokens_seen,
+    vocab_size`` (all BIGINT, exact; zero-token docs carry zeros
+    and their cumulative values unchanged).
+    """
+    from mapreduce_inverted_index_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    tf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
+    )
+    per_doc = tf.groupBy("doc_id").agg(F.count("*").alias("_nt"))
+    first_doc = tf.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_doc.groupBy("doc_id").agg(
+        F.count("*").alias("_nv")
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nt", F.lit(0)).alias("n_tokens"),
+            F.coalesce("_nv", F.lit(0)).alias("n_new_terms"),
+        )
+    )
+    cum = bucketed_prefix_sum(
+        base, "doc_id", ["doc_id"], "n_tokens", "tokens_seen"
+    )
+    cum = bucketed_prefix_sum(
+        cum, "doc_id", ["doc_id"], "n_new_terms", "vocab_size"
+    )
+    return cum.select(
+        "doc_id", "n_tokens", "n_new_terms", "tokens_seen", "vocab_size"
     )

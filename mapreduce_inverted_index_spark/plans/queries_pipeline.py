@@ -266,6 +266,90 @@ def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_unigram_scores(_docs(spark, sf_dir))
 
 
+@register(
+    "quality_classifier_margins",
+    oracle=f"""
+    WITH w AS (SELECT range AS bucket,
+                      (range * 2654435761) % 2001 - 1000 AS w_milli
+               FROM range(1024)),
+         t AS (SELECT doc_id,
+                      CAST(concat('0x', substring(md5(term), 1, 15))
+                           AS BIGINT) % 1024 AS bucket
+               FROM (SELECT doc_id,
+                            unnest({sql_terms('text', distinct=False)})
+                                AS term
+                     FROM documents))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(w_milli) AS BIGINT) AS DOUBLE) / 1000.0
+               AS margin,
+           CAST(sum(w_milli) AS BIGINT) > 0 AS quality_pass
+    FROM t JOIN w USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="fastText-style hashed linear classifier inference (the "
+        "quality/toxicity gate of a pretraining mix): token -> "
+        "md5 feature bucket (hashing trick: fixed feature space, "
+        "vocabulary-free) -> broadcast weight lookup -> per-doc "
+        "margin. Integer milli-weights make margins exact bigint "
+        "sums (order/partitioning-independent); the synthetic "
+        "weight table stands in for trained weights, loaded and "
+        "broadcast identically in real use. One scan + broadcast "
+        "join + partial-agg groupBy; no token shuffle. "
+        "Operator: textstats.hashed_classifier_scores.",
+)
+def q_quality_classifier_margins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        hashed_classifier_scores,
+    )
+
+    return hashed_classifier_scores(_docs(spark, sf_dir), n_buckets=1024)
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tf AS (SELECT doc_id,
+                       unnest({sql_terms('text', distinct=False)}) AS term
+                FROM documents),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+                FROM tf GROUP BY 1),
+         fd AS (SELECT term, min(doc_id) AS doc_id FROM tf GROUP BY 1),
+         nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nv
+                FROM fd GROUP BY 1),
+         base AS (SELECT d.doc_id,
+                         coalesce(nt, 0) AS n_tokens,
+                         coalesce(nv, 0) AS n_new_terms
+                  FROM documents d
+                  LEFT JOIN pd USING (doc_id)
+                  LEFT JOIN nv USING (doc_id))
+    SELECT doc_id, n_tokens, n_new_terms,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+               AS tokens_seen,
+           CAST(sum(n_new_terms) OVER (ORDER BY doc_id) AS BIGINT)
+               AS vocab_size
+    FROM base
+    """,
+    doc="Heaps'-law vocabulary growth curve: tokens seen and distinct "
+        "vocabulary after each doc in ingest order — the "
+        "is-new-data-still-adding-vocabulary curve. Term novelty is "
+        "min(doc_id) per term (one groupBy, no ordered scan); the two "
+        "cumulative axes run as bucketed_prefix_sum (fifth and sixth "
+        "consumers of the distributed prefix primitive — parallel "
+        "per-bucket windows), while the oracle IS the naive "
+        "single-partition window. Operator: textstats."
+        "vocab_growth_curve.",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    return vocab_growth_curve(_docs(spark, sf_dir))
+
+
 _Z_BITS = 8
 _Z_FILES = 16
 _Z_SHIFT = 2 * _Z_BITS - (_Z_FILES - 1).bit_length()

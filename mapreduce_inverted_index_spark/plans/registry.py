@@ -141,9 +141,7 @@ _DRIVER_PRIORITY = (
     "late_order_priority_counts",
     "waiting_orders_suppliers",
     "gap_fill_daily_user_values",
-    "grouped_agg_pandas_wavg",
     "dedup_keep_best",
-    "train_val_test_split",
     # round-6 additions
     "term_lookup_bucketed",
     "fuzzy_unblocked_pairs",
@@ -168,6 +166,13 @@ _DRIVER_PRIORITY = (
     # hold the exact local sweep)
     "salted_skew_join_events",
     "keyless_band_pairs_events",
+    # (grouped_agg_pandas_wavg and train_val_test_split — an
+    # API-surface demo and a deterministic md5 split, both with
+    # strong pytest cover and the exact local sweep — rotated out
+    # for the hashed-classifier inference and the Heaps'-law
+    # vocabulary growth curve, both new capabilities)
+    "quality_classifier_margins",
+    "vocab_growth_curve",
     # (scd2_order_status_history rotated out for
     # source_mixture_report: snapshot_merge_orders stays as the
     # lakehouse-write representative; scd2 holds strong pytest cover

@@ -660,3 +660,77 @@ def test_anova_matches_reference_formula(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     r = anova_f(df, "g", F.col("v")).collect()[0]
     assert (r["f_stat"], r["eta_sq"]) == (expect_f, expect_eta)
+
+
+def test_hashed_classifier_margins_reference(spark):
+    """The hashed classifier margin equals a pure-Python replay of
+    the same md5-bucket + Knuth-weight math; stopword-only and empty
+    docs yield no row."""
+    import hashlib
+
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        hashed_classifier_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark shuffles BYTES, not rows!"),
+            (2, "the and of to"),          # stopwords only -> no row
+            (3, ""),                        # empty -> no row
+            (4, "bytes bytes bytes"),       # tf counted, not distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["quality_pass"])
+        for r in hashed_classifier_scores(docs, n_buckets=1024).collect()
+    }
+
+    def toks(text):
+        import re
+
+        stop = {"the", "and", "of", "to", "not"}
+        out = []
+        for t in re.sub(r"[^a-z\s]", "", text.lower()).split():
+            if t and t not in stop:
+                out.append(t)
+        return out
+
+    def margin(words):
+        mm = 0
+        for w in words:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 1024
+            mm += (b * 2654435761) % 2001 - 1000
+        return mm
+
+    exp = {}
+    for doc_id, text in [(1, "Spark shuffles BYTES, not rows!"), (4, "bytes bytes bytes")]:
+        ws = toks(text)
+        mm = margin(ws)
+        exp[doc_id] = (len(ws), mm / 1000.0, mm > 0)
+    assert set(got) == {1, 4}
+    assert got == exp
+
+
+def test_vocab_growth_curve_tiny_corpus(spark):
+    """Hand-computed Heaps curve: novelty lands at min(doc_id), empty
+    docs carry zeros, cumulative axes are monotone and exact."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_new_terms"], r["tokens_seen"], r["vocab_size"]
+        )
+        for r in vocab_growth_curve(docs).collect()
+    }
+    assert got == {
+        1: (3, 2, 3, 2),
+        2: (0, 0, 3, 2),
+        3: (2, 1, 5, 3),
+    }

@@ -733,6 +733,22 @@ AUDITS = [
         ["Generate explode(", "Join ["],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    (
+        # hashed classifier: the weight dimension must broadcast
+        # (never shuffle the token stream against it) and the margin
+        # sum must partial-agg map-side
+        "quality_classifier_margins",
+        ["BroadcastHashJoin", "partial_sum", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # Heaps curve: both cumulative axes must run as bucketed
+        # (_pid-partitioned) prefix windows, never one global window
+        # over the doc axis; term-novelty is a partial-agg groupBy
+        "vocab_growth_curve",
+        ["windowspecdefinition(_pid", "partial_count", "partial_min"],
+        ["CartesianProduct"],
+    ),
 ]
 
 

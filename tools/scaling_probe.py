@@ -87,6 +87,11 @@ QUERIES = [
     # span at fixed band, so growth tracks OUTPUT, not the plan)
     "salted_skew_join_events",
     "keyless_band_pairs_events",
+    # the classifier gate (broadcast weight join + partial-agg
+    # margin sum) and the Heaps curve (groupBy(term) novelty + two
+    # bucketed prefix sums — growth should track the explode scan)
+    "quality_classifier_margins",
+    "vocab_growth_curve",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

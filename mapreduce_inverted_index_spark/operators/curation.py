@@ -32,6 +32,7 @@ __all__ = [
     "contrastive_negatives",
     "corpus_shuffle",
     "temperature_sample",
+    "weighted_sample",
 ]
 
 # Gopher's rule-set requires a document to contain at least two of a
@@ -481,4 +482,51 @@ def temperature_sample(
     return (
         df.join(F.broadcast(rates), group_col)
         .where(bucket < F.col("keep_bps"))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-biased top-k sample (the A-ES / priority-
+    sampling shape): each row gets priority ``md5_long(id) div
+    (weight + 1)`` — EXACT bigint division (never float: the hash is
+    ~2^60, past double's 2^53 exact-integer range) — and the k
+    SMALLEST priorities win. Selection probability grows with
+    weight (a row with twice the weight halves its priority scale),
+    the draw is byte-reproducible across engines/partitionings/
+    reruns, and heavier corpora can audit exactly why a doc was
+    kept.
+
+    This is the per-ROW-weight member of the sampling family
+    (``group_sample`` = uniform per group, ``temperature_sample`` =
+    per-GROUP rate shaping, ``stratified_sample`` = per-group
+    md5-bucket rates): weight lives on the row (token count, quality
+    score), no grouping involved.
+
+    Plan shape: scan-side priority expression + global top-k =
+    ``TakeOrderedAndProject`` (per-partition heaps of k, never a
+    full sort/shuffle of the corpus). Ties (same priority) break on
+    ``id_col``, so the kept SET is a total-order prefix — exactly
+    replayable by an ORDER BY/LIMIT oracle.
+
+    Output: the k sampled rows plus ``priority``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    pri = F.expr(
+        f"{'_wsp_h'} div (cast({weight_col} as bigint) + 1)"
+    )
+    return (
+        df.withColumn("_wsp_h", h)
+        .withColumn("priority", pri)
+        .drop("_wsp_h")
+        .orderBy("priority", id_col)
+        .limit(k)
     )

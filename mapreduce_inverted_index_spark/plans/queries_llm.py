@@ -1732,6 +1732,48 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source,
+                         CAST(len({sql_terms('text', distinct=False)})
+                              AS BIGINT) AS n_tokens
+                  FROM documents),
+         pri AS (SELECT *,
+                        CAST(concat('0x',
+                             substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) // (n_tokens + 1) AS priority
+                 FROM base)
+    SELECT doc_id, source, n_tokens, priority
+    FROM pri ORDER BY priority, doc_id LIMIT 100
+    """,
+    doc="Deterministic weight-biased top-k sample (A-ES/priority-"
+        "sampling shape), weight = token count: priority = "
+        "md5_long(id) div (weight+1) as EXACT bigint division (the "
+        "hash is ~2^60, past double's 2^53 — float division would "
+        "corrupt low bits), k smallest win. Byte-reproducible and "
+        "auditable; completes the sampling family (uniform-per-"
+        "group / per-group temperature / stratified bucket / "
+        "per-ROW weight). Plan: scan-side priority + "
+        "TakeOrderedAndProject (per-partition heaps, no global "
+        "sort). Operator: curation.weighted_sample.",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.functions.text import terms
+    from mapreduce_inverted_index_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(terms("text", keep_duplicates=True)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return weighted_sample(base, "n_tokens", k=100)
+
+
+@register(
     "bpe_merge_step",
     oracle=f"""
     WITH toks AS (

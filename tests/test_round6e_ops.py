@@ -734,3 +734,28 @@ def test_vocab_growth_curve_tiny_corpus(spark):
         2: (0, 0, 3, 2),
         3: (2, 1, 5, 3),
     }
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """weighted_sample == exact Python replay of the md5-div-weight
+    priority math, and a dominant weight is always selected."""
+    import hashlib
+
+    from mapreduce_inverted_index_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(200)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_sample(df, "w", k=10).collect()
+    ]
+
+    def pri(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h // (w + 1)
+
+    exp = sorted(((pri(d, w), d) for d, w in rows))[:10]
+    assert got == [(d, p) for p, d in exp]
+    assert 999 in {d for d, _ in got}  # the heavy row always wins a slot

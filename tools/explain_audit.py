@@ -749,6 +749,13 @@ AUDITS = [
         ["windowspecdefinition(_pid", "partial_count", "partial_min"],
         ["CartesianProduct"],
     ),
+    (
+        # weighted sample: global top-k must be per-partition heaps
+        # (TakeOrderedAndProject), never a full sort of the corpus
+        "weighted_sample_docs",
+        ["TakeOrderedAndProject"],
+        ["Sort [", "Exchange rangepartitioning"],
+    ),
 ]
 
 

@@ -127,61 +127,72 @@ def salted_skew_join(
 
     Output columns: all of ``left`` then all of ``right`` (the key
     columns from both sides, like a plain ``a.join(b, a.k == b.k)``).
-    ``__ssj_hot_key`` and ``__ssj_salt`` are reserved internal names
-    — inputs must not carry them. Result is oracle-equivalent to the
-    plain inner join for any (n_salts, hot_threshold) — the
-    parameters tune routing only.
+    Both sides are positionally renamed into disjoint internal
+    namespaces (``toDF``) before any join and restored at the end,
+    so SELF-joins (``salted_skew_join(df, df, ...)``) and duplicate
+    input column names both work — no manual aliasing required.
+    Result is oracle-equivalent to the plain inner join for any
+    (n_salts, hot_threshold) — the parameters tune routing only.
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    reserved = {"__ssj_hot_key", "__ssj_salt"}
-    clash = reserved & (set(left.columns) | set(right.columns))
-    if clash:
-        raise ValueError(f"reserved column names in input: {sorted(clash)}")
+    # Disjoint positional namespaces: kills every ambiguity class at
+    # once (left is right; shared names across sides; duplicate
+    # names within a side). Keys/salt resolve by FIRST occurrence.
+    lnames = [f"__ssj_l{i}" for i in range(len(left.columns))]
+    rnames = [f"__ssj_r{i}" for i in range(len(right.columns))]
+    lkey = lnames[left.columns.index(left_key)]
+    rkey = rnames[right.columns.index(right_key)]
+    lsalt = (
+        lnames[left.columns.index(salt_source)] if salt_source else None
+    )
+    L = left.toDF(*lnames)
+    R = right.toDF(*rnames)
+
     hot = (
-        left.groupBy(F.col(left_key).alias("__ssj_hot_key"))
+        L.groupBy(F.col(lkey).alias("__ssj_hot_key"))
         .agg(F.count("*").alias("__ssj_n"))
         .where(F.col("__ssj_n") >= F.lit(hot_threshold))
         .select("__ssj_hot_key")
         .persist()
     )
-    left_hot = left.join(
-        F.broadcast(hot), left[left_key] == hot["__ssj_hot_key"], "left_semi"
+    left_hot = L.join(
+        F.broadcast(hot), F.col(lkey) == F.col("__ssj_hot_key"), "left_semi"
     )
-    left_cold = left.join(
-        F.broadcast(hot), left[left_key] == hot["__ssj_hot_key"], "left_anti"
+    left_cold = L.join(
+        F.broadcast(hot), F.col(lkey) == F.col("__ssj_hot_key"), "left_anti"
     )
-    right_hot = right.join(
-        F.broadcast(hot), right[right_key] == hot["__ssj_hot_key"], "left_semi"
+    right_hot = R.join(
+        F.broadcast(hot), F.col(rkey) == F.col("__ssj_hot_key"), "left_semi"
     )
-    right_cold = right.join(
-        F.broadcast(hot), right[right_key] == hot["__ssj_hot_key"], "left_anti"
+    right_cold = R.join(
+        F.broadcast(hot), F.col(rkey) == F.col("__ssj_hot_key"), "left_anti"
     )
 
     # The salt must spread ROWS of one hot key across reducers, so it
     # must NOT be a function of the key: hash a high-entropy column
     # (a row id), falling back to a partition-local counter.
     salt = (
-        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
-        if salt_source
+        F.pmod(F.xxhash64(F.col(lsalt)), F.lit(n_salts))
+        if lsalt
         else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
-    lh = left_hot.withColumn("__ssj_salt", salt)
+    lh = left_hot.withColumn("__ssj_salt_l", salt)
     rh = right_hot.withColumn(
-        "__ssj_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    ).withColumn("__ssj_salt", F.col("__ssj_salt").cast("bigint"))
+        "__ssj_salt_r", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__ssj_salt_r", F.col("__ssj_salt_r").cast("bigint"))
 
-    out_cols = [left[c] for c in left.columns] + [
-        right[c] for c in right.columns
-    ]
+    restore = [
+        F.col(n).alias(c) for n, c in zip(lnames, left.columns)
+    ] + [F.col(n).alias(c) for n, c in zip(rnames, right.columns)]
     hot_joined = lh.join(
         rh,
-        (left[left_key] == right[right_key])
-        & (lh["__ssj_salt"] == rh["__ssj_salt"]),
-    ).select(*out_cols)
+        (F.col(lkey) == F.col(rkey))
+        & (F.col("__ssj_salt_l") == F.col("__ssj_salt_r")),
+    ).select(*restore)
     cold_joined = left_cold.join(
-        right_cold, left[left_key] == right[right_key]
-    ).select(*out_cols)
+        right_cold, F.col(lkey) == F.col(rkey)
+    ).select(*restore)
     return hot_joined.union(cold_joined)
 
 

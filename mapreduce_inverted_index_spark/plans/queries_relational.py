@@ -753,8 +753,9 @@ def q_range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "users): time-grid bucketing — bin rows at band width, "
         "explode one side to bins {b-1,b,b+1}, equi-join on bin, "
         "re-check the exact band — turning the O(n^2) "
-        "BroadcastNestedLoopJoin a bare inequality predicate plans "
-        "into a hash join whose shuffle key is the time bin. Oracle "
+        "BroadcastNestedLoopJoin that a bare inequality predicate "
+        "plans as into a hash join whose shuffle key is the time "
+        "bin. Oracle "
         "is the naive inequality join. "
         "Operator: asof.keyless_band_self_join.",
 )

@@ -354,3 +354,27 @@ def test_keyless_band_self_join_property(spark):
         assert got == naive
 
     run()
+
+
+def test_salted_skew_join_self_join(spark):
+    """Passing the SAME DataFrame as both sides (the events-pairs
+    use case) must work without manual aliasing — the internal
+    positional rename kills the self-join ambiguity — and equal the
+    aliased plain self-join."""
+    from mapreduce_inverted_index_spark.operators.skew import salted_skew_join
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("rid")
+    )
+    got = salted_skew_join(
+        df, df, "k", "k", n_salts=4, hot_threshold=50, salt_source="rid"
+    )
+    assert got.columns == ["k", "rid", "k", "rid"]
+    pairs = sorted(tuple(r) for r in got.collect())
+    plain = sorted(
+        tuple(r)
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.k") == F.col("b.k"))
+        .collect()
+    )
+    assert pairs == plain

@@ -104,6 +104,12 @@ HEADLINE = _R1SET + (
     # mixture dashboard (persisted tokenize scan, two rollups)
     "stream_transition_matrix",
     "source_mixture_report",
+    # continuation-session-2: the two manual join strategies and the
+    # hashed classifier gate (all sub-second at sf0.1 — recorded so
+    # regressions in the census/bin/broadcast plans are attributable)
+    "salted_skew_join_events",
+    "keyless_band_pairs_events",
+    "quality_classifier_margins",
 )
 
 

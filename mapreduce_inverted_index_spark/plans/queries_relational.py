@@ -2557,6 +2557,77 @@ def q_event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bootstrap_ci_price",
+    oracle="""
+    WITH base AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS q,
+                         CAST(concat('0x',
+                              substring(md5(concat_ws(':', l_orderkey,
+                                                      l_linenumber)), 1, 15))
+                              AS BIGINT) AS h
+                  FROM lineitem),
+         kept AS (SELECT r.r, q
+                  FROM base CROSS JOIN (SELECT unnest(range(32)) AS r) r
+                  WHERE (h >> r.r) & 1 = 0),
+         per AS (SELECT r, CAST(count(*) AS BIGINT) AS n,
+                        sum(CAST(q AS DECIMAL(18,0))) AS s
+                 FROM kept GROUP BY r HAVING count(*) > 0),
+         m AS (SELECT CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 / 100 * 1e6 + 0.5) AS BIGINT) AS mq
+               FROM per),
+         rs AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+                       sum(CAST(mq AS DECIMAL(19,0))) AS sm,
+                       sum(CAST(mq AS DECIMAL(19,0))
+                           * CAST(mq AS DECIMAL(19,0))) AS smm
+                FROM m),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                      sum(CAST(q AS DECIMAL(18,0))) AS sf
+               FROM base)
+    SELECT n_rows, n_reps,
+           round(CAST(sf AS DOUBLE) / n_rows / 100, 6) AS full_mean,
+           round(sqrt((CAST(smm AS DOUBLE)
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n_reps)
+                      / (n_reps - 1.0) / 1e12), 6) AS sd_reps,
+           round(CAST(sf AS DOUBLE) / n_rows / 100
+                 - 1.96 * sqrt((CAST(smm AS DOUBLE)
+                                - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                                  / n_reps)
+                               / (n_reps - 1.0) / 1e12) / sqrt(2.0), 6)
+               AS ci_lo,
+           round(CAST(sf AS DOUBLE) / n_rows / 100
+                 + 1.96 * sqrt((CAST(smm AS DOUBLE)
+                                - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                                  / n_reps)
+                               / (n_reps - 1.0) / 1e12) / sqrt(2.0), 6)
+               AS ci_hi
+    FROM f CROSS JOIN rs
+    """,
+    doc="Deterministic half-sample bootstrap CI for the mean "
+        "extended price — resampling-based uncertainty (is a "
+        "snapshot-over-snapshot drift noise?) with NO RNG state: "
+        "each row is md5-hashed ONCE and replicate r's coin flip is "
+        "bit r of that hash ((h>>r)&1 — hashing per (row,replicate) "
+        "measured 32x the scan cost), so the draw replays exactly "
+        "in any engine. One scan; the 32-way replicate explode "
+        "collapses map-side to 32 partials per partition; replicate "
+        "means quantize to the 1e-6 grid so the cross-replicate "
+        "variance is exact integer math. CI deflates the "
+        "half-sample spread by sqrt(2) (delete-half family). "
+        "Operator: quality.bootstrap_ci.",
+)
+def q_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.quality import bootstrap_ci
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bootstrap_ci(
+        li,
+        F.col("l_extendedprice"),
+        ["l_orderkey", "l_linenumber"],
+        n_reps=32,
+        quant=100,
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (SELECT user_id, event_type,

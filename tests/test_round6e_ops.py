@@ -759,3 +759,39 @@ def test_weighted_sample_matches_python_replay(spark):
     exp = sorted(((pri(d, w), d) for d, w in rows))[:10]
     assert got == [(d, p) for p, d in exp]
     assert 999 in {d for d, _ in got}  # the heavy row always wins a slot
+
+
+def test_bootstrap_ci_reference(spark):
+    """bootstrap_ci == exact Python replay of the md5 half-sampling
+    and quantized replicate math on a tiny frame."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_inverted_index_spark.operators.quality import bootstrap_ci
+
+    rows = [(i, float(10 + (i % 9))) for i in range(300)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    got = bootstrap_ci(
+        df, F.col("v"), ["rid"], n_reps=8, quant=100
+    ).collect()[0]
+
+    def kept(rid, r):
+        h = int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16)
+        return (h >> r) & 1 == 0
+
+    mqs = []
+    for r in range(8):
+        sel = [int(math.floor(v * 100 + 0.5)) for i, v in rows if kept(i, r)]
+        mqs.append(int(math.floor(sum(sel) / len(sel) / 100 * 1e6 + 0.5)))
+    b = len(mqs)
+    sm, smm = sum(mqs), sum(m * m for m in mqs)
+    var = (smm - sm * sm / b) / (b - 1) / 1e12
+    sd = math.sqrt(var)
+    full = sum(int(math.floor(v * 100 + 0.5)) for _, v in rows) / 300 / 100
+    assert got["n_rows"] == 300 and got["n_reps"] == 8
+    assert got["full_mean"] == round(full, 6)
+    assert got["sd_reps"] == round(sd, 6)
+    assert got["ci_lo"] == round(full - 1.96 * sd / math.sqrt(2.0), 6)
+    assert got["ci_hi"] == round(full + 1.96 * sd / math.sqrt(2.0), 6)

@@ -756,6 +756,15 @@ AUDITS = [
         ["TakeOrderedAndProject"],
         ["Sort [", "Exchange rangepartitioning"],
     ),
+    (
+        # bootstrap: all 32 replicates ride ONE aggregate as
+        # bit-guarded conditional sums (partial agg; data rows never
+        # explode or shuffle); the only Generate is the 1-row
+        # replicate unpivot
+        "bootstrap_ci_price",
+        ["Generate explode(", "partial_sum", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 ]
 
 

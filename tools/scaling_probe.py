@@ -92,6 +92,15 @@ QUERIES = [
     # bucketed prefix sums — growth should track the explode scan)
     "quality_classifier_margins",
     "vocab_growth_curve",
+    # 32 replicates as bit-guarded conditional aggs in ONE pass —
+    # the ~2s base is plan analysis of the 66-expression aggregate
+    # (a per-QUERY constant; the data term is the md5+conv scan).
+    # History: an explode-then-groupBy draft measured 20s/36.7x at
+    # sf0.1 (n_reps x the corpus streamed into the aggregation, one
+    # md5 per (row, replicate)); hashing once per row and folding
+    # the replicate axis into conditional sums brought it to
+    # ~3.4s/1.5x.
+    "bootstrap_ci_price",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

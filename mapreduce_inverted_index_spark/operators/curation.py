@@ -514,6 +514,14 @@ def weighted_sample(
     replayable by an ORDER BY/LIMIT oracle.
 
     Output: the k sampled rows plus ``priority``.
+
+    Weights must be non-NULL and >= 0: weight = -1 would make the
+    bigint ``div`` divide by zero (NULL priority, which sorts FIRST
+    under orderBy and silently wins the sample), any negative weight
+    inverts the bias, and a NULL weight NULLs the priority the same
+    way — so the priority expression itself raises on bad weights
+    (runtime-data check, mirroring the plan-time k >= 1 guard; baked
+    into the expression so column pruning can't drop it).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -521,7 +529,11 @@ def weighted_sample(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     pri = F.expr(
-        f"{'_wsp_h'} div (cast({weight_col} as bigint) + 1)"
+        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 0 THEN "
+        f"CAST(raise_error(concat('weighted_sample: weight must be "
+        f"non-NULL and >= 0, got ', coalesce(cast({weight_col} AS STRING),"
+        f" 'NULL'))) AS BIGINT) "
+        f"ELSE _wsp_h div (cast({weight_col} as bigint) + 1) END"
     )
     return (
         df.withColumn("_wsp_h", h)

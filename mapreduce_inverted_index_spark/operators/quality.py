@@ -83,7 +83,14 @@ def chi_square_independence(
 
     Output (one row): ``n_rows, n_cells, dof, chi2`` (``n_cells`` =
     grid size |A|·|B|, counting the zero cells).
+
+    NULL categories are excluded up front (standard complete-case
+    test semantics). Left in, they would poison the grid: a NULL
+    level enters via ``distinct()`` but never matches the
+    non-null-safe left join, so its observed counts silently read
+    zero while ``n_cells``/``dof`` count the phantom level.
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     observed = df.groupBy(col_a, col_b).agg(F.count("*").alias("_obs"))
     grid = (
         df.select(col_a).distinct().crossJoin(df.select(col_b).distinct())

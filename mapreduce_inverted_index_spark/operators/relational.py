@@ -445,16 +445,26 @@ def ols2_fit(
     data, no matrix library.
 
     Engine-exactness (the ``group_trend_slope`` discipline, one
-    dimension up): features quantize to nano-units
-    (``floor(x·1e9 + 0.5)`` → DECIMAL(18,0)) so all ten sufficient
-    statistics — n, Σu1, Σu2, Σy, Σu1², Σu2², Σu1u2, Σu1y, Σu2y,
-    Σy² — are EXACT decimals (products stay ≤ (37,0), never walking
+    dimension up): features AND target quantize to nano-units
+    (``floor(v·1e9 + 0.5)`` → DECIMAL(18,0)) so all ten sufficient
+    statistics — n, Σu1, Σu2, Σw, Σu1², Σu2², Σu1u2, Σu1w, Σu2w,
+    Σw² — are EXACT decimals (products stay ≤ (37,0), never walking
     Spark's precision-39 allowPrecisionLoss path), order- and
     partitioning-independent. The exact stats convert to double
     (correctly rounded everywhere) and the Cramer solve runs in a
     FIXED expression order, so any engine replaying the formula
-    produces bit-identical doubles. Slopes rescale from nano-units
-    (β = c·1e9) in one double multiply; round(6) last.
+    produces bit-identical doubles. Since x and y carry the SAME
+    1e9 scale, the slopes need no rescale (β = c); the intercept
+    rescales by 1e-9; r² is scale-invariant; round(6) last.
+
+    Input contract: |x1|, |x2|, |y| < 1e9 (nano-unit quantization
+    must fit DECIMAL(18,0)). Under ANSI mode (the engine default)
+    a value past the bound raises at runtime. Under non-ANSI
+    arithmetic it would overflow to NULL and silently drop out of
+    the sums while ``count(*)`` still counts it — so the aggregate
+    also counts each quantized column and NULL-poisons every
+    coefficient when any row was lost, rather than returning a
+    skewed fit.
 
     At 100 TB this is the canonical shape: map-side combine reduces
     every partition to 10 numbers, the shuffle carries 10 numbers
@@ -470,9 +480,17 @@ def ols2_fit(
     u2 = F.floor(x2_col.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
         "decimal(18,0)"
     )
-    y = y_col.cast("decimal(9,0)")
+    y = F.floor(y_col.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(18,0)"
+    )
     s = df.agg(
         F.count("*").alias("_n"),
+        # Per-column non-null counts: a |v| >= 1e9 input overflows
+        # the nano-unit DECIMAL(18,0) to NULL and would silently
+        # vanish from the sums; these make that loss detectable.
+        F.count(u1).alias("_c1"),
+        F.count(u2).alias("_c2"),
+        F.count(y).alias("_cy"),
         F.sum(u1).alias("_s1"),
         F.sum(u2).alias("_s2"),
         F.sum(y).alias("_sy"),
@@ -495,15 +513,28 @@ def ols2_fit(
     det = a11 * a22 - a12 * a12
     c1 = (b1v * a22 - b2v * a12) / det
     c2 = (b2v * a11 - b1v * a12) / det
-    beta0 = (sy - c1 * s1 - c2 * s2) / n
+    # x and y share the 1e9 scale → slopes are already in original
+    # units; the intercept is in y-nano-units, so it rescales once.
+    beta0 = (sy - c1 * s1 - c2 * s2) / n / F.lit(1e9)
     sst = n * syy - sy * sy
     r2 = (c1 * b1v + c2 * b2v) / sst
+    # NULL-poison the fit if any row's quantized value overflowed
+    # (see Input contract in the docstring).
+    complete = (
+        (F.col("_n") == F.col("_c1"))
+        & (F.col("_n") == F.col("_c2"))
+        & (F.col("_n") == F.col("_cy"))
+    )
+
+    def _guard(e: Column) -> Column:
+        return F.when(complete, e).otherwise(F.lit(None).cast("double"))
+
     return s.select(
         F.col("_n").alias("n_points"),
-        F.round(beta0, 6).alias("beta0"),
-        F.round(c1 * F.lit(1e9), 6).alias("beta1"),
-        F.round(c2 * F.lit(1e9), 6).alias("beta2"),
-        F.round(r2, 6).alias("r2"),
+        _guard(F.round(beta0, 6)).alias("beta0"),
+        _guard(F.round(c1, 6)).alias("beta1"),
+        _guard(F.round(c2, 6)).alias("beta2"),
+        _guard(F.round(r2, 6)).alias("r2"),
     )
 
 

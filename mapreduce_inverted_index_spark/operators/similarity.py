@@ -696,41 +696,57 @@ def gram_matrix(
     # probe d from the schema-registered fixture contract at plan
     # build: first batch defines it; emitting (i, j) longs keeps the
     # schema d-agnostic.
-    # int64 overflow guard: numpy wraps SILENTLY past 2^63, so the
-    # accumulator flushes a partial whenever its largest |cell| could
-    # no longer absorb another batch (budget = 2^62; per-row cell
-    # contribution is bounded by (scale * max|x|)^2, checked against
-    # the actual batch values, not an assumed |x| <= 1). The final
+    # int64 overflow guard: numpy wraps SILENTLY past 2^63, so (a)
+    # each BATCH matmul is sliced so |cell| <= rows * (max|q|)^2 stays
+    # under the budget — a single 10k-row Arrow batch of |x|~100
+    # vectors at scale=1e6 would wrap inside one q.T @ q otherwise —
+    # and (b) the ACCUMULATOR flushes a partial whenever its largest
+    # |cell| could no longer absorb the next slice (budget = 2^62;
+    # bounds computed from the actual batch values in Python ints,
+    # which never wrap, not an assumed |x| <= 1). The final
     # cross-partial sum runs in DECIMAL(38,0) — exact far past 2^63 —
     # and only casts back to long for the output contract.
-    _FLUSH_AT = np.int64(1) << 62
+    _BUDGET = 1 << 62
 
     def partial_grams(batches):
         acc = None
         dim = None
+
+        def _flush():
+            iu, ju = np.triu_indices(dim)
+            return pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "gram": acc[iu, ju]}
+            )
+
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(mat * scale + 0.5).astype(np.int64)
-            g = q.T @ q
-            dim = g.shape[0]
-            if acc is not None and (
-                np.abs(acc).max() + np.abs(g).max() > _FLUSH_AT
-            ):
-                iu, ju = np.triu_indices(dim)
-                yield pd.DataFrame(
-                    {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
-                     "gram": acc[iu, ju]}
+            m = int(np.abs(q).max())  # Python int: cannot wrap
+            per_row = m * m  # max one-row contribution to one cell
+            if per_row > _BUDGET:
+                raise ValueError(
+                    f"gram_matrix: a single row's cell contribution "
+                    f"({per_row}) exceeds the int64 budget — lower "
+                    f"scale= (currently {scale}) for |x| up to {m / scale}"
                 )
-                acc = None
-            acc = g if acc is None else acc + g
-        if acc is not None:
-            iu, ju = np.triu_indices(dim)
-            yield pd.DataFrame(
-                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
-                 "gram": acc[iu, ju]}
+            rows_per_slice = (
+                len(q) if per_row == 0 else max(1, _BUDGET // per_row)
             )
+            for lo in range(0, len(q), rows_per_slice):
+                qs = q[lo : lo + rows_per_slice]
+                g = qs.T @ qs  # |cell| <= rows_per_slice*per_row <= 2^62
+                dim = g.shape[0]
+                if acc is not None and (
+                    int(np.abs(acc).max()) + int(np.abs(g).max()) > _BUDGET
+                ):
+                    yield _flush()
+                    acc = None
+                acc = g if acc is None else acc + g
+        if acc is not None:
+            yield _flush()
 
     partials = emb.select(vec_col).mapInPandas(
         partial_grams, schema="i int, j int, gram long"

@@ -1889,11 +1889,16 @@ def q_source_token_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "linear_probe_embeddings",
     oracle="""
+    -- DECIMAL(19,0) (not 18): DuckDB stores DECIMAL(<=18) in int64
+    -- and its same-width multiply overflows int64 before promoting;
+    -- width 19 forces int128 storage so u*y products are exact.
+    -- Values are identical to Spark's DECIMAL(18,0) nano-units.
     WITH q AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9 + 0.5)
-                           AS DECIMAL(18,0)) AS u1,
+                           AS DECIMAL(19,0)) AS u1,
                       CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e9 + 0.5)
-                           AS DECIMAL(18,0)) AS u2,
-                      CAST(label AS DECIMAL(9,0)) AS y
+                           AS DECIMAL(19,0)) AS u2,
+                      CAST(floor(CAST(label AS DOUBLE) * 1e9 + 0.5)
+                           AS DECIMAL(19,0)) AS y
                FROM embeddings),
          s AS (SELECT count(*) AS n,
                       sum(u1) AS s1, sum(u2) AS s2, sum(y) AS sy,
@@ -1923,9 +1928,9 @@ def q_source_token_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (a11 * a22 - a12 * a12) AS c2
                FROM m)
     SELECT n0 AS n_points,
-           ROUND((sy - c1 * s1 - c2 * s2) / nd, 6) AS beta0,
-           ROUND(c1 * 1e9, 6) AS beta1,
-           ROUND(c2 * 1e9, 6) AS beta2,
+           ROUND((sy - c1 * s1 - c2 * s2) / nd / 1e9, 6) AS beta0,
+           ROUND(c1, 6) AS beta1,
+           ROUND(c2, 6) AS beta2,
            ROUND((c1 * b1v + c2 * b2v) / (nd * syy - sy * sy), 6) AS r2
     FROM c
     """,

@@ -2499,12 +2499,14 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_hour_chi2",
     oracle="""
-    WITH obs AS (SELECT event_type AS a, hour(ts) AS b,
+    WITH src AS (SELECT event_type, ts FROM events
+                 WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         obs AS (SELECT event_type AS a, hour(ts) AS b,
                         CAST(count(*) AS BIGINT) AS obs
-                 FROM events GROUP BY 1, 2),
+                 FROM src GROUP BY 1, 2),
          grid AS (SELECT da.a, db.b
-                  FROM (SELECT DISTINCT event_type AS a FROM events) da,
-                       (SELECT DISTINCT hour(ts) AS b FROM events) db),
+                  FROM (SELECT DISTINCT event_type AS a FROM src) da,
+                       (SELECT DISTINCT hour(ts) AS b FROM src) db),
          cells AS (SELECT grid.a, grid.b,
                           CAST(coalesce(obs.obs, 0) AS BIGINT) AS o
                    FROM grid LEFT JOIN obs

@@ -181,13 +181,21 @@ _TRANS_STATE = StructType([StructField("last", StringType())])
 def _update_transitions(
     key: tuple, batches: "Iterator[pd.DataFrame]", state: "GroupState"
 ):
+    # A group larger than arrow maxRecordsPerBatch (~10k rows) arrives
+    # as MULTIPLE Arrow chunks within one micro-batch, in shuffle
+    # (unsorted) order ACROSS chunks. Sorting each chunk independently
+    # and chaining `last` between them would fabricate chunk-boundary
+    # transitions, so buffer every chunk for the key, sort the whole
+    # group ONCE, then shift. Memory is bounded by the group's rows in
+    # this micro-batch — the same bound any correct order restoration
+    # needs (a k-way chunk merge would still hold all chunks).
     last = state.get[0] if state.exists else None
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        # Within-batch order is the user's (ts, event_id) order —
-        # restored here because the grouped batch arrives in shuffle
-        # order. Vectorized shift, no per-row loop.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # The user's true order is (ts, event_id); restored here
+        # because grouped batches arrive in shuffle order. Vectorized
+        # shift, no per-row loop.
         pdf = pdf.sort_values(["ts", "event_id"])
         seq = pdf["event_type"].reset_index(drop=True)
         prev = seq.shift(1)

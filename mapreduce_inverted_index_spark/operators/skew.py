@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count", "join_skew_profile", "salted_skew_join"]
+__all__ = [
+    "salted_sum_count",
+    "join_skew_profile",
+    "salted_skew_join",
+    "choose_join_route",
+    "auto_routed_join",
+]
 
 
 def join_skew_profile(
@@ -194,6 +200,126 @@ def salted_skew_join(
         right_cold, F.col(lkey) == F.col(rkey)
     ).select(*restore)
     return hot_joined.union(cold_joined)
+
+
+def choose_join_route(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    hot_threshold: int = 32,
+    broadcast_max_rows: int = 10_000,
+) -> str:
+    """The planning half of :func:`auto_routed_join`: read the cheap
+    census signals and name a strategy — ``'broadcast'`` /
+    ``'salted'`` / ``'plain'``.
+
+    Decision (in priority order, mirroring what a human planner does
+    with :func:`join_skew_profile` output):
+
+    1. ``'broadcast'`` if the right side has at most
+       ``broadcast_max_rows`` rows. Probed with
+       ``limit(n+1).count()`` — a BOUNDED scan (LocalLimit stops each
+       task early and GlobalLimit stops the job at n+1 rows), so an
+       oversized right side costs O(broadcast_max_rows), never a full
+       100 TB count.
+    2. ``'salted'`` if any left key's row count reaches
+       ``hot_threshold``: an exact key histogram (map-side combined,
+       shuffle rows are (key, count) — O(distinct keys)), max'd to one
+       driver-side scalar. At 100 TB you'd feed this from a sampled
+       histogram; a stale census only mis-ROUTES (both routes are
+       result-equivalent), never mis-computes.
+    3. ``'plain'`` otherwise — one shuffle join, AQE cleaning up
+       residual skew at runtime.
+
+    Two tiny driver-side jobs by design: this is a PLANNING operator
+    (the same place AQE makes its runtime decisions), not a data-path
+    collect.
+    """
+    right_probe = right.limit(broadcast_max_rows + 1).count()
+    if right_probe <= broadcast_max_rows:
+        return "broadcast"
+    max_key = (
+        left.groupBy(F.col(left_key))
+        .agg(F.count("*").alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .collect()[0]["_mx"]
+    )
+    if max_key is not None and max_key >= hot_threshold:
+        return "salted"
+    return "plain"
+
+
+def auto_routed_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    hot_threshold: int = 32,
+    broadcast_max_rows: int = 10_000,
+    salt_source: str | None = None,
+    route: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Histogram-routed inner join: run :func:`choose_join_route`'s
+    census and dispatch to the strategy it names — closing the loop
+    between the scout (:func:`join_skew_profile`) and the mitigation
+    (:func:`salted_skew_join`) that previously existed as separate
+    catalog entries.
+
+    Routes (all three produce the IDENTICAL result set — the routing
+    parameters tune physical strategy only, which is what makes a
+    sampled/stale census safe):
+
+    * ``'broadcast'`` — ``left ⋈ broadcast(right)``: zero shuffle of
+      the big side; the right side ships once per executor.
+    * ``'salted'`` — :func:`salted_skew_join`: hot keys scattered
+      over ``n_salts`` reducers, cold keys join plainly.
+    * ``'plain'`` — single shuffle join; AQE splits residual skew.
+
+    ``route`` overrides the census (tests pin each path; production
+    replays a previously scouted decision without re-counting).
+
+    Returns ``(joined, route)`` — joined columns are all of ``left``
+    then all of ``right`` on every route (positional internal renames,
+    so self-joins and shared column names work uniformly).
+    """
+    if route is None:
+        route = choose_join_route(
+            left,
+            right,
+            left_key,
+            hot_threshold=hot_threshold,
+            broadcast_max_rows=broadcast_max_rows,
+        )
+    if route == "salted":
+        return (
+            salted_skew_join(
+                left,
+                right,
+                left_key,
+                right_key,
+                n_salts=n_salts,
+                hot_threshold=hot_threshold,
+                salt_source=salt_source,
+            ),
+            route,
+        )
+    if route not in ("broadcast", "plain"):
+        raise ValueError(f"unknown route {route!r}")
+    # broadcast / plain share one join shape; positional renames keep
+    # self-joins and duplicate column names legal, like salted_skew_join
+    lnames = [f"__arj_l{i}" for i in range(len(left.columns))]
+    rnames = [f"__arj_r{i}" for i in range(len(right.columns))]
+    lkey = lnames[left.columns.index(left_key)]
+    rkey = rnames[right.columns.index(right_key)]
+    L = left.toDF(*lnames)
+    R = right.toDF(*rnames)
+    if route == "broadcast":
+        R = F.broadcast(R)
+    restore = [
+        F.col(n).alias(c) for n, c in zip(lnames, left.columns)
+    ] + [F.col(n).alias(c) for n, c in zip(rnames, right.columns)]
+    return L.join(R, F.col(lkey) == F.col(rkey)).select(*restore), route
 
 
 def salted_sum_count(

@@ -824,6 +824,57 @@ def q_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Routing thresholds shared by the Spark query and its oracle: the
+# oracle recomputes the ROUTE from the same census signals in SQL, so
+# the driver verifies the decision as well as the join result.
+_ARJ_BCAST_MAX = 1000
+_ARJ_HOT = 60
+
+
+@register(
+    "auto_routed_join_events",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_nationkey,
+           (CASE
+              WHEN (SELECT count(*) FROM customer) <= {_ARJ_BCAST_MAX}
+                THEN 'broadcast'
+              WHEN (SELECT max(cnt) FROM (
+                      SELECT count(*) AS cnt FROM events GROUP BY user_id))
+                   >= {_ARJ_HOT}
+                THEN 'salted'
+              ELSE 'plain'
+            END) AS route
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Histogram-ROUTED join: the skew scout (join_skew_profile's "
+        "census signals) now picks the strategy — broadcast if the "
+        "right side is bounded-probe small, salted if any left key "
+        "reaches the hot threshold, plain shuffle otherwise — and the "
+        "oracle recomputes BOTH the join and the routing decision "
+        "from the same signals, so a mis-route fails the driver "
+        "check. All three routes are result-identical by "
+        "construction (the routing-independence property tests pin "
+        "each path). At the driver's sf0.01 this takes the salted "
+        "path (customer 1500 > 1000, max per-user count 86 >= 60). "
+        "Operator: skew.auto_routed_join / skew.choose_join_route.",
+)
+def q_auto_routed_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.skew import auto_routed_join
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    joined, route = auto_routed_join(
+        e, c, "user_id", "c_custkey",
+        n_salts=8, hot_threshold=_ARJ_HOT,
+        broadcast_max_rows=_ARJ_BCAST_MAX, salt_source="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "value",
+        "c_mktsegment", "c_nationkey",
+    ).withColumn("route", F.lit(route))
+
+
 # ------------------------------------------------ SQL surface & scalars
 
 # One SQL text, two engines: the engine's spark.sql() surface over

@@ -33,6 +33,7 @@ __all__ = [
     "corpus_shuffle",
     "temperature_sample",
     "weighted_sample",
+    "dsir_importance_weights",
 ]
 
 # Gopher's rule-set requires a document to contain at least two of a
@@ -541,4 +542,109 @@ def weighted_sample(
         .drop("_wsp_h")
         .orderBy("priority", id_col)
         .limit(k)
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): per-document log importance weight
+    ``log p_target(doc) / p_source(doc)`` under hashed-unigram
+    bag-of-buckets language models — the standard recipe for tilting
+    a raw crawl toward a high-quality target corpus before sampling.
+
+    Model: tokens hash into ``n_buckets`` buckets (md5 — the
+    cross-engine hash, see ``_md5_bucket``); each corpus's bucket
+    distribution is add-1 smoothed, so
+
+      ``log w(doc) = Σ_b c_b(doc) · [ln(tc_b + 1) − ln(sc_b + 1)]
+                     + n_tokens(doc) · [ln(ts + B) − ln(tt + B)]``
+
+    with ``tc/sc`` the target/source bucket counts and ``tt/ts`` the
+    corpus token totals. Every ``ln`` takes an INTEGER argument and
+    is rounded to 9 decimals into DECIMAL(18,9) before any sum (the
+    lm_quality_scores transcendental discipline), so the whole weight
+    is exact decimal arithmetic — order-independent, replayable by a
+    DuckDB oracle, no float-accumulation drift at any scale.
+
+    Scale shape: two token-histogram aggregations (map-side combined;
+    shuffle rows are (bucket, count) — at most ``n_buckets`` per
+    side), ONE broadcast of the ≤ n_buckets-row log-ratio dim table,
+    one (doc, bucket)-grained partial aggregation and one groupBy
+    doc_id. No all-pairs anything; the only driver-sized object is
+    the dim table. Docs with zero tokens have no defined weight and
+    are omitted (DSIR has nothing to score).
+
+    Output: ``doc_id, n_tokens BIGINT, log_weight DOUBLE (round 6)``.
+    Feed ``exp(log_weight)`` into :func:`weighted_sample` for the
+    resampling half of the recipe.
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    def buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(text_col)).alias("term"),
+        ).select("doc_id", _md5_bucket(F.col("term"), n_buckets).alias("b"))
+
+    dec = "decimal(18,9)"
+    src_b = buckets(docs)
+    src_h = src_b.groupBy("b").agg(F.count("*").alias("sc"))
+    tgt_h = buckets(target).groupBy("b").agg(F.count("*").alias("tc"))
+    dim = src_h.join(tgt_h, "b", "full_outer").select(
+        "b",
+        (
+            F.round(F.log(F.coalesce("tc", F.lit(0)) + F.lit(1)), 9).cast(dec)
+            - F.round(F.log(F.coalesce("sc", F.lit(0)) + F.lit(1)), 9).cast(dec)
+        ).alias("lr"),
+    )
+    konst = (
+        src_h.agg(F.sum("sc").alias("ts"))
+        .crossJoin(tgt_h.agg(F.sum("tc").alias("tt")))
+        .select(
+            (
+                F.round(F.log(F.col("ts") + F.lit(n_buckets)), 9).cast(dec)
+                - F.round(F.log(F.col("tt") + F.lit(n_buckets)), 9).cast(dec)
+            ).alias("k")
+        )
+    )
+    doc_b = src_b.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        doc_b.join(F.broadcast(dim), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            # cast the aggregate DOWN to (28,9): Spark's sum yields
+            # (38,9) and a (38,9)+(31,9) add busts the 38-precision
+            # cap, silently dropping to scale 8 — which manufactured
+            # exact .5 ties at the 6th decimal (measured: doc totals
+            # like -12.078359495 became -12.07835950). (28,9) keeps
+            # |s| < 10^19 — four orders beyond any real corpus.
+            F.sum(F.col("c").cast("decimal(12,0)") * F.col("lr"))
+            .cast("decimal(28,9)")
+            .alias("_s"),
+        )
+        .crossJoin(F.broadcast(konst))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # round while still DECIMAL (exact half-up, engine-
+            # identical), THEN cast: rounding after the double cast
+            # hits representation ties (measured: 18/5000 docs off by
+            # exactly 1e-6 at sf0.1)
+            F.round(
+                F.col("_s")
+                + (
+                    F.col("n_tokens").cast("decimal(12,0)") * F.col("k")
+                ).cast("decimal(28,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("log_weight"),
+        )
     )

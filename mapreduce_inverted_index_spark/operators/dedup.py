@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_inverted_index_spark.operators.checkpointing import truncate_lineage
+
 from mapreduce_inverted_index_spark.functions.text import terms, tokenize
 
 __all__ = [
@@ -691,7 +693,11 @@ def simhash_hamming_candidates(
     )
 
 
-def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dup_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
     """Connected components over near-dup pairs: cluster pairwise
     matches into duplicate groups (the step after any similarity
     join; the cluster min-id is the canonical keeper).
@@ -702,12 +708,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     when no label changes. Rounds needed = graph diameter (near-dup
     clusters are near-cliques, so 2-3 in practice).
 
-    Each round is one distributed join + min-aggregation;
-    ``localCheckpoint`` truncates the lineage so the plan doesn't
-    grow with iterations (at cluster scale use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    fault-tolerant truncation instead). The driver-side loop holds
-    only a changed-row COUNT, never data.
+    Each round is one distributed join + min-aggregation; lineage
+    is truncated per round (``checkpointing.truncate_lineage``:
+    ``localCheckpoint`` by default, fault-tolerant ``checkpoint()``
+    into the configured checkpoint dir with
+    ``reliable_checkpoint=True`` — results identical). The
+    driver-side loop holds only a changed-row COUNT, never data.
 
     Output: ``doc_id, component`` (= min doc_id reachable) for every
     doc appearing in at least one pair.
@@ -739,11 +745,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     spark.conf.set(conf_key, str(parts))
     changed = 0
     try:
-        labels = (
+        labels = truncate_lineage(
             sym.select(F.col("doc_a").alias("node"))
             .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
+            .withColumn("label", F.col("node")),
+            reliable=reliable_checkpoint,
+            eager=True,
         )
         for _ in range(max_iter):
             msgs = sym.join(labels, sym.doc_a == labels.node).select(
@@ -759,10 +766,11 @@ def dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             # and only ever take mins of them), so the lookup always
             # hits; chain depth halves per round.
             lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
-            new_labels = (
+            new_labels = truncate_lineage(
                 prop.join(lut, prop.label == F.col("_ln"), "left")
-                .select("node", F.coalesce("_ll", "label").alias("label"))
-                .localCheckpoint(eager=True)
+                .select("node", F.coalesce("_ll", "label").alias("label")),
+                reliable=reliable_checkpoint,
+                eager=True,
             )
             changed = (
                 new_labels.alias("n")

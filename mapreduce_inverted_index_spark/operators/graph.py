@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_inverted_index_spark.operators.checkpointing import truncate_lineage
 from mapreduce_inverted_index_spark.operators.dedup import bounded_block_join
 
 __all__ = [
@@ -142,6 +143,7 @@ def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,
     max_hops: int = 4,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first levels over undirected ``(u, v)``
     edges: for every vertex within ``max_hops`` of any seed, the
@@ -163,8 +165,11 @@ def bfs_levels(
     against the visited set (second shuffle) — so each round's cost
     is O(frontier out-degree), NOT O(graph). The visited set and
     each frontier are lineage-truncated per round
-    (``localCheckpoint``; at cluster scale use fault-tolerant
-    ``checkpoint()``). The driver loop holds only the hop COUNTER —
+    (``localCheckpoint`` by default; ``reliable_checkpoint=True``
+    writes rounds to the configured checkpoint dir instead — the
+    cluster-grade fault-tolerance switch, results identical, see
+    ``checkpointing.truncate_lineage``). The driver loop holds only
+    the hop COUNTER —
     no data, no convergence ``collect``. Rounds whose frontier is
     already empty cost two empty-input jobs each, never a scan.
 
@@ -189,11 +194,11 @@ def bfs_levels(
     parts = max(1, min(int(orig_parts), n_edges // 50_000 + 1))
     spark.conf.set(conf_key, str(parts))
     try:
-        visited = (
+        visited = truncate_lineage(
             seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
             .distinct()
-            .withColumn("level", F.lit(0))
-            .localCheckpoint(eager=False)
+            .withColumn("level", F.lit(0)),
+            reliable=reliable_checkpoint,
         )
         frontier = visited
         for hop in range(1, max_hops + 1):
@@ -202,13 +207,17 @@ def bfs_levels(
                 .select(F.col("dst").alias("id"))
                 .distinct()
             )
-            frontier = (
+            frontier = truncate_lineage(
                 reached.join(visited, "id", "left_anti")
-                .withColumn("level", F.lit(hop))
-                .localCheckpoint(eager=False)
+                .withColumn("level", F.lit(hop)),
+                reliable=reliable_checkpoint,
             )
-            visited = visited.unionAll(frontier).localCheckpoint(eager=False)
-        visited = visited.localCheckpoint(eager=True)
+            visited = truncate_lineage(
+                visited.unionAll(frontier), reliable=reliable_checkpoint
+            )
+        visited = truncate_lineage(
+            visited, reliable=reliable_checkpoint, eager=True
+        )
     finally:
         spark.conf.set(conf_key, orig_parts)
     return visited
@@ -219,6 +228,7 @@ def pagerank_fixed_point(
     d_pct: int = 85,
     iters: int = 5,
     scale: int = 10**9,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """PageRank over undirected ``(u, v)`` edges in FIXED-POINT
     integer arithmetic: ranks live as nano-units (``rank · 10⁹`` as
@@ -243,9 +253,11 @@ def pagerank_fixed_point(
     shuffle join (ranks × edges on src) + one aggregation on dst +
     one left join back onto the vertex set — the Pregel message
     pattern as three Catalyst-planned hash operations. Lineage is
-    truncated per round with ``localCheckpoint`` (same discipline and
-    caveat as ``dedup.dup_components``: at cluster scale use
-    fault-tolerant ``checkpoint()``). The driver loop holds an
+    truncated per round via ``checkpointing.truncate_lineage`` —
+    ``localCheckpoint`` by default, fault-tolerant ``checkpoint()``
+    with ``reliable_checkpoint=True`` (same switch as
+    ``dedup.dup_components``; results identical). The driver loop
+    holds an
     iteration COUNTER only — no data, no convergence collect.
 
     Output: ``id, rank_nano (BIGINT), rank (DOUBLE = nano / 10⁹)``.
@@ -277,8 +289,8 @@ def pagerank_fixed_point(
                 "deg",
                 F.expr(f"{scale}L div _n").alias("rank_nano"),
             )
-            .localCheckpoint(eager=False)
         )
+        state = truncate_lineage(state, reliable=reliable_checkpoint)
         for _ in range(iters):
             contrib = (
                 state.join(de, state.id == de.src)
@@ -300,14 +312,16 @@ def pagerank_fixed_point(
                         + F.expr(f"({d_pct} * coalesce(s, 0L)) div 100")
                     ).alias("rank_nano"),
                 )
-                .localCheckpoint(eager=False)
             )
+            state = truncate_lineage(state, reliable=reliable_checkpoint)
         # Shuffle-partition conf is read at EXECUTION, not plan build,
         # so the chain must materialize inside the conf window: one
         # eager checkpoint of the final state evaluates all rounds
         # (per-round checkpoints stay lazy truncation points). Same
         # build-time-jobs tradeoff as ivf_centroids' default.
-        state = state.localCheckpoint(eager=True)
+        state = truncate_lineage(
+            state, reliable=reliable_checkpoint, eager=True
+        )
     finally:
         spark.conf.set(conf_key, orig_parts)
     return state.select(

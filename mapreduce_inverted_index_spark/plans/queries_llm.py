@@ -682,18 +682,38 @@ _SEM_R = 3
 _SEM_RECALL_FLOOR = 0.5
 
 
-@register(
-    "semantic_dedup_contract",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_SEM_TAU})
+# The contract's brute-force anchor is the ONLY Spark-side crossJoin
+# in the catalog; above this row count the anchor POPULATION is
+# down-sampled by a deterministic md5 bucket of vec_id (first 4 hex
+# chars as an integer in [0, 65536)), identically in the Spark query
+# and the DuckDB oracle, so precision/recall are measured on a fixed
+# ~cap-row subpopulation and a 100x run of the catalog stays
+# O(cap^2) on the anchor instead of O(n^2). 8192 keeps every test SF
+# (<= 5000 embeddings) exactly ungated.
+_SEM_ANCHOR_CAP = 8192
+
+
+def _sem_oracle(cap: int) -> str:
+    return f"""
+    WITH nrows AS (SELECT count(*) AS c FROM embeddings),
+         s AS (SELECT e.vec_id, e.embedding FROM embeddings e, nrows
+               WHERE nrows.c <= {cap}
+                  OR CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                     < CAST(floor({cap} * 65536.0 / nrows.c) AS BIGINT)),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM s a JOIN s b ON a.vec_id < b.vec_id
+           WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_SEM_TAU})
     SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
            TRUE AS all_found_real,
            TRUE AS recall_floor_met
     FROM pairs
-    """,
+    """
+
+
+@register(
+    "semantic_dedup_contract",
+    oracle=_sem_oracle(_SEM_ANCHOR_CAP),
     doc="SemDeDup-style semantic dedup under a measured-recall "
         f"contract: cell-blocked candidates (r={_SEM_R} nearest of "
         "16 k-means cells per vector — multi-assignment is the "
@@ -703,11 +723,33 @@ _SEM_RECALL_FLOOR = 0.5
         "DuckDB's independent all-pairs count (the oracle replays "
         "Spark's fold order, so the cosines are bit-identical); "
         "all_found_real asserts precision 1.0; recall_floor_met "
-        f"asserts recall >= {_SEM_RECALL_FLOOR}. The anchor is "
-        "N² and exists only in this contract query — the operator "
-        "itself never leaves Σ|cell|² candidates.",
+        f"asserts recall >= {_SEM_RECALL_FLOOR}. The anchor exists "
+        "only in this contract query (the operator itself never "
+        f"leaves Σ|cell|² candidates) and is sf-GATED: above "
+        f"{_SEM_ANCHOR_CAP} embeddings the anchor population is a "
+        "deterministic md5 sample of vec_id — applied identically "
+        "in Spark and the oracle — so the contract stays O(cap²) "
+        "at any corpus size.",
 )
 def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_contract(spark, sf_dir, anchor_cap=_SEM_ANCHOR_CAP)
+
+
+def _sem_anchor_pred(col, threshold: int):
+    """Deterministic anchor-sample predicate: md5(vec_id) first 4 hex
+    chars as an int in [0, 65536), kept below ``threshold`` — the
+    exact expression the oracle evaluates in DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+        < F.lit(threshold)
+    )
+
+
+def _semantic_dedup_contract(
+    spark: SparkSession, sf_dir: str, anchor_cap: int
+) -> DataFrame:
+    import math
+
     emb = _emb(spark, sf_dir)
     # _shared, not a bare .persist(): reset_shared_cache() then owns
     # the unpersist (bench passes and repeated calls don't leak
@@ -720,6 +762,16 @@ def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     e = emb.select("vec_id", "embedding")
+    # sf-gate the O(n^2) anchor: above anchor_cap rows, restrict the
+    # anchor POPULATION (both crossJoin sides AND the operator's found
+    # pairs) to the deterministic md5 sample — the contract then
+    # measures precision/recall on that subpopulation, bounded at
+    # ~cap^2 pairs no matter the corpus size.
+    n = e.count()
+    gated = n > anchor_cap
+    if gated:
+        threshold = int(math.floor(anchor_cap * 65536.0 / n))
+        e = e.where(_sem_anchor_pred(F.col("vec_id"), threshold))
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     from mapreduce_inverted_index_spark.functions.vectors import cosine_similarity
@@ -730,6 +782,11 @@ def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.round(cosine_similarity("va", "vb"), 6) >= _SEM_TAU)
         .select("a_id", "b_id")
     )
+    if gated:
+        found = found.where(
+            _sem_anchor_pred(F.col("a_id"), threshold)
+            & _sem_anchor_pred(F.col("b_id"), threshold)
+        )
     hits = brute.join(
         found.select("a_id", "b_id", F.lit(1).alias("_found")),
         ["a_id", "b_id"],
@@ -1684,6 +1741,70 @@ def q_embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(8, orthonormal_ok, recon_identity_ok)],
         "k int, orthonormal_ok boolean, recon_identity_ok boolean",
+    )
+
+
+# DSIR hashed-unigram buckets: md5 is the cross-engine hash; 15 hex
+# chars < 2^60 keeps the cast exact in both engines.
+_DSIR_B = 4096
+_DSIR_BUCKET = (
+    "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % " + str(_DSIR_B)
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tb AS (
+      SELECT doc_id, {_DSIR_BUCKET} AS b
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)),
+    ttb AS (
+      SELECT {_DSIR_BUCKET} AS b
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents
+            WHERE lang = 'en')),
+    sh AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM tb GROUP BY 1),
+    th AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM ttb GROUP BY 1),
+    dim AS (
+      SELECT COALESCE(sh.b, th.b) AS b,
+             CAST(round(ln(COALESCE(tc, 0) + 1), 9) AS DECIMAL(18,9))
+             - CAST(round(ln(COALESCE(sc, 0) + 1), 9) AS DECIMAL(18,9)) AS lr
+      FROM sh FULL JOIN th ON sh.b = th.b),
+    konst AS (
+      SELECT CAST(round(ln((SELECT sum(sc) FROM sh) + {_DSIR_B}), 9)
+                  AS DECIMAL(18,9))
+             - CAST(round(ln((SELECT sum(tc) FROM th) + {_DSIR_B}), 9)
+                    AS DECIMAL(18,9)) AS k),
+    db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM tb GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(ROUND(sum(CAST(c AS DECIMAL(12,0)) * lr)
+                      + CAST(sum(c) AS DECIMAL(12,0)) * (SELECT k FROM konst),
+                      6) AS DOUBLE) AS log_weight
+    FROM db JOIN dim USING (b)
+    GROUP BY doc_id
+    """,
+    doc="DSIR (Data Selection via Importance Resampling, Xie et al. "
+        "2023): per-doc log importance weight log p_target/p_source "
+        "under add-1-smoothed hashed-unigram bucket LMs, target = "
+        "the lang='en' slice, source = the whole corpus. Every ln "
+        "takes an integer argument and is rounded to DECIMAL(18,9) "
+        "before summing (the transcendental discipline), so the "
+        "weight is exact decimal arithmetic in both engines. Plan: "
+        "two (bucket,count) histograms (map-side combined, <= 4096 "
+        "rows each), ONE broadcast log-ratio dim, one per-(doc, "
+        "bucket) partial agg + one groupBy doc — the corpus "
+        "shuffles once, on (doc_id, bucket). Operator: "
+        "curation.dsir_importance_weights.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    return dsir_importance_weights(
+        d, d.where(F.col("lang") == "en"), n_buckets=_DSIR_B
     )
 
 

@@ -139,8 +139,11 @@ _DRIVER_PRIORITY = (
     "supplier_cnt_by_part_attrs",
     "excess_shipped_part_suppliers",
     "returned_item_reporting",
-    # -- round-7 addition: histogram-routed join strategy selector --
+    # -- round-7 additions: histogram-routed join strategy selector,
+    # DSIR importance weights (new queries with no driver row ever
+    # outrank fills) --
     "auto_routed_join_events",
+    "dsir_importance_weights",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -157,7 +160,6 @@ _DRIVER_PRIORITY = (
     "salted_agg_event_values",
     "distinct_users_per_type",
     "date_funcs_orders",
-    "sql_passthrough",
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -23,9 +23,12 @@ seen pages. Here the SAME shape is a ``DataSource``:
     exactly-once under checkpoint recovery.
 
 The "site" being crawled is the ``documents`` snapshot (fixtures are
-static by design — TESTDATA.md S3); a production deployment points
-the same class at a paginated HTTP API by swapping the pyarrow reads
-for requests, with the partition/offset planning unchanged.
+static by design — TESTDATA.md S3). :class:`HttpCrawlSource` below is
+the LIVE-HTTP face of the same connector: identical partition/offset
+planning, but the listing walk and document fetches go over HTTP —
+the reference's literal behavior (``master/src/master.py:48-86``
+walks category pages following next-links; mappers fetch page content
+in parallel, ``mapper/src/processor.py:135-161``).
 """
 
 from __future__ import annotations
@@ -37,7 +40,12 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-__all__ = ["CrawlSource", "register_crawl_source", "read_crawl_site"]
+__all__ = [
+    "CrawlSource",
+    "HttpCrawlSource",
+    "register_crawl_source",
+    "read_crawl_site",
+]
 
 _FULL_SCHEMA = "doc_id long, source string, n_chars long"
 
@@ -179,6 +187,162 @@ class CrawlSource(DataSource):
 def register_crawl_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(CrawlSource)
+    spark.dataSource.register(HttpCrawlSource)
+
+
+# ------------------------------------------------------ live-HTTP face
+# The reference's crawl is literally HTTP: the master walks paginated
+# listing pages following next-links (master/src/master.py:48-86) and
+# mappers fetch each document URL (mapper/src/processor.py:135-161).
+# HttpCrawlSource is that protocol as a connector. The site contract
+# (implemented by any paginated API; tests spin a stdlib http.server):
+#
+#   GET {base_url}/list/{n}  ->  {"urls": [...], "doc_id_start": k,
+#                                 "next": true|false}
+#   GET {doc url}            ->   the document text (2xx), or an error
+#                                 status = failed fetch
+#
+# Planning splits exactly like the reference: the LISTING walk is
+# metadata-light and runs on the driver (the master's role); the
+# document fetches are the heavy part and run one InputPartition per
+# listing page on executors (the mappers' role) — with Spark retry,
+# speculation, and locality replacing the hand-rolled mapper registry.
+# A failed fetch CONSUMES its doc_id and emits no row — the
+# reference's "failed fetch consumes doc_id, emits no postings"
+# semantics (mapper/src/processor.py:184-187).
+
+_HTTP_SCHEMA = "doc_id long, url string, text string"
+
+
+def _http_json(url: str, timeout: float = 10.0) -> dict:
+    import json
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _http_text(url: str, timeout: float = 10.0) -> str | None:
+    """Fetch one document; None on any HTTP/connection error (the
+    failed-fetch path — the doc_id is consumed, no row emitted)."""
+    from urllib.error import HTTPError, URLError
+    from urllib.request import urlopen
+
+    try:
+        with urlopen(url, timeout=timeout) as resp:
+            return resp.read().decode("utf-8")
+    except (HTTPError, URLError, TimeoutError):
+        return None
+
+
+def _walk_listing(base_url: str, start_page: int = 0, max_pages: int | None = None):
+    """Follow next-links from ``start_page``: yields
+    ``(page_no, doc_id_start, urls)`` per listing page — the
+    reference's category-page walk (``master/src/master.py:51-78``),
+    minus the politeness sleep (tests own the server)."""
+    page = start_page
+    while max_pages is None or page < start_page + max_pages:
+        body = _http_json(f"{base_url}/list/{page}")
+        yield page, int(body["doc_id_start"]), list(body["urls"])
+        if not body.get("next"):
+            return
+        page += 1
+
+
+class _UrlPagePartition(InputPartition):
+    def __init__(self, doc_id_start: int, urls: list[str]):
+        self.doc_id_start = doc_id_start
+        self.urls = urls
+
+
+class _HttpCrawlBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema_cols: list[str]):
+        self.base_url = options["base_url"].rstrip("/")
+        self.cols = schema_cols
+
+    def partitions(self):
+        # driver-side listing walk (urls only — no document bytes),
+        # one InputPartition per listing page; doc_id ranges come from
+        # the server's cursor, the reference's doc_id_start handed to
+        # each mapper (master/src/coordinator.py:57)
+        return [
+            _UrlPagePartition(start, urls)
+            for _, start, urls in _walk_listing(self.base_url)
+        ]
+
+    def read(self, part: _UrlPagePartition):
+        for j, url in enumerate(part.urls):
+            text = _http_text(url)
+            if text is None:
+                continue  # failed fetch: doc_id consumed, no row
+            row = {"doc_id": part.doc_id_start + j, "url": url, "text": text}
+            yield tuple(row[c] for c in self.cols)
+
+
+class _HttpCrawlStreamReader(SimpleDataSourceStreamReader):
+    """Listing-page cursor over HTTP: offset = {"page": next unserved
+    listing page} — the same checkpointed exactly-once walk as the
+    parquet face, with fetches going over the wire. (The Simple
+    stream API routes reads through the driver by design; batches are
+    bounded by pages_per_batch listing pages.)"""
+
+    def __init__(self, options: dict, schema_cols: list[str]):
+        self.base_url = options["base_url"].rstrip("/")
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self.cols = schema_cols
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows_for(self, start_page: int, max_pages: int):
+        rows, last_page, exhausted = [], start_page - 1, False
+        for page, doc_start, urls in _walk_listing(
+            self.base_url, start_page, max_pages
+        ):
+            last_page = page
+            for j, url in enumerate(urls):
+                text = _http_text(url)
+                if text is None:
+                    continue
+                row = {"doc_id": doc_start + j, "url": url, "text": text}
+                rows.append(tuple(row[c] for c in self.cols))
+        return rows, last_page
+
+    def read(self, start: dict):
+        first = start["page"]
+        # probe whether the site still has page `first` at all: an
+        # exhausted site keeps returning the same offset (idle no-op)
+        try:
+            rows, last_page = self._rows_for(first, self.pages_per_batch)
+        except Exception:
+            return iter(()), {"page": first}
+        if last_page < first:
+            return iter(()), {"page": first}
+        return iter(rows), {"page": last_page + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of committed listing pages (recovery);
+        # the site snapshot is immutable for the checkpoint's lifetime
+        rows, _ = self._rows_for(start["page"], end["page"] - start["page"])
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class HttpCrawlSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "http_crawl"
+
+    def schema(self) -> str:
+        return _HTTP_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _HttpCrawlBatchReader(self.options, schema.fieldNames())
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _HttpCrawlStreamReader(self.options, schema.fieldNames())
 
 
 # ------------------------------------------------------- writer face

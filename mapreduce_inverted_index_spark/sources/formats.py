@@ -24,6 +24,7 @@ __all__ = [
     "read_orc",
     "read_text_corpus",
     "read_evolved_parquet",
+    "write_final_index_json",
 ]
 
 
@@ -38,6 +39,87 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-enforced JSON scan; malformed rows null out instead of
     failing (PERMISSIVE, the default)."""
     return spark.read.schema(schema).json(path)
+
+
+def write_final_index_json(
+    docs: DataFrame,
+    output_dir: str,
+    *,
+    creation_time: str | None = None,
+    timestamp: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = "source",
+) -> str:
+    """Reference-EXACT final artifact: one pretty-printed JSON file
+    ``inverted_index_{timestamp}.json`` shaped
+    ``{"metadata": {creation_time, num_terms, timestamp},
+    "index": {term: [{"doc_id": d, "url": u}, ...]}}`` — the byte
+    shape of ``reducer/src/processor.py:90-113`` (json.dump with
+    indent=2), with the reducer's merge → sort-by-doc_id →
+    dedup-first-wins per term (``reducer/src/processor.py:64-77``).
+
+    The HEAVY work is distributed: tokenize/filter/distinct/explode
+    and the per-term occurrence merge run as one shuffle
+    (``groupBy(term).agg(sort_array(collect_set(struct(doc_id, ...))))``
+    — map-side combined; first-wins == set semantics because doc_id →
+    url is functional in the source table). Only the final
+    serialization streams through the driver (``toLocalIterator`` —
+    one partition in memory at a time), which is irreducible for a
+    single-JSON-document artifact: the file itself is a driver-sized
+    object by the reference's own design. The 100 TB index sink is
+    ``operators.inverted_index.write_index_tables`` (term-bucketed
+    parquet); this writer exists for artifact parity.
+
+    ``creation_time``/``timestamp`` default to now (parity with the
+    reducer); pass both for deterministic golden tests. Returns the
+    written file's path, like ``save_final_index``.
+    """
+    import json
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import doc_terms
+
+    pairs = doc_terms(docs, text_col, id_col)
+    if url_col is not None:
+        urls = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(url_col).alias("url")
+        ).dropDuplicates(["doc_id"])
+        pairs = pairs.join(F.broadcast(urls), "doc_id", "left")
+        occ = F.struct(F.col("doc_id"), F.col("url"))
+    else:
+        occ = F.struct(F.col("doc_id"))
+    per_term = (
+        pairs.groupBy("term")
+        .agg(F.sort_array(F.collect_set(occ)).alias("occurrences"))
+        .orderBy("term")
+    )
+    index: dict[str, list] = {}
+    for row in per_term.toLocalIterator():
+        index[row["term"]] = [o.asDict() for o in row["occurrences"]]
+
+    ts = timestamp if timestamp is not None else int(_time.time())
+    ct = creation_time if creation_time is not None else datetime.now().isoformat()
+    os.makedirs(output_dir, exist_ok=True)
+    output_file = os.path.join(output_dir, f"inverted_index_{ts}.json")
+    with open(output_file, "w") as f:
+        json.dump(
+            {
+                "metadata": {
+                    "creation_time": ct,
+                    "num_terms": len(index),
+                    "timestamp": ts,
+                },
+                "index": index,
+            },
+            f,
+            indent=2,
+        )
+    return output_file
 
 
 def write_csv(df: DataFrame, path: str, *, header: bool = True) -> None:

@@ -125,3 +125,38 @@ def test_repetition_profile_flags_degenerate_docs(spark):
     assert rows[2]["dup_token_ratio"] == 0.0
     assert rows[2]["top_bigram_ratio"] < 0.2
     assert rows[3]["top_bigram_ratio"] is None
+
+
+def test_dsir_importance_weights_ranks_target_like_docs(spark):
+    """DSIR semantics on a constructed corpus: documents written in
+    the target's vocabulary must get strictly higher log-weights than
+    off-target documents, weights are finite for every tokenized doc,
+    and n_tokens matches the tokenizer."""
+    from mapreduce_inverted_index_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    target_text = "alpha beta gamma delta alpha beta"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),        # fully on-target
+            (2, "zulu xray yankee whiskey zulu"),  # fully off-target
+            (3, "alpha zulu beta xray"),           # mixed
+            (4, None),                             # null text: omitted
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(100, target_text)], "doc_id long, text string")
+    w = {
+        r["doc_id"]: (r["log_weight"], r["n_tokens"])
+        for r in dsir_importance_weights(docs, target, n_buckets=64).collect()
+    }
+    assert set(w) == {1, 2, 3}, "null-text doc has no weight"
+    assert w[1][1] == 4 and w[2][1] == 5 and w[3][1] == 4
+    assert w[1][0] > w[3][0] > w[2][0], (
+        "on-target > mixed > off-target ordering"
+    )
+    # per-token sanity (sign is NOT asserted: with add-1 smoothing
+    # over n_buckets, tiny corpora push all weights negative — the
+    # ORDER is the semantics): on-target tokens out-score off-target
+    assert w[1][0] / w[1][1] > w[2][0] / w[2][1]

@@ -209,3 +209,56 @@ def test_read_evolved_parquet_unions_schemas(spark, tmp_path):
     rows = {r["doc_id"]: r for r in df.collect()}
     assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
     assert df.where("lang = 'en'").count() == 1
+
+
+def test_final_index_json_reference_byte_shape(spark, tmp_path):
+    """Golden byte-shape parity with the reference's final artifact
+    (reducer/src/processor.py:90-113, Readme.md worked example): one
+    pretty-printed JSON document {"metadata": {...}, "index": {term:
+    [{"doc_id", "url"}, ...]}} — occurrences sorted by doc_id,
+    deduped first-wins, stopwords ('the', 'and') filtered as the
+    reference's preprocess_text does."""
+    import json
+
+    from mapreduce_inverted_index_spark.sources.formats import (
+        write_final_index_json,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'cat cat' exercises the per-doc dedup; doc order is
+            # scrambled to prove sort-by-doc_id in each posting list
+            (2, "http://site/doc3", "cat and dog played"),
+            (0, "http://site/doc1", "the cat cat sat"),
+            (1, "http://site/doc2", "the dog ran"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = write_final_index_json(
+        docs,
+        str(tmp_path),
+        creation_time="2026-01-01T00:00:00",
+        timestamp=1767225600,
+    )
+    assert out.endswith("inverted_index_1767225600.json")
+
+    def occ(d):
+        return {"doc_id": d, "url": f"http://site/doc{d + 1}"}
+
+    expected = {
+        "metadata": {
+            "creation_time": "2026-01-01T00:00:00",
+            "num_terms": 5,
+            "timestamp": 1767225600,
+        },
+        "index": {
+            "cat": [occ(0), occ(2)],
+            "dog": [occ(1), occ(2)],
+            "played": [occ(2)],
+            "ran": [occ(1)],
+            "sat": [occ(0)],
+        },
+    }
+    with open(out, "rb") as f:
+        got_bytes = f.read()
+    assert got_bytes == json.dumps(expected, indent=2).encode()

@@ -212,3 +212,124 @@ def test_weighted_sample_valid_weights_unchanged(spark):
     # Deterministic: replay picks the identical set in the same order.
     again = weighted_sample(df, "w", k=10, id_col="doc_id").collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+
+
+# --------------------------------- 6. sf-gated semantic dedup anchor
+
+def test_semantic_dedup_anchor_gate_matches_oracle(spark, sf_smoke):
+    """Force the anchor cap below the fixture's 500 embeddings: the
+    gated (md5-sampled) path must still match the identically-gated
+    DuckDB oracle, and the sampled anchor population must actually be
+    smaller than the corpus."""
+    import duckdb
+
+    from mapreduce_inverted_index_spark.plans.queries_llm import (
+        _sem_anchor_pred,
+        _sem_oracle,
+        _semantic_dedup_contract,
+    )
+
+    got = _semantic_dedup_contract(spark, sf_smoke, anchor_cap=100).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_smoke}/embeddings.parquet'"
+    )
+    want = con.execute(_sem_oracle(100)).fetchall()
+    assert len(got) == 1
+    assert (
+        got[0]["n_true_pairs"],
+        got[0]["all_found_real"],
+        got[0]["recall_floor_met"],
+    ) == want[0]
+
+    # the sample predicate really thins the population (~100 of 500),
+    # and Spark/DuckDB agree on WHICH vec_ids survive
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    thr = int(math.floor(100 * 65536.0 / n))
+    kept_spark = sorted(
+        r["vec_id"]
+        for r in emb.where(_sem_anchor_pred(F.col("vec_id"), thr))
+        .select("vec_id")
+        .collect()
+    )
+    kept_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM embeddings WHERE "
+            "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+            f" < {thr} ORDER BY vec_id"
+        ).fetchall()
+    ]
+    assert kept_spark == kept_duck
+    assert 0 < len(kept_spark) < n // 2
+
+
+# --------------------------- 7. reliable checkpoint for iterative ops
+
+def test_reliable_checkpoint_identical_results(spark, tmp_path):
+    """The cluster-grade fault-tolerance switch: with a checkpoint
+    dir configured, reliable_checkpoint=True must produce results
+    identical to the localCheckpoint default for all three iterative
+    operators; without a dir it must raise a clear error."""
+    from mapreduce_inverted_index_spark.operators.dedup import dup_components
+    from mapreduce_inverted_index_spark.operators.graph import (
+        bfs_levels,
+        pagerank_fixed_point,
+    )
+
+    # a two-component graph with a 5-chain (multiple BFS/CC rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)],
+        "u long, v long",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "id long")
+    pairs = edges.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+    )
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            bfs_levels(edges, seeds, max_hops=3, reliable_checkpoint=True).collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    bfs_local = sorted(map(tuple, bfs_levels(edges, seeds, max_hops=3).collect()))
+    bfs_rel = sorted(
+        map(
+            tuple,
+            bfs_levels(edges, seeds, max_hops=3, reliable_checkpoint=True).collect(),
+        )
+    )
+    assert bfs_rel == bfs_local and len(bfs_rel) == 7  # 5-chain capped at 3 hops
+
+    pr_local = sorted(
+        (r["id"], r["rank_nano"]) for r in pagerank_fixed_point(edges, iters=3).collect()
+    )
+    pr_rel = sorted(
+        (r["id"], r["rank_nano"])
+        for r in pagerank_fixed_point(
+            edges, iters=3, reliable_checkpoint=True
+        ).collect()
+    )
+    assert pr_rel == pr_local
+
+    cc_local = sorted(map(tuple, dup_components(pairs).collect()))
+    cc_rel = sorted(
+        map(tuple, dup_components(pairs, reliable_checkpoint=True).collect())
+    )
+    assert cc_rel == cc_local
+    assert {c for _, c in cc_rel} == {1, 10}
+
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt"))), (
+        "reliable mode must actually write checkpoint files"
+    )

@@ -39,6 +39,9 @@ __all__ = [
     "dup_components",
     "minhash_signatures",
     "minhash_near_dup",
+    "band_table",
+    "write_minhash_state",
+    "minhash_incremental_dedup",
     "simhash_signatures",
     "simhash_candidate_pairs",
     "fuzzy_key_pairs",
@@ -284,6 +287,113 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     )
 
 
+def band_table(sigs: DataFrame) -> DataFrame:
+    """LSH band table ``(doc_id, band, key)`` from 64-long signatures:
+    16 bands × 4 rows, key = the comma-joined 4-row value tuple
+    itself, NOT a rehash — tuple equality IS the banding semantics,
+    it cannot add hash-collision candidate pairs, and an oracle can
+    replay it as a plain 4-column equi-join. At 100 TB, re-hashing
+    the tuple to 8 bytes (xxhash64) shrinks shuffle keys ~4x at the
+    cost of a vanishing collision-extra-candidate rate — a one-line
+    swap that only ever ADDS candidates (verification filters them).
+
+    This is also the table :func:`write_minhash_state` persists — at
+    scale the corpus's bands+shingles are a STORED state a daily
+    batch joins against (see :func:`minhash_incremental_dedup`), not
+    something recomputed per run.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def write_minhash_state(
+    docs: DataFrame, path: str, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's dedup state — ``{path}/bands`` and
+    ``{path}/shingles`` parquet — the storage half of incremental
+    near-dup: signatures are computed ONCE per document ever, then a
+    new batch joins against the stored tables
+    (:func:`minhash_incremental_dedup`). Bands are repartitioned on
+    the join key (``key``) at write time so the incremental band join
+    reads co-partitioned files."""
+    sh = word_shingles(docs, n, text_col, id_col).persist()
+    band_table(_minhash_signatures_from(sh)).repartition("key").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
+def minhash_incremental_dedup(
+    new_docs: DataFrame,
+    base_bands: DataFrame,
+    base_shingles: DataFrame,
+    threshold: float = 0.35,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against a stored corpus state —
+    the form a production pipeline actually runs: the corpus's band
+    and shingle tables are written once (:func:`write_minhash_state`),
+    and each incoming batch pays signatures for ITS documents only,
+    then one band equi-join against the stored bands (batch-sized ×
+    16 rows vs corpus state — never corpus × corpus) and an exact
+    Jaccard verify against the stored shingles of the candidate rows
+    only. Within-batch duplicates are :func:`minhash_near_dup` on the
+    batch; this operator is the batch-vs-corpus half.
+
+    Output: ``new_id, dup_of, jaccard`` — every stored doc the new
+    doc LSH-collides with at ``jaccard >= threshold``. Route through
+    ``groupBy(new_id).agg(min(dup_of))`` for a keep/drop decision.
+    """
+    new_sh = word_shingles(new_docs, n, text_col, id_col).persist()
+    new_bands = band_table(_minhash_signatures_from(new_sh))
+    cands = (
+        new_bands.select(
+            "band", "key", F.col("doc_id").alias("new_id")
+        )
+        .join(
+            base_bands.select(
+                "band", "key", F.col("doc_id").alias("dup_of")
+            ),
+            ["band", "key"],
+        )
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    return (
+        cands.join(
+            new_sh.select(
+                F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a")
+            ),
+            "new_id",
+        )
+        .join(
+            base_shingles.select(
+                F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_b")
+            ),
+            "dup_of",
+        )
+        .select("new_id", "dup_of", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup(
     docs: DataFrame,
     threshold: float = 0.35,
@@ -321,29 +431,7 @@ def minhash_near_dup(
         sh_all = word_shingles(docs, n, text_col, id_col)
         if persist_shingles:
             sh_all = sh_all.persist()
-    sigs = _minhash_signatures_from(sh_all)
-    # Band key = the 4-row value tuple itself (comma-joined), not a
-    # rehash: tuple equality is exactly the LSH banding semantics, it
-    # cannot add hash-collision candidate pairs, and the oracle can
-    # replay it as a plain 4-column equi-join. At 100 TB, re-hashing
-    # the tuple to 8 bytes (xxhash64) shrinks shuffle keys ~4x at the
-    # cost of a vanishing collision-extra-candidate rate — a one-line
-    # swap that only ever ADDS candidates (verification filters them).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
-                ).alias("key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = band_table(_minhash_signatures_from(sh_all))
     # Persist the band table: BOTH sides of the self-join below are
     # derived from it, and without a persist Spark recomputes the
     # whole signature pipeline (md5 + 64 min-aggregates over every

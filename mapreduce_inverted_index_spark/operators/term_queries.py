@@ -69,6 +69,27 @@ def term_lookup_bucketed(
     return index.join(tf_roll, "term").select("term", "postings", "df", "total_tf")
 
 
+def prefix_query(spark, index_table: str, prefix: str) -> DataFrame:
+    """Wildcard/prefix term probe over the stored index tier:
+    ``term LIKE 'pre%'`` as a scan-side predicate. Hash bucketing
+    can't prune a RANGE of terms, but the layout still makes this a
+    pure IO-bounded probe at 100 TB: ``startswith`` compiles to a
+    ``StringStartsWith`` pushed filter (PLANS.md-audited), and the
+    ``sortBy(term)`` file layout gives every row group a tight
+    term min/max, so the parquet reader skips all row groups whose
+    range can't contain the prefix — the scan touches the few
+    term-contiguous pages that match, no shuffle, no join.
+
+    Output: ``term, df, postings ARRAY<BIGINT>``, term-ordered.
+    """
+    return (
+        spark.table(index_table)
+        .where(F.col("term").startswith(prefix))
+        .select("term", "df", "postings")
+        .orderBy("term")
+    )
+
+
 def and_query(docs: DataFrame, terms_wanted: list[str],
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs containing ALL the given terms (postings intersection).

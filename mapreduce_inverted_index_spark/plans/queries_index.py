@@ -104,6 +104,38 @@ def q_term_lookup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_query_index",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+    FROM pairs WHERE term LIKE 's%' GROUP BY term
+    """,
+    doc="Wildcard/prefix probe over the STORED index tier: "
+        "term LIKE 's%' as a scan predicate on the bucketed+sorted "
+        "index table. Hash buckets can't prune a term RANGE, but "
+        "startswith pushes down as StringStartsWith (plan-audited) "
+        "and the sortBy(term) layout gives row groups tight term "
+        "min/max stats, so the reader skips everything outside the "
+        "prefix range — an IO-bounded probe, no shuffle, no join. "
+        "Operator: term_queries.prefix_query.",
+)
+def q_prefix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = f"{tempfile.gettempdir()}/mii_bidx_{tag}"
+    index_t, _tf_t = idx.write_index_tables(
+        _docs(spark, sf_dir), path, buckets=8, prefix=f"mii_{tag}"
+    )
+    return tq.prefix_query(spark, index_t, "s").select(
+        "term", "df", F.array_join("postings", ",").alias("postings_csv")
+    )
+
+
+@register(
     "doc_terms",
     oracle=f"WITH pairs AS ({_PAIRS_SQL}) SELECT doc_id, term FROM pairs",
     doc="Map-phase output: per-doc distinct (doc_id, term) pairs "

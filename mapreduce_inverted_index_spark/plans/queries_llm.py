@@ -302,6 +302,71 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental bands: new batch (doc_id % 5 = 0) vs stored base
+# (doc_id % 5 <> 0) — same per-band equi-join as _SQL_MINHASH_BANDS
+# with the split condition replacing doc_a < doc_b.
+_SQL_MINHASH_BANDS_INC = "\n      UNION\n      ".join(
+    "SELECT a.doc_id AS new_id, b.doc_id AS dup_of FROM sig a JOIN sig b ON "
+    + " AND ".join(
+        f"a.h{b * D.ROWS_PER_BAND + r} = b.h{b * D.ROWS_PER_BAND + r}"
+        for r in range(D.ROWS_PER_BAND)
+    )
+    + " AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"
+    for b in range(D.BANDS)
+)
+
+
+@register(
+    "minhash_incremental_dedup",
+    oracle=f"""
+    WITH sh AS ({_SQL_TRIGRAMS}),
+    x AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {D._P31} AS x
+          FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)),
+    sig AS (SELECT doc_id,
+           {_SQL_MINHASH_MINS}
+            FROM x GROUP BY doc_id),
+    cand AS (
+      {_SQL_MINHASH_BANDS_INC}
+    )
+    SELECT new_id, dup_of, jaccard FROM (
+      SELECT c.new_id, c.dup_of,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      FROM cand c JOIN sh a ON a.doc_id = c.new_id
+                  JOIN sh b ON b.doc_id = c.dup_of
+    ) WHERE jaccard >= {_JACCARD_T}
+    """,
+    doc="INCREMENTAL near-dup — the form a production pipeline runs "
+        "daily: the base corpus's band+shingle tables are WRITTEN TO "
+        "STORAGE once (write_minhash_state; bands repartitioned on "
+        "the join key), then the new batch (here doc_id % 5 = 0) "
+        "pays signatures for its documents only and joins against "
+        "the STORED state — batch x 16 band rows vs corpus state, "
+        "never corpus x corpus, and exact-Jaccard verify touches "
+        "only candidate rows' stored shingles. The oracle replays "
+        "signatures over the union and restricts pairs to "
+        "new-vs-base, so banding recall and the storage round-trip "
+        "are both hash-exact-checked. Operators: "
+        "dedup.write_minhash_state / dedup.minhash_incremental_dedup.",
+)
+def q_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = f"{tempfile.gettempdir()}/mii_minhash_state_{tag}"
+    d = _docs(spark, sf_dir)
+    D.write_minhash_state(d.where(F.col("doc_id") % 5 != 0), path)
+    return D.minhash_incremental_dedup(
+        d.where(F.col("doc_id") % 5 == 0),
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        threshold=_JACCARD_T,
+    )
+
+
 @register(
     "simhash_signatures",
     oracle=_SQL_SIMHASH,

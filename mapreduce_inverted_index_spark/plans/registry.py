@@ -139,11 +139,14 @@ _DRIVER_PRIORITY = (
     "supplier_cnt_by_part_attrs",
     "excess_shipped_part_suppliers",
     "returned_item_reporting",
-    # -- round-7 additions: histogram-routed join strategy selector,
-    # DSIR importance weights (new queries with no driver row ever
-    # outrank fills) --
+    # -- round-7 additions (new queries with no driver row ever
+    # outrank fills): histogram-routed join selector, DSIR importance
+    # weights, incremental minhash dedup vs stored state, and the
+    # pushdown-audited prefix probe over the stored index --
     "auto_routed_join_events",
     "dsir_importance_weights",
+    "minhash_incremental_dedup",
+    "prefix_query_index",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -158,8 +161,6 @@ _DRIVER_PRIORITY = (
     "range_join_close_events",
     "asof_join_event_order",
     "salted_agg_event_values",
-    "distinct_users_per_type",
-    "date_funcs_orders",
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -144,3 +144,52 @@ def test_http_crawl_stream_cursor_exactly_once(spark, site_url, tmp_path):
     )
     assert {(r.doc_id, r.text) for r in got.collect()} == _expected_rows()
     assert totals[0] < n, "a single bounded run must NOT consume everything"
+
+
+def test_http_crawl_to_reference_artifact_end_to_end(spark, site_url, tmp_path):
+    """The reference's WHOLE pipeline, over the wire: crawl the HTTP
+    site (S1/S2), build the inverted index (P1-P6, A1-A3), write the
+    reference-shape single-JSON artifact (K2) — and the artifact's
+    postings must match an independently computed expectation,
+    including the failed fetch consuming its doc_id."""
+    import json
+
+    from mapreduce_inverted_index_spark.sources.crawl_source import (
+        register_crawl_source,
+    )
+    from mapreduce_inverted_index_spark.sources.formats import (
+        write_final_index_json,
+    )
+
+    register_crawl_source(spark)
+    crawled = (
+        spark.read.format("http_crawl").option("base_url", site_url).load()
+    )
+    out = write_final_index_json(
+        crawled,
+        str(tmp_path),
+        creation_time="2026-01-01T00:00:00",
+        timestamp=1,
+        url_col="url",
+    )
+    with open(out) as f:
+        artifact = json.load(f)
+
+    # expectation from the site definition: every doc is
+    # "document {i} body with some words" -> term "document" maps to
+    # all fetched doc_ids (stopwords among {body,with,some} drop out)
+    fetched = [i for i in range(N_DOCS) if i != BROKEN_DOC]
+    assert artifact["metadata"]["num_terms"] == len(artifact["index"])
+    postings = artifact["index"]["document"]
+    assert [o["doc_id"] for o in postings] == fetched
+    assert all(
+        o["url"].endswith(f"/doc/{o['doc_id']}") for o in postings
+    )
+    # per-doc numeral tokens are stripped by the [^a-z\s] filter, so
+    # no doc-unique terms survive: the whole index is the shared words
+    from mapreduce_inverted_index_spark.functions.stopwords import STOPWORDS
+
+    expect_terms = sorted(
+        t for t in "document body with some words".split() if t not in STOPWORDS
+    )
+    assert sorted(artifact["index"]) == expect_terms

@@ -199,3 +199,42 @@ def test_simhash_hamming_banding_exact_vs_brute_force(spark, sf_smoke):
         .collect()
     )
     assert max_bucket <= max(8, n_docs // 20)
+
+
+def test_minhash_incremental_equals_full_cross_pairs(spark, tmp_path):
+    """Incremental dedup (new batch vs stored state) must find exactly
+    the cross-split subset of what full minhash_near_dup finds on the
+    union — banding, storage round-trip, and verify all hash-exact."""
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_near_dup,
+        write_minhash_state,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    state = str(tmp_path / "state")
+    write_minhash_state(base, state)
+    got = sorted(
+        (r["new_id"], r["dup_of"], r["jaccard"])
+        for r in minhash_incremental_dedup(
+            new,
+            spark.read.parquet(f"{state}/bands"),
+            spark.read.parquet(f"{state}/shingles"),
+        ).collect()
+    )
+
+    full = minhash_near_dup(docs).collect()
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        if r["doc_a"] % 5 == 0
+        else (r["doc_b"], r["doc_a"], r["jaccard"])
+        for r in full
+        if (r["doc_a"] % 5 == 0) != (r["doc_b"] % 5 == 0)
+    )
+    assert got == want and len(got) > 0

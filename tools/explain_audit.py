@@ -765,6 +765,46 @@ AUDITS = [
         ["Generate explode(", "partial_sum", "partial_count"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    (
+        # DSIR: the <=4096-row log-ratio dim must broadcast into the
+        # (doc, bucket) stream (the corpus shuffles once, on the
+        # partial-agg groupBy). A SortMergeJoin IS present and fine:
+        # it's the full-outer join BUILDING the dim from the two
+        # bucket histograms — both sides bounded at n_buckets rows
+        # (full outer can't broadcast), so it can't be forbidden
+        # plan-wide without masking the one that matters.
+        "dsir_importance_weights",
+        ["BroadcastHashJoin", "partial_count", "partial_sum"],
+        ["CartesianProduct"],
+    ),
+    (
+        # prefix probe over the stored index: the LIKE 's%' must reach
+        # the parquet reader as a pushed StringStartsWith (with the
+        # sortBy(term) layout that makes row-group min/max skipping
+        # effective), and the probe is scan-only — no join
+        "prefix_query_index",
+        ["PushedFilters: [IsNotNull(term), StringStartsWith(term,s)]"],
+        ["Join", "CartesianProduct"],
+    ),
+    (
+        # incremental near-dup: the batch's signature mins partial-agg
+        # map-side; the band join against the STORED state and the
+        # shingle verifies are equi-joins (batch side broadcastable),
+        # never a pair enumeration
+        "minhash_incremental_dedup",
+        ["partial_min", "Join ["],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
+        # auto-routed join at the audit SF takes the salted path
+        # (customer 1500 > 1000-row broadcast probe, max per-user
+        # count 86 >= 60): same shape contract as salted_skew_join —
+        # broadcast census splits, constant-sequence salt explode,
+        # union of hot+cold paths
+        "auto_routed_join_events",
+        ["BroadcastHashJoin", "Union", "Generate explode("],
+        ["CartesianProduct"],
+    ),
 ]
 
 

@@ -101,6 +101,13 @@ QUERIES = [
     # the replicate axis into conditional sums brought it to
     # ~3.4s/1.5x.
     "bootstrap_ci_price",
+    # round-7: DSIR importance weights (two bounded histograms +
+    # broadcast dim + one (doc,bucket) shuffle — growth should track
+    # the token-explode scan) and the census-routed join (adds two
+    # tiny planning jobs — bounded right-side probe + key-histogram
+    # max — on top of the salted join it dispatches to here)
+    "dsir_importance_weights",
+    "auto_routed_join_events",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

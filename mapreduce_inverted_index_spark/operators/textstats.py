@@ -32,6 +32,8 @@ __all__ = [
     "token_entropy",
     "hashed_classifier_scores",
     "vocab_growth_curve",
+    "bpe_symbol_expr",
+    "bpe_encode",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -683,4 +685,72 @@ def vocab_growth_curve(
     )
     return cum.select(
         "doc_id", "n_tokens", "n_new_terms", "tokens_seen", "vocab_size"
+    )
+
+
+def bpe_symbol_expr(tok_col, merges: list[tuple[str, str]]):
+    """The BPE ENCODE step as a pure string expression: apply an
+    ordered merge list to one token, returning its symbol string.
+
+    Encoding trick (the whole operator): a token's symbol sequence is
+    a double-comma-delimited string (``",,a,,b,,c,,"``), and ONE
+    greedy left-to-right BPE merge pass of pair (a, b) is EXACTLY a
+    literal ``replace(s, ",a,,b,", ",ab,")`` — replace() consumes
+    matches left-to-right without overlap, the consumed leading/
+    trailing single commas come out of the neighbors' DOUBLE
+    separators (so adjacent matches still fire: ``a,b,a,b`` merges
+    twice), and the trailing comma in the pattern anchors the full
+    second symbol (pair (a, b) cannot eat the prefix of a ``bc``
+    symbol). That makes the encode a chain of k codegen'd replaces —
+    no UDF, no per-row loop, and DuckDB's replace() has identical
+    semantics, so the oracle replays it verbatim.
+
+    Merges must be applied in learned order (standard BPE); the
+    merge list is a LITERAL (vocab-sized, known at plan time), so the
+    fold unrolls into the expression tree.
+    """
+    s = F.concat(
+        F.lit(",,"),
+        F.concat_ws(",,", F.array_remove(F.split(tok_col, ""), "")),
+        F.lit(",,"),
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+    return s
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list to every token occurrence of
+    every document — the ENCODE half of the tokenizer tier
+    (``bpe_merge_step`` is the LEARN half; training = iterate learn,
+    then ship the merge list here). Output: ``doc_id, tok,
+    symbols ARRAY<STRING>, n_symbols`` — one row per token
+    OCCURRENCE (duplicates kept: encoding is per-occurrence work).
+
+    Scale shape: one explode + a chain of per-row string replaces
+    (whole-stage codegen, zero shuffles, zero joins — the merge list
+    rides inside the expression tree like a broadcast literal). At
+    100 TB this is the embarrassingly parallel pass BPE encoding is
+    supposed to be.
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    sym = bpe_symbol_expr(F.col("tok"), merges)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(text_col)).alias("tok"),
+        )
+        .withColumn(
+            "symbols",
+            F.array_remove(
+                F.split(F.regexp_replace(sym, "^,+|,+$", ""), ",,"), ""
+            ),
+        )
+        .withColumn("n_symbols", F.size("symbols").cast("int"))
     )

@@ -1959,6 +1959,64 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(base, "n_tokens", k=100)
 
 
+# The ENCODE half of the tokenizer tier: 8 merges learned offline by
+# iterating the bpe_merge_step rule on the sf0.01 corpus (count DESC,
+# pair ASC tiebreak — the deterministic greedy learner; includes the
+# multi-char ('m','er') merge, which exercises symbol-boundary
+# anchoring). The list is a literal by design: training ships a merge
+# TABLE to encoders, it doesn't recompute it per batch.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def _sql_bpe_sym(tok: str) -> str:
+    s = (
+        f"',,' || array_to_string([substring({tok}, CAST(i AS INTEGER), 1) "
+        f"for i in range(1, length({tok}) + 1)], ',,') || ',,'"
+    )
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ',{a},,{b},', ',{a}{b},')"
+    return s
+
+
+@register(
+    "bpe_encode_docs",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    enc AS (
+      SELECT list_filter(
+               string_split(regexp_replace({_sql_bpe_sym('tok')},
+                                           '^,+|,+$', ''), ',,'),
+               x -> x <> '') AS symbols
+      FROM toks)
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(symbols) AS symbol FROM enc)
+    GROUP BY symbol
+    """,
+    doc="BPE ENCODE over every token occurrence (the other half of "
+        "bpe_merge_step's LEARN loop): apply the 8-merge learned "
+        "list in order, report corpus symbol frequencies. One greedy "
+        "merge pass == one literal replace() on a double-comma "
+        "symbol string (left-to-right non-overlap is exactly BPE's "
+        "pass semantics; the doubled separators keep adjacent "
+        "matches firing and the pattern's trailing comma anchors "
+        "full symbols) — so the encode is a chain of 8 codegen'd "
+        "replaces, zero UDFs, zero joins, zero shuffles before the "
+        "symbol-count agg, and DuckDB replays it verbatim. Parity "
+        "with canonical per-word greedy BPE is pytest-pinned. "
+        "Operator: textstats.bpe_encode.",
+)
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T.bpe_encode(_docs(spark, sf_dir), _BPE_MERGES)
+        .select(F.explode("symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 @register(
     "bpe_merge_step",
     oracle=f"""

@@ -147,6 +147,7 @@ _DRIVER_PRIORITY = (
     "dsir_importance_weights",
     "minhash_incremental_dedup",
     "prefix_query_index",
+    "bpe_encode_docs",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -160,7 +161,6 @@ _DRIVER_PRIORITY = (
     "map_funcs_events",
     "range_join_close_events",
     "asof_join_event_order",
-    "salted_agg_event_values",
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -85,3 +85,53 @@ def test_distinct_terms_match_reference(spark):
     }
     for i, text in enumerate(CASES):
         assert got[i] == sorted(set(_reference_terms(text))), f"case {i}"
+
+
+def _py_bpe(word: str, merges):
+    """Reference greedy BPE: one left-to-right non-overlapping pass
+    per merge, in learned order."""
+    s = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_bpe_encode_matches_reference_greedy(spark):
+    """The replace()-chain encode must equal the canonical per-word
+    greedy BPE on every edge case: overlapping candidates (aaa),
+    adjacent repeats (abab), multi-char second symbols, and the
+    symbol-prefix trap (pair (a,b) must not eat the prefix of a
+    previously merged 'bc' symbol)."""
+    from mapreduce_inverted_index_spark.operators.textstats import bpe_encode
+
+    merges = [("b", "c"), ("a", "b"), ("a", "a"), ("aa", "a"), ("m", "er")]
+    words = [
+        "abc",      # (b,c) first -> [a, bc]; (a,b) must NOT touch it
+        "abab",     # adjacent repeats both merge under (a,b)
+        "aaa",      # greedy non-overlap: (a,a) -> [aa, a]; (aa,a) -> [aaa]
+        "aaaa",     # [aa, aa] then (aa,a) finds no (aa, a) pair
+        "merger",   # multi-char: m+er after (m,er)? er requires... chars only
+        "bcbc",
+        "ab",
+        "a",
+        "xyz",      # untouched
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["tok"]: list(r["symbols"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for w in words:
+        assert got[w] == _py_bpe(w, merges), (
+            w, got[w], _py_bpe(w, merges)
+        )

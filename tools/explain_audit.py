@@ -778,6 +778,14 @@ AUDITS = [
         ["CartesianProduct"],
     ),
     (
+        # BPE encode: the merge chain must live in the scan-side
+        # projection (a chain of replace()s — no UDF, no join) and
+        # the symbol count must partial-agg map-side
+        "bpe_encode_docs",
+        ["replace(", "partial_count"],
+        ["Join", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         # prefix probe over the stored index: the LIKE 's%' must reach
         # the parquet reader as a pushed StringStartsWith (with the
         # sortBy(term) layout that makes row-group min/max skipping

@@ -529,11 +529,16 @@ def weighted_sample(
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
+    # upper bound 9.2e18: past bigint range the cast would overflow —
+    # ANSI mode raises anyway, but non-ANSI sessions would get a NULL
+    # priority that sorts FIRST and silently wins, the exact failure
+    # this guard exists to close; check both ends explicitly
     pri = F.expr(
-        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 0 THEN "
+        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 0 "
+        f"OR {weight_col} > 9.2e18 THEN "
         f"CAST(raise_error(concat('weighted_sample: weight must be "
-        f"non-NULL and >= 0, got ', coalesce(cast({weight_col} AS STRING),"
-        f" 'NULL'))) AS BIGINT) "
+        f"non-NULL and in [0, 9.2e18], got ', "
+        f"coalesce(cast({weight_col} AS STRING), 'NULL'))) AS BIGINT) "
         f"ELSE _wsp_h div (cast({weight_col} as bigint) + 1) END"
     )
     return (

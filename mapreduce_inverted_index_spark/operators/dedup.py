@@ -327,9 +327,15 @@ def write_minhash_state(
     ``{path}/shingles`` parquet — the storage half of incremental
     near-dup: signatures are computed ONCE per document ever, then a
     new batch joins against the stored tables
-    (:func:`minhash_incremental_dedup`). Bands are repartitioned on
-    the join key (``key``) at write time so the incremental band join
-    reads co-partitioned files."""
+    (:func:`minhash_incremental_dedup`). The pre-write
+    ``repartition("key")`` clusters each band-key's rows into one
+    file (tight key min/max per row group for scan-side skipping);
+    it does NOT persist a partitioning — plain parquet carries no
+    distribution metadata, so the incremental join still shuffles the
+    state (batch side broadcastable). To make the state-side truly
+    shuffle-free at 100 TB, save it with
+    ``bucketBy(n, "band", "key").saveAsTable`` on BOTH the writer and
+    the batch side (the ``write_index_tables`` pattern)."""
     sh = word_shingles(docs, n, text_col, id_col).persist()
     band_table(_minhash_signatures_from(sh)).repartition("key").write.mode(
         "overwrite"
@@ -346,6 +352,7 @@ def minhash_incremental_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against a stored corpus state —
     the form a production pipeline actually runs: the corpus's band
@@ -360,8 +367,16 @@ def minhash_incremental_dedup(
     Output: ``new_id, dup_of, jaccard`` — every stored doc the new
     doc LSH-collides with at ``jaccard >= threshold``. Route through
     ``groupBy(new_id).agg(min(dup_of))`` for a keep/drop decision.
+
+    ``persist_shingles`` (same contract as :func:`minhash_near_dup`):
+    the batch's shingle table feeds both the signature pipeline and
+    the verify join — persisted by default, LRU-evicted; a
+    per-batch caller that manages its own cache passes False (or
+    calls ``spark.catalog.clearCache()`` to drop eagerly).
     """
-    new_sh = word_shingles(new_docs, n, text_col, id_col).persist()
+    new_sh = word_shingles(new_docs, n, text_col, id_col)
+    if persist_shingles:
+        new_sh = new_sh.persist()
     new_bands = band_table(_minhash_signatures_from(new_sh))
     cands = (
         new_bands.select(

@@ -80,13 +80,15 @@ def prefix_query(spark, index_table: str, prefix: str) -> DataFrame:
     range can't contain the prefix — the scan touches the few
     term-contiguous pages that match, no shuffle, no join.
 
-    Output: ``term, df, postings ARRAY<BIGINT>``, term-ordered.
+    Output: ``term, df, postings ARRAY<BIGINT>``; row order is
+    unspecified (a trailing global ORDER BY would add the exact
+    range-exchange + sort this operator exists to avoid — order at
+    the consumer if the result is small enough to care).
     """
     return (
         spark.table(index_table)
         .where(F.col("term").startswith(prefix))
         .select("term", "df", "postings")
-        .orderBy("term")
     )
 
 

@@ -295,7 +295,7 @@ class _HttpCrawlStreamReader(SimpleDataSourceStreamReader):
         return {"page": 0}
 
     def _rows_for(self, start_page: int, max_pages: int):
-        rows, last_page, exhausted = [], start_page - 1, False
+        rows, last_page = [], start_page - 1
         for page, doc_start, urls in _walk_listing(
             self.base_url, start_page, max_pages
         ):
@@ -309,13 +309,24 @@ class _HttpCrawlStreamReader(SimpleDataSourceStreamReader):
         return rows, last_page
 
     def read(self, start: dict):
+        from urllib.error import HTTPError
+
         first = start["page"]
-        # probe whether the site still has page `first` at all: an
-        # exhausted site keeps returning the same offset (idle no-op)
+        # Exhaustion probe: ONLY a 404/410 on the FIRST listing fetch
+        # means "no page `first` yet" — idle no-op, same offset. Every
+        # other failure — 5xx, timeout, malformed JSON, a missing page
+        # midway through the batch — PROPAGATES and fails the
+        # micro-batch, so a broken site is never silently
+        # indistinguishable from an exhausted one (the offset is
+        # unchanged either way; a retry after the error loses
+        # nothing).
         try:
-            rows, last_page = self._rows_for(first, self.pages_per_batch)
-        except Exception:
-            return iter(()), {"page": first}
+            _http_json(f"{self.base_url}/list/{first}")
+        except HTTPError as e:
+            if e.code in (404, 410):
+                return iter(()), {"page": first}
+            raise
+        rows, last_page = self._rows_for(first, self.pages_per_batch)
         if last_page < first:
             return iter(()), {"page": first}
         return iter(rows), {"page": last_page + 1}

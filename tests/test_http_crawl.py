@@ -193,3 +193,63 @@ def test_http_crawl_to_reference_artifact_end_to_end(spark, site_url, tmp_path):
         t for t in "document body with some words".split() if t not in STOPWORDS
     )
     assert sorted(artifact["index"]) == expect_terms
+
+
+def test_http_crawl_stream_propagates_server_errors(spark, tmp_path):
+    """A broken site must FAIL the micro-batch, not masquerade as an
+    exhausted one: listing 5xx errors propagate (only a 404/410 on
+    the first listing fetch of a trigger is the idle no-op)."""
+    srv_state = {"fail": False}
+
+    class _FlakyHandler(_SiteHandler):
+        def do_GET(self):
+            if srv_state["fail"] and self.path.startswith("/list/"):
+                self.send_error(500)
+                return
+            super().do_GET()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from mapreduce_inverted_index_spark.sources.crawl_source import (
+            register_crawl_source,
+        )
+
+        register_crawl_source(spark)
+
+        def run_once():
+            q = (
+                spark.readStream.format("http_crawl")
+                .option("base_url", url)
+                .option("pages_per_batch", "2")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "sink"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()  # healthy: first pages land
+        n_before = spark.read.parquet(str(tmp_path / "sink")).count()
+        assert n_before > 0
+
+        srv_state["fail"] = True
+        with pytest.raises(StreamingQueryException):
+            run_once()
+
+        # recovery: site healthy again, the walk resumes from the
+        # checkpointed cursor with nothing lost or duplicated
+        srv_state["fail"] = False
+        for _ in range(3):
+            run_once()
+        got = spark.read.parquet(str(tmp_path / "sink"))
+        assert got.count() == len(_expected_rows())
+        assert got.select("doc_id").distinct().count() == len(_expected_rows())
+    finally:
+        srv.shutdown()

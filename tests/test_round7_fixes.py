@@ -333,3 +333,18 @@ def test_reliable_checkpoint_identical_results(spark, tmp_path):
     assert any(os.scandir(str(tmp_path / "ckpt"))), (
         "reliable mode must actually write checkpoint files"
     )
+
+
+def test_weighted_sample_rejects_overflow_weight(spark):
+    """Weights past bigint range would overflow the cast — NULL
+    priority under non-ANSI engines, which sorts first and silently
+    wins. The guard must raise instead."""
+    from mapreduce_inverted_index_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0e19), (3, 2.0)], ["doc_id", "w"]
+    )
+    with pytest.raises(Exception, match="weight must be"):
+        weighted_sample(df, "w", k=2, id_col="doc_id").collect()

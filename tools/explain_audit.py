@@ -792,7 +792,7 @@ AUDITS = [
         # effective), and the probe is scan-only — no join
         "prefix_query_index",
         ["PushedFilters: [IsNotNull(term), StringStartsWith(term,s)]"],
-        ["Join", "CartesianProduct"],
+        ["Join", "CartesianProduct", "Exchange rangepartitioning", "Sort ["],
     ),
     (
         # incremental near-dup: the batch's signature mins partial-agg

@@ -34,6 +34,9 @@ __all__ = [
     "frequent_items",
     "cms_build",
     "cms_estimate",
+    "kmv_sketch",
+    "kmv_pairwise_overlap",
+    "KMV_DOMAIN",
 ]
 
 
@@ -280,3 +283,119 @@ def cms_estimate(
         c = F.coalesce(F.col(f"_cnt{r}"), F.lit(0))
         est = c if est is None else F.least(est, c)
     return out.select(F.col(key), est.alias("cms_est"))
+
+
+# KMV hash domain: md5's first 15 hex chars -> uniform in [0, 2^60).
+KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame, keys: Sequence[str], value: str, k: int = 64
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch per ``keys`` group: the k
+    smallest md5 hashes of the group's distinct ``value``s, as a
+    sorted BIGINT array — the sketch family member HLL can't replace,
+    because KMV supports SET OPERATIONS: union/intersection/Jaccard
+    between groups come from the sketches alone (HLL unions but
+    cannot intersect).
+
+    Deterministic by construction (md5, no RNG, no partitioning
+    dependence), so unlike HLL blobs the whole estimator replays
+    exactly in DuckDB — the oracle is value-exact, not a tolerance
+    band.
+
+    Shape at scale: one distinct on (keys, hash) — map-side combined
+    — then a per-group ``row_number <= k`` window (sort-based,
+    spill-safe; memory is O(k) per group in the final collect, and
+    the window sort is the disk-friendly path — an aggregation-buffer
+    ``collect_set`` would hold every distinct hash of a group in
+    memory, which is exactly what a sketch must never do).
+
+    Output: ``*keys, kmv ARRAY<BIGINT> (ascending, len <= k),
+    n_kept INT``. ``len < k`` means the group had fewer than k
+    distinct values — the estimate is then EXACT (= len).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    distinct = df.select(*keys, h.alias("_h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+        .withColumn("n_kept", F.size("kmv").cast("int"))
+    )
+
+
+def _kmv_est(kmv, k: int):
+    """Distinct estimate from one sketch: exact size below k, else
+    the classic (k-1) * DOMAIN / kth_min."""
+    return F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * KMV_DOMAIN) / F.element_at(kmv, k).cast("double")
+    )
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame, key: str, k: int = 64
+) -> DataFrame:
+    """Set-operation estimates for every PAIR of sketch groups, from
+    the sketches alone (the raw data is never re-read — the point of
+    keeping KMV state): for groups a < b,
+
+      * ``est_a`` / ``est_b``  — per-group distinct estimates,
+      * ``est_union``          — from the k smallest of kmv_a ∪ kmv_b
+        (itself a valid KMV of the union — min commutes with union),
+      * ``jaccard_e6``         — |X ∩ A ∩ B| / |X| over that union
+        sketch X, in exact integer millionths,
+      * ``est_intersection``   — jaccard × union estimate.
+
+    Estimates are emitted as BIGINTs (floor(x·scale + 0.5)) so every
+    output column is integer-exact cross-engine — no float-hash
+    hazards anywhere.
+    """
+    a = sketches.select(
+        F.col(key).alias("a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sketches.select(
+        F.col(key).alias("b"), F.col("kmv").alias("kmv_b")
+    )
+    x = F.slice(F.array_sort(F.array_union("kmv_a", "kmv_b")), 1, k)
+    paired = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("_x", x)
+        .withColumn(
+            "_union_est",
+            F.when(
+                F.size("_x") < k, F.size("_x").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1) * KMV_DOMAIN)
+                / F.element_at("_x", k).cast("double")
+            ),
+        )
+        .withColumn(
+            "_jac",
+            F.size(F.array_intersect(F.array_intersect("_x", "kmv_a"), "kmv_b"))
+            .cast("double")
+            / F.size("_x").cast("double"),
+        )
+    )
+
+    def as_int(col):
+        return F.floor(col + F.lit(0.5)).cast("bigint")
+
+    return paired.select(
+        "a",
+        "b",
+        as_int(_kmv_est(F.col("kmv_a"), k)).alias("est_a"),
+        as_int(_kmv_est(F.col("kmv_b"), k)).alias("est_b"),
+        as_int(F.col("_union_est")).alias("est_union"),
+        as_int(F.col("_jac") * F.lit(1_000_000.0)).alias("jaccard_e6"),
+        as_int(F.col("_jac") * F.col("_union_est")).alias("est_intersection"),
+    )

@@ -220,3 +220,72 @@ def q_term_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "bigram").limit(20)
+
+
+_KMV_K = 64
+_KMV_D = "1152921504606846976.0"  # 2^60, the md5-15-hex hash domain
+_KMV_H = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _kmv_est_sql(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) < {_KMV_K} THEN CAST(len({arr}) AS DOUBLE) "
+        f"ELSE {_KMV_K - 1}.0 * {_KMV_D} / CAST({arr}[{_KMV_K}] AS DOUBLE) END"
+    )
+
+
+@register(
+    "kmv_user_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_H} AS h FROM events),
+    rn AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+    sk AS (SELECT event_type, list(h ORDER BY h) AS kmv
+           FROM rn WHERE rn <= {_KMV_K} GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.kmv AS ka, b.kmv AS kb,
+             list_slice(list_sort(list_distinct(a.kmv || b.kmv)),
+                        1, {_KMV_K}) AS x
+      FROM sk a, sk b WHERE a.event_type < b.event_type),
+    e AS (
+      SELECT type_a, type_b, ka, kb, x,
+             {_kmv_est_sql('ka')} AS ea,
+             {_kmv_est_sql('kb')} AS eb,
+             {_kmv_est_sql('x')} AS eu,
+             CAST(len(list_intersect(list_intersect(x, ka), kb)) AS DOUBLE)
+               / CAST(len(x) AS DOUBLE) AS j
+      FROM p)
+    SELECT type_a, type_b,
+           CAST(floor(ea + 0.5) AS BIGINT) AS est_a,
+           CAST(floor(eb + 0.5) AS BIGINT) AS est_b,
+           CAST(floor(eu + 0.5) AS BIGINT) AS est_union,
+           CAST(floor(j * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6,
+           CAST(floor(j * eu + 0.5) AS BIGINT) AS est_intersection
+    FROM e
+    """,
+    doc="KMV (k-minimum-values) distinct sketches per event type + "
+        "pairwise SET-OPERATION estimates from the sketches alone — "
+        "the capability HLL lacks (HLL unions but cannot intersect): "
+        "per-pair distinct/union/Jaccard/intersection estimates "
+        "without re-reading raw events. md5-based and RNG-free, so "
+        "unlike HLL the whole estimator replays EXACTLY in DuckDB "
+        "(integer outputs, value-exact oracle — no tolerance band). "
+        "Build shape: one map-side-combined distinct on (type, "
+        "hash), a spill-safe per-group row_number<=k window "
+        "(memory O(k), never a whole-set collect), then pair math "
+        "on |types| sketch rows only. Operators: sketches.kmv_sketch "
+        "/ sketches.kmv_pairwise_overlap.",
+)
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = S.kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K)
+    return S.kmv_pairwise_overlap(sk, "event_type", k=_KMV_K).select(
+        F.col("a").alias("type_a"),
+        F.col("b").alias("type_b"),
+        "est_a", "est_b", "est_union", "jaccard_e6", "est_intersection",
+    )

@@ -148,6 +148,7 @@ _DRIVER_PRIORITY = (
     "minhash_incremental_dedup",
     "prefix_query_index",
     "bpe_encode_docs",
+    "kmv_user_overlap",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -160,7 +161,6 @@ _DRIVER_PRIORITY = (
     "json_events_agg",
     "map_funcs_events",
     "range_join_close_events",
-    "asof_join_event_order",
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -108,6 +108,18 @@ QUERIES = [
     # max — on top of the salted join it dispatches to here)
     "dsir_importance_weights",
     "auto_routed_join_events",
+    # round-7 second batch: batch-vs-stored-state incremental dedup
+    # (growth tracks batch signatures + the band join against state;
+    # the probe's cost INCLUDES writing the state, so treat it as an
+    # upper bound), the 8-replace BPE encode (pure scan-side chain +
+    # one symbol agg), and the pushdown prefix probe over the stored
+    # index (cost includes building the index tables per run)
+    "minhash_incremental_dedup",
+    "bpe_encode_docs",
+    "prefix_query_index",
+    # KMV sketch build + pairwise set-op estimates (distinct +
+    # bounded window; pair math on |types| sketch rows)
+    "kmv_user_overlap",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

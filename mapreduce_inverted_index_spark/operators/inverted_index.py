@@ -41,6 +41,7 @@ __all__ = [
     "gap_decode_col",
     "gap_encode_index",
     "gap_decode_postings",
+    "delete_from_index",
 ]
 
 
@@ -262,4 +263,33 @@ def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
     return merged.select(
         "term", "postings", F.size("postings").cast("bigint").alias("df")
+    )
+
+
+def delete_from_index(index: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """Incremental index maintenance, the DELETE half (adds are
+    :func:`merge_index`): remove a batch of documents from a built
+    index without re-reading any document text. Postings are filtered
+    per term, df recomputed, terms whose last posting vanishes drop
+    out — so the result is EXACTLY ``build_index`` of the surviving
+    corpus (the invariant the oracle and pytest assert).
+
+    ``doc_ids`` is a driver-side list by design: a deletion batch
+    (takedowns, opt-outs, retention expiry) is operator-input-sized,
+    not corpus-sized, and inlining it as an array literal keeps the
+    whole operation a pure per-row MAP over the index — no join, no
+    shuffle, and on a ``bucketBy(term)`` index the rewrite is
+    embarrassingly parallel per bucket file. (A corpus-sized deletion
+    is a different problem — rebuild via :func:`build_index` on the
+    filtered corpus instead.)
+    """
+    dead = F.array(*[F.lit(int(d)).cast("bigint") for d in doc_ids])
+    return (
+        index.select(
+            "term", F.array_except("postings", dead).alias("postings")
+        )
+        .where(F.size("postings") > 0)
+        .select(
+            "term", "postings", F.size("postings").cast("bigint").alias("df")
+        )
     )

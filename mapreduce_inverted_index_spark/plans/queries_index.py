@@ -136,6 +136,41 @@ def q_prefix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "index_delete_docs",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs WHERE doc_id % 7 <> 0 GROUP BY term
+    """,
+    doc="Index maintenance, the DELETE half (merge_index is the ADD "
+        "half): remove a takedown/opt-out batch from a built index "
+        "WITHOUT re-reading document text — per-term array_except + "
+        "df recompute, terms losing their last posting drop out. The "
+        "deletion list inlines as an array literal, so the rewrite "
+        "is a pure per-row map (no join, no shuffle; per bucket file "
+        "on a bucketBy(term) index). The oracle rebuilds the index "
+        "from the SURVIVING corpus, so a green row proves the "
+        "invariant delete(build(all)) == build(all - deleted). "
+        "Operator: inverted_index.delete_from_index.",
+)
+def q_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # deletion batches are operator-input-sized (takedown lists);
+    # this demo derives one deterministically from the fixture
+    dead = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    return idx.delete_from_index(idx.build_index(docs), dead).select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df"
+    )
+
+
+@register(
     "doc_terms",
     oracle=f"WITH pairs AS ({_PAIRS_SQL}) SELECT doc_id, term FROM pairs",
     doc="Map-phase output: per-doc distinct (doc_id, term) pairs "

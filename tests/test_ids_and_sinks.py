@@ -262,3 +262,35 @@ def test_final_index_json_reference_byte_shape(spark, tmp_path):
     with open(out, "rb") as f:
         got_bytes = f.read()
     assert got_bytes == json.dumps(expected, indent=2).encode()
+
+
+def test_delete_from_index_equals_rebuild(spark, sf_smoke):
+    """delete(build(all), dead) must equal build(all - dead), with
+    terms losing their last posting dropping out entirely."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        delete_from_index,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    dead = [r["doc_id"] for r in docs.limit(40).collect()]
+    got = sorted(
+        (r["term"], list(r["postings"]), r["df"])
+        for r in delete_from_index(build_index(docs), dead).collect()
+    )
+    want = sorted(
+        (r["term"], list(r["postings"]), r["df"])
+        for r in build_index(
+            docs.where(~F.col("doc_id").isin(dead))
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # a term owned solely by deleted docs must vanish
+    single = spark.createDataFrame(
+        [(1, "unique zebra"), (2, "other words")], "doc_id long, text string"
+    )
+    left = delete_from_index(build_index(single), [1]).collect()
+    assert all("zebra" not in r["term"] for r in left)

@@ -50,6 +50,7 @@ __all__ = [
     "write_ivf_cells",
     "ivf_pruned_scan_topk",
     "semantic_dedup_pairs",
+    "semantic_incremental_dedup",
     "quantize_embeddings",
     "dequantize",
     "label_centroids",
@@ -851,3 +852,55 @@ def pca_project(
         project, schema=f"_pid {id_type}, proj array<double>"
     )
     return out.withColumnRenamed("_pid", id_col)
+
+
+def semantic_incremental_dedup(
+    new_embeddings: DataFrame,
+    base_cells: DataFrame,
+    cents: DataFrame,
+    tau: float = 0.4,
+    r: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup matches of a NEW embedding batch against a
+    STORED cell-tagged corpus — the embedding-space twin of
+    ``dedup.minhash_incremental_dedup``: the corpus's IVF state
+    (:func:`write_ivf_cells` artifact + its codebook) is written
+    once; each incoming batch is multi-assigned to its ``r`` nearest
+    cells against the SAME codebook and joined to the stored cells on
+    the cell key — batch × (probed cells' members), never
+    batch × corpus — with exact cosine verification of candidates
+    only.
+
+    Because the batch side is broadcast-sized and ``cell`` is the
+    storage partition column, Catalyst's dynamic partition pruning
+    applies: the stored-corpus scan reads only the batch's probed
+    cell directories. Candidate IO — not just candidate compute — is
+    r/n_cells of the corpus per batch.
+
+    Output: ``new_id, dup_of, cos_sim`` (distinct), every stored
+    vector the new one shares a probed cell with at
+    ``cosine >= tau``. Recall < 1 by construction (cell-boundary
+    pairs straddling all r cells are missed) — the catalog carries a
+    measured-recall contract against the brute-force anchor, same
+    pattern as ``semantic_dedup_contract``.
+    """
+    multi = ivf_multi_assign(new_embeddings, cents, r, id_col, vec_col)
+    a = multi.select(
+        "cell", F.col("vec_id").alias("new_id"), F.col("vec").alias("va")
+    )
+    b = base_cells.select(
+        "cell", F.col("vec_id").alias("dup_of"), F.col("vec").alias("vb")
+    )
+    return (
+        F.broadcast(a)
+        .join(b, "cell")
+        .select(
+            "new_id",
+            "dup_of",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= tau)
+        .distinct()
+    )

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY = (
     "bpe_encode_docs",
     "kmv_user_overlap",
     "index_delete_docs",
+    "semantic_incremental_contract",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -160,7 +161,6 @@ _DRIVER_PRIORITY = (
     "stream_transition_matrix",
     # -- fills: only-r1 evidence, events/date-adjacent first --
     "json_events_agg",
-    "map_funcs_events",
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

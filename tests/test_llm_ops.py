@@ -238,3 +238,56 @@ def test_minhash_incremental_equals_full_cross_pairs(spark, tmp_path):
         if (r["doc_a"] % 5 == 0) != (r["doc_b"] % 5 == 0)
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_incremental_precision_and_cross_pairs(spark, tmp_path):
+    """Incremental semantic dedup vs stored IVF cells: every returned
+    pair must be a REAL cosine>=tau cross-split pair (precision 1.0),
+    and the found set must equal the cell-blocked expectation computed
+    without the storage round-trip (state write changes nothing)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_inverted_index_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    cents = S.ivf_centroids(base)
+    assigned = S.ivf_assign(base, cents)
+
+    path = str(tmp_path / "cells")
+    S.write_ivf_cells(assigned, path)
+    via_state = sorted(
+        map(
+            tuple,
+            S.semantic_incremental_dedup(
+                new, spark.read.parquet(path), cents, tau=0.4, r=6
+            ).collect(),
+        )
+    )
+    in_memory = sorted(
+        map(
+            tuple,
+            S.semantic_incremental_dedup(
+                new, assigned.select("vec_id", "vec", "cell"), cents,
+                tau=0.4, r=6,
+            ).collect(),
+        )
+    )
+    assert via_state == in_memory and len(via_state) > 0
+
+    from mapreduce_inverted_index_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    brute = {
+        (r["new_id"], r["dup_of"])
+        for r in new.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("va"))
+        .crossJoin(
+            base.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb"))
+        )
+        .where(F.round(cosine_similarity("va", "vb"), 6) >= 0.4)
+        .select("new_id", "dup_of")
+        .collect()
+    }
+    assert all((a, b) in brute for a, b, _ in via_state), "precision 1.0"

@@ -778,6 +778,17 @@ AUDITS = [
         ["CartesianProduct"],
     ),
     (
+        # incremental semantic dedup contract: the broadcast batch
+        # side must trigger DYNAMIC partition pruning on the stored
+        # cell-partitioned state scan (candidate IO, not just
+        # compute, is r/n_cells of the corpus). The contract's brute
+        # anchor crossJoin is the verification side, sf-gated — so
+        # CartesianProduct is expected and not forbidden here.
+        "semantic_incremental_contract",
+        ["dynamicpruning", "PartitionFilters"],
+        [],
+    ),
+    (
         # BPE encode: the merge chain must live in the scan-side
         # projection (a chain of replace()s — no UDF, no join) and
         # the symbol count must partial-agg map-side

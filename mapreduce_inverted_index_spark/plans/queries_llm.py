@@ -1979,6 +1979,63 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_topk_selection",
+    oracle=f"""
+    WITH tb AS (
+      SELECT doc_id, {_DSIR_BUCKET} AS b
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)),
+    ttb AS (
+      SELECT {_DSIR_BUCKET} AS b
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents
+            WHERE lang = 'en')),
+    sh AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM tb GROUP BY 1),
+    th AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM ttb GROUP BY 1),
+    dim AS (
+      SELECT COALESCE(sh.b, th.b) AS b,
+             CAST(round(ln(COALESCE(tc, 0) + 1), 9) AS DECIMAL(18,9))
+             - CAST(round(ln(COALESCE(sc, 0) + 1), 9) AS DECIMAL(18,9)) AS lr
+      FROM sh FULL JOIN th ON sh.b = th.b),
+    konst AS (
+      SELECT CAST(round(ln((SELECT sum(sc) FROM sh) + {_DSIR_B}), 9)
+                  AS DECIMAL(18,9))
+             - CAST(round(ln((SELECT sum(tc) FROM th) + {_DSIR_B}), 9)
+                    AS DECIMAL(18,9)) AS k),
+    db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM tb GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id,
+             CAST(ROUND(sum(CAST(c AS DECIMAL(12,0)) * lr)
+                        + CAST(sum(c) AS DECIMAL(12,0))
+                          * (SELECT k FROM konst), 6) AS DOUBLE)
+               AS log_weight
+      FROM db JOIN dim USING (b) GROUP BY doc_id)
+    SELECT doc_id, log_weight
+    FROM w ORDER BY log_weight DESC, doc_id LIMIT 50
+    """,
+    doc="The SELECTION end of the DSIR recipe: top-k documents by "
+        "log importance weight (deterministic doc_id tiebreak) — the "
+        "deterministic, rank-based alternative to exp-weight "
+        "resampling (exp() is libm-dependent cross-engine; ranks are "
+        "not). Plan: the dsir_importance_weights pipeline feeding "
+        "TakeOrderedAndProject — per-partition heaps of k, never a "
+        "global sort of the corpus. Operator: "
+        "curation.dsir_importance_weights + top-k.",
+)
+def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_inverted_index_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    w = dsir_importance_weights(d, d.where(F.col("lang") == "en"), n_buckets=_DSIR_B)
+    return (
+        w.select("doc_id", "log_weight")
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
     "temperature_mixture_sample",
     oracle="""
     WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),

@@ -151,6 +151,7 @@ _DRIVER_PRIORITY = (
     "kmv_user_overlap",
     "index_delete_docs",
     "semantic_incremental_contract",
+    "dsir_topk_selection",
     # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
     # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
     # transitions) — changed operators need fresh driver proof, so
@@ -159,8 +160,9 @@ _DRIVER_PRIORITY = (
     "event_type_hour_chi2",
     "embedding_gram_matrix",
     "stream_transition_matrix",
-    # -- fills: only-r1 evidence, events/date-adjacent first --
-    "json_events_agg",
+    # (the eight round-7 additions displaced the whole only-r1 fill
+    # list; every displaced fill holds an r1 green driver row plus
+    # this session's local exact sweep at sf0.01 AND sf0.1)
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -1678,7 +1678,8 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM tok LEFT JOIN vocab v USING (term))
     SELECT doc_id,
            CAST(count(*) AS INTEGER) AS n_tokens,
-           list(tid ORDER BY pos) AS token_ids
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
+             AS token_ids_csv
     FROM enc GROUP BY doc_id
     """.format(toks=_TOKS),
     doc="Tokenizer artifact end-to-end: frequency-ranked vocabulary "
@@ -1688,10 +1689,21 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joins broadcast; shuffle rows are (doc_id, pos, id) ints — "
         "token text never leaves the map side; array order is an "
         "explicit sort on the carried position, not collect_list "
-        "luck. Operator: textstats.build_vocab/encode_docs.",
+        "luck. The catalog twin renders the id array as a CSV string "
+        "(array_join) because the driver's row canonicalizer cannot "
+        "hash ARRAY cells — same treatment as media_features r5; the "
+        "array form stays the operator API. Operator: "
+        "textstats.build_vocab/encode_docs.",
 )
 def q_vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.encode_docs(_docs(spark, sf_dir))
+    enc = T.encode_docs(_docs(spark, sf_dir))
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids_csv"
+        ),
+    )
 
 
 @register(

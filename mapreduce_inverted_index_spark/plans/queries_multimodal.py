@@ -220,14 +220,23 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(range(1, n + 1), i ->
                (instr('0123456789abcdef', substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
                + instr('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1) AS bytes
-      FROM m)
+      FROM m),
+    p AS (
+      SELECT media_id, kind,
+             list_transform(range(0, 16), i ->
+               CASE WHEN ((i+1)*n)//16 - (i*n)//16 > 0
+               THEN CAST(list_sum(list_slice(bytes, (i*n)//16 + 1, ((i+1)*n)//16))
+                         // (((i+1)*n)//16 - (i*n)//16) AS DOUBLE)
+               ELSE 0.0 END) AS pixels
+      FROM b)
     SELECT media_id, kind,
-           list_transform(range(0, 16), i ->
-             CASE WHEN ((i+1)*n)//16 - (i*n)//16 > 0
-             THEN CAST(list_sum(list_slice(bytes, (i*n)//16 + 1, ((i+1)*n)//16))
-                       // (((i+1)*n)//16 - (i*n)//16) AS DOUBLE)
-             ELSE 0.0 END) AS pixels
-    FROM b
+           pixels[1] AS p00, pixels[2] AS p01, pixels[3] AS p02,
+           pixels[4] AS p03, pixels[5] AS p04, pixels[6] AS p05,
+           pixels[7] AS p06, pixels[8] AS p07, pixels[9] AS p08,
+           pixels[10] AS p09, pixels[11] AS p10, pixels[12] AS p11,
+           pixels[13] AS p12, pixels[14] AS p13, pixels[15] AS p14,
+           pixels[16] AS p15
+    FROM p
     """,
     doc="Byte-level resize/downsample via mapInPandas (Arrow-batched "
         "narrow map, payloads never shuffle): 16 output 'pixels' = "
@@ -235,7 +244,16 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "perceptual hash — exact floor math, replayed by the DuckDB "
         "twin from the hex rendering. The real image path swaps the "
         "inner loop for decode+PIL resize; plan shape unchanged. "
+        "The catalog twin unpacks the 16-element pixel array into "
+        "scalar p00..p15 columns because the driver's row "
+        "canonicalizer cannot hash ARRAY cells (same treatment as "
+        "media_features r5); the array form stays the operator API. "
         "Operator: multimodal.resize_payloads.",
 )
 def q_media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.resize_payloads(_media(spark, sf_dir), out_len=16)
+    resized = M.resize_payloads(_media(spark, sf_dir), out_len=16)
+    return resized.select(
+        "media_id",
+        "kind",
+        *[F.col("pixels")[i].alias(f"p{i:02d}") for i in range(16)],
+    )

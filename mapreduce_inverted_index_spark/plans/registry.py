@@ -82,87 +82,109 @@ def _load() -> None:
 # The driver's correctness window checks only the FIRST 50 catalog
 # entries per round, so catalog order is driver-evidence policy.
 #
-# ROUND 7 (VERDICT r6 ask #1): rotate in every catalog query that has
-# NEVER appeared in any CORRECTNESS window — 37 of them, computed as
-# catalog minus the union of CORRECTNESS_r01..r06 keys: the
-# decorrelated TPC-H tail (volume_shipping_nation_pairs ...
-# returned_item_reporting), the sampling/split family, the lakehouse
-# layout family, the Spark-4 surfaces (variant/pipe/recursive/ANSI),
-# the tokenizer-training tier (bpe_merge_step, vocab_token_ids), and
-# the leftover feature ops (ewma, skew profile, bootstrap CI, ...).
-# These convert 18% of the catalog from self-reported to
-# driver-proven. The remaining slots go to (a) the round-7 addition
-# auto_routed_join_events (new queries with no row ever outrank
-# everything) and (b) fills from the 33 queries whose only green row
-# is r1 — pre-fixture-regeneration evidence, events/date-adjacent
-# ones first (the ts encoding change is the one thing that ever
-# silently broke a family).
+# ROUND 8 (VERDICT r7 asks #1 and #3): first the two never-green
+# queries whose catalog twins were scalar-ized this round
+# (vocab_token_ids → token_ids_csv, media_resize_pixels → p00..p15 —
+# the driver canonicalizer cannot hash ARRAY cells), then the round-8
+# additions (new queries with no driver row ever outrank everything),
+# then index_delete_docs (its demo derivation + delete_from_index
+# large-list branch changed this round — changed operators need fresh
+# proof), then the 44 stale-evidence queries whose latest green row
+# is ≤ r3 — all pre-date the r5 fixture regeneration (events.ts type
+# change) and none has been driver-re-seen since. Exhaustive list
+# computed as {q : latest green round ≤ 3} from CORRECTNESS_r01..r07.
 #
-# Every query rotated OUT holds a green driver row from r5/r6 on
-# current fixtures plus this session's local exact-value sweep.
+# Every query rotated OUT holds a green r5–r7 driver row on current
+# fixtures plus this session's local exact-value sweep.
 _DRIVER_PRIORITY = (
-    # -- the 37 never-driver-checked queries (exhaustive) --
-    "contrastive_negatives_docs",
-    "hard_negatives_topk",
+    # -- the 2 never-green queries, now driver-hashable (r7 ask #1) --
     "vocab_token_ids",
-    "train_val_test_split",
-    "weighted_sample_docs",
-    "bpe_merge_step",
-    "stream_chunk_ingest",
     "media_resize_pixels",
-    "term_association_lift",
-    "shard_manifest_docs",
-    "zorder_layout_orders",
-    "group_sample_docs",
-    "scd2_order_status_history",
-    "compaction_plan_files",
-    "rag_chunk_docs",
-    "join_skew_profile_events",
-    "ewma_user_values",
-    "small_qty_part_revenue",
-    "top_revenue_supplier",
-    "grouped_agg_pandas_wavg",
-    "variant_events_agg",
-    "sql_pipe_syntax",
-    "recursive_monthly_cumsum",
-    "ansi_safe_math_lineitem",
-    "attribution_lag_quantiles",
-    "range_partition_boundaries",
-    "bootstrap_ci_price",
-    "volume_shipping_nation_pairs",
-    "nation_market_share",
-    "product_type_profit",
-    "promo_revenue_share",
-    "disjunctive_predicate_revenue",
-    "min_cost_part_suppliers",
-    "important_part_value_share",
-    "supplier_cnt_by_part_attrs",
-    "excess_shipped_part_suppliers",
-    "returned_item_reporting",
-    # -- round-7 additions (new queries with no driver row ever
-    # outrank fills): histogram-routed join selector, DSIR importance
-    # weights, incremental minhash dedup vs stored state, and the
-    # pushdown-audited prefix probe over the stored index --
-    "auto_routed_join_events",
-    "dsir_importance_weights",
-    "minhash_incremental_dedup",
-    "prefix_query_index",
-    "bpe_encode_docs",
-    "kmv_user_overlap",
+    # -- round-8 additions (no driver row ever) --
+    "bpe_train_merges",
+    "hard_negatives_ivf_contract",
+    "semantic_stream_maintenance",
+    # -- round-8 operator change: delete_from_index grew a
+    # broadcast-anti-join branch for large takedown lists and the
+    # demo derivation is now bounded (r7 ask #4) --
     "index_delete_docs",
-    "semantic_incremental_contract",
-    "dsir_topk_selection",
-    # -- round-7 operator changes (ADVICE fixes: y-quantized ols2,
-    # NULL-safe chi2, slice-guarded gram, chunk-safe stateful
-    # transitions) — changed operators need fresh driver proof, so
-    # they outrank unchanged only-r1 fills --
-    "linear_probe_embeddings",
-    "event_type_hour_chi2",
-    "embedding_gram_matrix",
+    # -- the 44 stale-evidence queries (latest green ≤ r3, all
+    # pre-fixture-regeneration; exhaustive) --
+    "filter_pushdown_scan",
+    "agg_pricing_summary",
+    "rollup_order_stats",
+    "cube_lineitem_stats",
+    "grouping_sets_revenue",
+    "distinct_users_per_type",
+    "join_customer_orders",
+    "broadcast_join_part_revenue",
+    "left_join_order_counts",
+    "semi_join_open_order_customers",
+    "anti_join_orderless_customers",
+    "multiway_join_region_revenue",
+    "window_topn_orders_per_segment",
+    "window_running_customer_spend",
+    "window_order_gaps",
+    "global_topk_orders",
+    "set_union_active_keys",
+    "set_intersect_status_keys",
+    "set_except_inactive_keys",
+    "string_funcs_parts",
+    "date_funcs_orders",
+    "math_funcs_lineitem",
+    "json_events_agg",
+    "conditional_pivot_monthly",
+    "above_avg_acctbal_customers",
+    "asof_join_event_order",
+    "range_join_close_events",
+    "salted_agg_event_values",
+    "sql_passthrough",
+    "map_funcs_events",
+    "null_handling_funcs",
+    "array_hof_funcs",
+    "median_stats_lineitem",
+    "text_quality_profile",
+    "doc_fingerprints",
+    "groupwise_zscore",
+    "corpus_curation_pipeline",
+    "dedup_components",
+    "benchmark_decontamination",
+    "stratified_sample_mixture",
+    "pack_training_sequences",
+    "pii_redaction_stats",
+    "repetition_profile",
+    "embedding_quantization_error",
+)
+
+# Round-7 window, kept for the rotation audit trail: the 37
+# never-driver-checked queries (all went green r7 except the two
+# array-output ones now leading the r8 window) + the nine round-7
+# additions + four round-7 operator-change re-proofs. Every green
+# name holds its r7 row on current fixtures.
+_R7_WINDOW = (
+    "contrastive_negatives_docs", "hard_negatives_topk",
+    "vocab_token_ids", "train_val_test_split", "weighted_sample_docs",
+    "bpe_merge_step", "stream_chunk_ingest", "media_resize_pixels",
+    "term_association_lift", "shard_manifest_docs",
+    "zorder_layout_orders", "group_sample_docs",
+    "scd2_order_status_history", "compaction_plan_files",
+    "rag_chunk_docs", "join_skew_profile_events", "ewma_user_values",
+    "small_qty_part_revenue", "top_revenue_supplier",
+    "grouped_agg_pandas_wavg", "variant_events_agg", "sql_pipe_syntax",
+    "recursive_monthly_cumsum", "ansi_safe_math_lineitem",
+    "attribution_lag_quantiles", "range_partition_boundaries",
+    "bootstrap_ci_price", "volume_shipping_nation_pairs",
+    "nation_market_share", "product_type_profit",
+    "promo_revenue_share", "disjunctive_predicate_revenue",
+    "min_cost_part_suppliers", "important_part_value_share",
+    "supplier_cnt_by_part_attrs", "excess_shipped_part_suppliers",
+    "returned_item_reporting", "auto_routed_join_events",
+    "dsir_importance_weights", "minhash_incremental_dedup",
+    "prefix_query_index", "bpe_encode_docs", "kmv_user_overlap",
+    "index_delete_docs", "semantic_incremental_contract",
+    "dsir_topk_selection", "linear_probe_embeddings",
+    "event_type_hour_chi2", "embedding_gram_matrix",
     "stream_transition_matrix",
-    # (the eight round-7 additions displaced the whole only-r1 fill
-    # list; every displaced fill holds an r1 green driver row plus
-    # this session's local exact sweep at sf0.01 AND sf0.1)
 )
 
 # Round-6 window, kept for the rotation audit trail (every name here

@@ -1,0 +1,39 @@
+"""Catalog-wide driver-compatibility schema guard.
+
+The correctness driver canonicalizes each result by sorting pandas
+rows and hashing cell values; a top-level ArrayType/MapType column
+makes that hash crash (``TypeError: unhashable type: 'list'``). This
+failure class has bitten three times (r5 ``media_features``, r7
+``vocab_token_ids`` + ``media_resize_pixels``) — this structural test
+ends it: every oracle-carrying catalog query must expose a
+scalar-only top-level schema. Array-valued operators keep their array
+APIs; their catalog twins unpack/join to scalars.
+
+Rows-only queries (``oracle=None``) are exempt: the driver only
+counts their rows, never hashes cells.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+_QUERIES = all_queries()
+_ORACLE_CARRYING = sorted(n for n, q in _QUERIES.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_CARRYING)
+def test_no_unhashable_columns_in_driver_output(spark, sf_smoke, name):
+    df = _QUERIES[name].fn(spark, sf_smoke)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} outputs driver-unhashable top-level columns {bad}; "
+        "scalar-ize the catalog twin (array_join / element unpack) "
+        "and keep the array form as the operator API"
+    )

@@ -266,7 +266,14 @@ def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def delete_from_index(index: DataFrame, doc_ids: list[int]) -> DataFrame:
+DELETE_INLINE_THRESHOLD = 10_000
+
+
+def delete_from_index(
+    index: DataFrame,
+    doc_ids: "list[int] | DataFrame",
+    inline_threshold: int = DELETE_INLINE_THRESHOLD,
+) -> DataFrame:
     """Incremental index maintenance, the DELETE half (adds are
     :func:`merge_index`): remove a batch of documents from a built
     index without re-reading any document text. Postings are filtered
@@ -274,22 +281,48 @@ def delete_from_index(index: DataFrame, doc_ids: list[int]) -> DataFrame:
     out — so the result is EXACTLY ``build_index`` of the surviving
     corpus (the invariant the oracle and pytest assert).
 
-    ``doc_ids`` is a driver-side list by design: a deletion batch
-    (takedowns, opt-outs, retention expiry) is operator-input-sized,
-    not corpus-sized, and inlining it as an array literal keeps the
-    whole operation a pure per-row MAP over the index — no join, no
-    shuffle, and on a ``bucketBy(term)`` index the rewrite is
-    embarrassingly parallel per bucket file. (A corpus-sized deletion
-    is a different problem — rebuild via :func:`build_index` on the
-    filtered corpus instead.)
+    Two physical strategies, picked by batch size:
+
+    - ``len(doc_ids) <= inline_threshold`` (the common case — a
+      deletion batch from takedowns/opt-outs/retention expiry is
+      operator-input-sized, not corpus-sized): inline the ids as one
+      array literal and ``array_except`` per row. A pure per-row MAP
+      over the index — no join, no shuffle, and on a
+      ``bucketBy(term)`` index the rewrite is embarrassingly parallel
+      per bucket file.
+    - larger batches, or ``doc_ids`` passed as a DataFrame (column
+      ``doc_id``): inlining would grow the PLAN itself linearly with
+      the batch (serialization, analysis, and broadcast-to-every-task
+      costs — the scale-killer), so instead EXPLODE postings and
+      broadcast-anti-join against the deletion set, then regroup per
+      term with an explicit sort. One shuffle on term; the deletion
+      side stays broadcast-sized (a multi-GB deletion list means you
+      want :func:`build_index` on the filtered corpus instead).
     """
-    dead = F.array(*[F.lit(int(d)).cast("bigint") for d in doc_ids])
-    return (
-        index.select(
-            "term", F.array_except("postings", dead).alias("postings")
+    if not isinstance(doc_ids, DataFrame) and len(doc_ids) <= inline_threshold:
+        dead = F.array(*[F.lit(int(d)).cast("bigint") for d in doc_ids])
+        return (
+            index.select(
+                "term", F.array_except("postings", dead).alias("postings")
+            )
+            .where(F.size("postings") > 0)
+            .select(
+                "term",
+                "postings",
+                F.size("postings").cast("bigint").alias("df"),
+            )
         )
-        .where(F.size("postings") > 0)
-        .select(
-            "term", "postings", F.size("postings").cast("bigint").alias("df")
+    if isinstance(doc_ids, DataFrame):
+        dead_df = doc_ids.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    else:
+        spark = index.sparkSession
+        dead_df = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id bigint"
         )
+    pairs = index.select(
+        "term", F.explode("postings").alias("doc_id")
+    ).join(F.broadcast(dead_df), "doc_id", "left_anti")
+    return pairs.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count("*").cast("bigint").alias("df"),
     )

@@ -862,6 +862,8 @@ def semantic_incremental_dedup(
     r: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast: "bool | str" = "auto",
+    broadcast_max_rows: int = 100_000,
 ) -> DataFrame:
     """Semantic near-dup matches of a NEW embedding batch against a
     STORED cell-tagged corpus — the embedding-space twin of
@@ -873,11 +875,21 @@ def semantic_incremental_dedup(
     batch × corpus — with exact cosine verification of candidates
     only.
 
-    Because the batch side is broadcast-sized and ``cell`` is the
+    When the batch side is broadcast-sized and ``cell`` is the
     storage partition column, Catalyst's dynamic partition pruning
     applies: the stored-corpus scan reads only the batch's probed
     cell directories. Candidate IO — not just candidate compute — is
     r/n_cells of the corpus per batch.
+
+    ``broadcast="auto"`` (default) probes the batch with a BOUNDED
+    ``limit(n+1).count()`` (the :func:`skew.choose_join_route`
+    discipline) and only broadcast-hints when the batch is at most
+    ``broadcast_max_rows`` ids — an oversized batch (a backfill
+    replay, a day-one bulk load) falls back to a plain shuffle join
+    on ``cell`` instead of failing the broadcast build. Pass
+    ``True``/``False`` to force a side when the caller already knows
+    the batch size (e.g. a foreachBatch loop with bounded
+    maxFilesPerTrigger). Result rows are identical on every route.
 
     Output: ``new_id, dup_of, cos_sim`` (distinct), every stored
     vector the new one shares a probed cell with at
@@ -893,9 +905,15 @@ def semantic_incremental_dedup(
     b = base_cells.select(
         "cell", F.col("vec_id").alias("dup_of"), F.col("vec").alias("vb")
     )
+    if broadcast == "auto":
+        # bounded probe on the PRE-multi-assign batch (r× smaller)
+        probe = new_embeddings.limit(
+            broadcast_max_rows + 1
+        ).count()
+        broadcast = probe <= broadcast_max_rows
+    left = F.broadcast(a) if broadcast else a
     return (
-        F.broadcast(a)
-        .join(b, "cell")
+        left.join(b, "cell")
         .select(
             "new_id",
             "dup_of",

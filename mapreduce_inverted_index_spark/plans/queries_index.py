@@ -138,31 +138,42 @@ def q_prefix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "index_delete_docs",
     oracle=f"""
-    WITH pairs AS ({_PAIRS_SQL})
+    WITH pairs AS ({_PAIRS_SQL}),
+    dead AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+             ORDER BY doc_id LIMIT 64)
     SELECT term,
            array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
            count(*) AS df
-    FROM pairs WHERE doc_id % 7 <> 0 GROUP BY term
+    FROM pairs WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+    GROUP BY term
     """,
     doc="Index maintenance, the DELETE half (merge_index is the ADD "
         "half): remove a takedown/opt-out batch from a built index "
         "WITHOUT re-reading document text — per-term array_except + "
         "df recompute, terms losing their last posting drop out. The "
-        "deletion list inlines as an array literal, so the rewrite "
-        "is a pure per-row map (no join, no shuffle; per bucket file "
-        "on a bucketBy(term) index). The oracle rebuilds the index "
-        "from the SURVIVING corpus, so a green row proves the "
-        "invariant delete(build(all)) == build(all - deleted). "
+        "demo derives a BOUNDED batch (64 lowest doc_ids ≡ 0 mod 7 — "
+        "deterministic at every SF, so the collected list never "
+        "scales with the corpus); small batches inline as an array "
+        "literal (pure per-row map, no join/shuffle; per bucket file "
+        "on a bucketBy(term) index), while batches above "
+        "DELETE_INLINE_THRESHOLD switch to a broadcast-anti-join on "
+        "exploded postings so the PLAN stays constant-size. The "
+        "oracle rebuilds the index from the SURVIVING corpus, so a "
+        "green row proves the invariant delete(build(all)) == "
+        "build(all - deleted). "
         "Operator: inverted_index.delete_from_index.",
 )
 def q_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # deletion batches are operator-input-sized (takedown lists);
-    # this demo derives one deterministically from the fixture
+    # this demo derives one deterministically from the fixture,
+    # bounded so driver memory/plan size never scale with the corpus
     dead = [
         r["doc_id"]
         for r in docs.where(F.col("doc_id") % 7 == 0)
         .select("doc_id")
+        .orderBy("doc_id")
+        .limit(64)
         .collect()
     ]
     return idx.delete_from_index(idx.build_index(docs), dead).select(

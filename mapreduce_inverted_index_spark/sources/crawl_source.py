@@ -235,14 +235,25 @@ def _http_text(url: str, timeout: float = 10.0) -> str | None:
         return None
 
 
-def _walk_listing(base_url: str, start_page: int = 0, max_pages: int | None = None):
+def _walk_listing(
+    base_url: str,
+    start_page: int = 0,
+    max_pages: int | None = None,
+    first_body: dict | None = None,
+):
     """Follow next-links from ``start_page``: yields
     ``(page_no, doc_id_start, urls)`` per listing page — the
     reference's category-page walk (``master/src/master.py:51-78``),
-    minus the politeness sleep (tests own the server)."""
+    minus the politeness sleep (tests own the server). ``first_body``
+    lets a caller that already fetched ``start_page`` (the stream
+    reader's exhaustion probe) hand over the parsed response instead
+    of hitting the server twice for the same page."""
     page = start_page
     while max_pages is None or page < start_page + max_pages:
-        body = _http_json(f"{base_url}/list/{page}")
+        if page == start_page and first_body is not None:
+            body = first_body  # reuse the caller's probe response
+        else:
+            body = _http_json(f"{base_url}/list/{page}")
         yield page, int(body["doc_id_start"]), list(body["urls"])
         if not body.get("next"):
             return
@@ -294,10 +305,12 @@ class _HttpCrawlStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"page": 0}
 
-    def _rows_for(self, start_page: int, max_pages: int):
+    def _rows_for(
+        self, start_page: int, max_pages: int, first_body: dict | None = None
+    ):
         rows, last_page = [], start_page - 1
         for page, doc_start, urls in _walk_listing(
-            self.base_url, start_page, max_pages
+            self.base_url, start_page, max_pages, first_body=first_body
         ):
             last_page = page
             for j, url in enumerate(urls):
@@ -321,12 +334,16 @@ class _HttpCrawlStreamReader(SimpleDataSourceStreamReader):
         # unchanged either way; a retry after the error loses
         # nothing).
         try:
-            _http_json(f"{self.base_url}/list/{first}")
+            probe_body = _http_json(f"{self.base_url}/list/{first}")
         except HTTPError as e:
             if e.code in (404, 410):
                 return iter(()), {"page": first}
             raise
-        rows, last_page = self._rows_for(first, self.pages_per_batch)
+        # the probe response IS page `first` — hand it to the walk so
+        # each listing page is fetched exactly once per micro-batch
+        rows, last_page = self._rows_for(
+            first, self.pages_per_batch, first_body=probe_body
+        )
         if last_page < first:
             return iter(()), {"page": first}
         return iter(rows), {"page": last_page + 1}

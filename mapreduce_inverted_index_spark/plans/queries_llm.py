@@ -482,7 +482,11 @@ def _sql_lsh_bucket(vec: str) -> str:
     "ann_cosine_topk",
     oracle=_SQL_BRUTE_TOPK,
     doc="Brute-force cosine top-10 for 5 broadcast query vectors — "
-        "the exactness baseline for ANN.",
+        "the exactness baseline for ANN. Deliberately the exact "
+        "BroadcastNestedLoopJoin form; production twin at corpus "
+        "scale: ann_ivf_pruned_scan (IVF cells + partition-pruned "
+        "probe).",
+    scale_class="demo",
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10)
@@ -667,6 +671,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch-family pattern for inherently approximate operators "
         "(k-means floats make the pruned candidate set "
         "non-replayable in SQL).",
+    scale_class="contract",
 )
 def q_ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -795,6 +800,7 @@ def _sem_oracle(cap: int) -> str:
         "deterministic md5 sample of vec_id — applied identically "
         "in Spark and the oracle — so the contract stays O(cap²) "
         "at any corpus size.",
+    scale_class="contract",
 )
 def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_contract(spark, sf_dir, anchor_cap=_SEM_ANCHOR_CAP)
@@ -923,6 +929,7 @@ def _sem_inc_oracle(cap: int) -> str:
         "the brute new-x-base anchor (sf-gated by the same md5 "
         "sample as semantic_dedup_contract). Operator: "
         "similarity.semantic_incremental_dedup.",
+    scale_class="contract",
 )
 def q_semantic_incremental_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -1879,6 +1886,7 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "or normalization. Operator: similarity.pca_project (data "
         "never leaves executors; the driver sees only the d x d "
         "sufficient statistics).",
+    scale_class="contract",
 )
 def q_embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np

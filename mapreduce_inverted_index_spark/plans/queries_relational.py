@@ -1984,8 +1984,10 @@ def q_gap_fill_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "map-side partial aggregation (every row shuffles) and need "
         "the whole group in one Arrow batch — the builtin "
         "sum(price*qty)/sum(qty) twin the oracle uses is the "
-        "production path; use this shape only when the per-group "
+        "production path (agg_pricing_summary is the builtin-form "
+        "catalog twin); use this shape only when the per-group "
         "reduction genuinely isn't expressible with builtins.",
+    scale_class="demo",
 )
 def q_grouped_agg_pandas_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas is imported at module level: PEP-563 string annotations

@@ -40,21 +40,45 @@ _QUERY_MODULES = (
 )
 
 
+# How a query behaves under a 100× scale-up — lets a large-SF catalog
+# sweep mechanically include/exclude entries:
+#   "production" — the form you'd run on the full corpus (default).
+#   "demo"       — an exact/API-surface form whose plan is documented
+#                  as NOT the scale path; its docstring names the
+#                  production twin (test-enforced).
+#   "contract"   — a recall/precision contract that anchors a scaled
+#                  operator against a brute-force or replayed exact
+#                  form; the anchor side is sf-gated/sampled, so the
+#                  query runs at any SF but its *point* is the check,
+#                  not throughput.
+SCALE_CLASSES = ("production", "demo", "contract")
+
+
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: QueryFn
     oracle: str | None = None
     doc: str = ""
+    scale_class: str = "production"
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    scale_class: str = "production",
+):
     """Decorator: add a ``(spark, sf_dir) -> DataFrame`` to the catalog."""
+    if scale_class not in SCALE_CLASSES:
+        raise ValueError(f"unknown scale_class {scale_class!r} for {name!r}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, scale_class=scale_class
+        )
         return fn
 
     return deco

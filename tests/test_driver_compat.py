@@ -24,6 +24,32 @@ _QUERIES = all_queries()
 _ORACLE_CARRYING = sorted(n for n, q in _QUERIES.items() if q.oracle is not None)
 
 
+def test_every_query_is_scale_classified():
+    from mapreduce_inverted_index_spark.plans.registry import SCALE_CLASSES
+
+    unclassified = [
+        n for n, q in _QUERIES.items() if q.scale_class not in SCALE_CLASSES
+    ]
+    assert not unclassified
+
+
+def test_every_demo_names_a_production_twin():
+    """A 100x-scale catalog sweep mechanically skips scale_class=
+    'demo' entries; each one must point the reader at the registered
+    production form it demonstrates the API of."""
+    demos = {n: q for n, q in _QUERIES.items() if q.scale_class == "demo"}
+    assert demos, "the catalog documents its known demo forms"
+    for name, q in demos.items():
+        twins = [
+            other
+            for other in _QUERIES
+            if other != name
+            and other in q.doc
+            and _QUERIES[other].scale_class == "production"
+        ]
+        assert twins, f"{name} names no registered production twin in its doc"
+
+
 @pytest.mark.parametrize("name", _ORACLE_CARRYING)
 def test_no_unhashable_columns_in_driver_output(spark, sf_smoke, name):
     df = _QUERIES[name].fn(spark, sf_smoke)

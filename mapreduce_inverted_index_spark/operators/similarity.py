@@ -373,12 +373,20 @@ def ivf_assign(
     cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tag every vector with its nearest (max-cosine) cell. At scale
     this is the build step: write the result partitioned by ``cell``
-    so probes become partition-pruned scans."""
-    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    return e.crossJoin(F.broadcast(cents)).groupBy("vec_id", "vec").agg(
+    so probes become partition-pruned scans. ``extra_cols`` carries
+    candidate metadata (e.g. the label a hard-negative miner filters
+    on) into the cell layout so probes never join back to the source
+    table."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), *extra_cols
+    )
+    return e.crossJoin(F.broadcast(cents)).groupBy(
+        "vec_id", "vec", *extra_cols
+    ).agg(
         F.max_by(
             "cell", F.struct(cosine_similarity("vec", "centroid"), -F.col("cell"))
         ).alias("cell")
@@ -653,6 +661,67 @@ def hard_negatives(
     scored = (
         cand.crossJoin(F.broadcast(anchors))
         .where(F.col("_lbl") != F.col("query_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_ivf(
+    spark,
+    path: str,
+    cents: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining over the IVF cell layout — the
+    corpus-scale candidate path :func:`hard_negatives`'s docstring
+    promises: instead of scoring every corpus vector per anchor, probe
+    each anchor's ``n_probe`` nearest cells from the
+    :func:`write_ivf_cells` artifact (built with
+    ``ivf_assign(..., extra_cols=(label,))`` so the label rides in
+    the cell store), drop same-label candidates at the scan, and
+    exact-score only the pruned shortlist.
+
+    The probed cell set is collected to a scan literal (it is query
+    metadata — ≤ anchors × n_probe ints — not data), so the filter
+    reaches the file index as a ``PartitionFilters`` entry
+    (audit-asserted): candidate IO, not just candidate compute, is
+    n_probe/n_cells of the corpus. Each stored vector lives in
+    exactly one cell, so no dedup step is needed.
+
+    Output matches :func:`hard_negatives` (``query_id, vec_id,
+    cos_sim, rank``); recall vs the exact form is governed by the
+    measured IVF contract (hard_negatives_ivf_contract).
+    """
+    pw = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        anchors.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "query_label",
+            "cell",
+            cosine_similarity("query_vec", "centroid").alias("cos_c"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "query_label", "cell")
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    scanned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scored = (
+        scanned.join(F.broadcast(probes), "cell")
+        .where(F.col(label_col) != F.col("query_label"))
         .select(
             "query_id",
             "vec_id",

@@ -33,6 +33,7 @@ __all__ = [
     "hashed_classifier_scores",
     "vocab_growth_curve",
     "bpe_symbol_expr",
+    "bpe_train",
     "bpe_encode",
 ]
 
@@ -717,6 +718,108 @@ def bpe_symbol_expr(tok_col, merges: list[tuple[str, str]]):
     for a, b in merges:
         s = F.replace(s, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
     return s
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """BPE tokenizer TRAINING: iterate the ``bpe_merge_step`` rule
+    ``n_merges`` rounds and emit the learned merge table —
+    ``step, left_sym, right_sym, pair_count`` — the artifact
+    :func:`bpe_encode` consumes (``bpe_encode(docs,
+    bpe_train(docs))`` is the closed tokenizer loop, roundtrip-
+    pytest-pinned).
+
+    Distribution shape (the reason distributed BPE training scales
+    where a single-node pair counter can't hold a web corpus's
+    tables): train on the DISTINCT-token frequency table, not token
+    occurrences — classic BPE's word-frequency formulation. State per
+    round is one row per distinct token: ``(tok, n, s)`` where ``s``
+    is the double-comma symbol string of :func:`bpe_symbol_expr`.
+    Each round is
+
+    1. one explode+groupBy pass counting adjacent symbol pairs
+       weighted by token frequency (map-side combined; overlapping
+       pairs count, matching ``bpe_merge_step``),
+    2. a ONE-ROW driver read of the argmax pair (count DESC, then
+       (left, right) ASC — the deterministic greedy tiebreak; a
+       planning read like PageRank's convergence check, never a data
+       collect),
+    3. one codegen'd ``replace()`` applying the merge to every
+       symbol string (the same left-to-right non-overlapping pass
+       semantics ``bpe_encode`` replays),
+
+    with per-round eager lineage truncation (the PageRank
+    discipline — localCheckpoint both caches the round's state and
+    cuts the plan; ``reliable_checkpoint=True`` swaps localCheckpoint
+    for fault-tolerant ``checkpoint()`` on multi-hour corpora).
+    Training stops early if no pair remains.
+
+    The returned merge table is driver-materialized by construction
+    (k rows — it IS the artifact you broadcast to encoders).
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+    from mapreduce_inverted_index_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
+    spark = docs.sparkSession
+    sym = (
+        docs.select(F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "tok",
+            "n",
+            F.concat(
+                F.lit(",,"),
+                F.concat_ws(",,", F.array_remove(F.split("tok", ""), "")),
+                F.lit(",,"),
+            ).alias("s"),
+        )
+    )
+    current = truncate_lineage(sym, reliable=reliable_checkpoint, eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        syms = F.array_remove(
+            F.split(F.regexp_replace("s", "^,+|,+$", ""), ",,"), ""
+        )
+        top = (
+            current.select("n", syms.alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((step, a, b, cnt))
+        current = truncate_lineage(
+            current.withColumn(
+                "s", F.replace("s", F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+            ),
+            reliable=reliable_checkpoint,
+            eager=True,
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, pair_count bigint",
+    )
 
 
 def bpe_encode(

@@ -279,6 +279,91 @@ def q_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_stream_maintenance",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_state_vectors,
+           TRUE AS state_matches_batch_rebuild,
+           TRUE AS all_dups_real,
+           TRUE AS dups_nonempty
+    FROM embeddings
+    """,
+    doc="Stream-maintained semantic-dedup state: two AvailableNow "
+        "maintenance passes over a landing directory (even vec_ids "
+        "arrive first, odd second — exactly-once per file via the "
+        "checkpoint cursor), each pass deduping its batch against "
+        "the STORED IVF cells (batch x probed cells with the frozen "
+        "first-batch codebook) and appending the batch to the "
+        "partitionBy(cell) state. Contract columns, all "
+        "Spark-verified: the final state equals a batch ivf_assign "
+        "of every ingested vector under the stored codebook "
+        "(count exact in the oracle), every logged dup is a real "
+        "cosine>=tau pair against the full table (precision 1.0), "
+        "and pass 2 found matches (the split guarantees cross-batch "
+        "near-pairs at this tau). Operator: "
+        "streaming.ingest.maintain_semantic_cells_available_now.",
+    scale_class="contract",
+)
+def q_semantic_stream_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_inverted_index_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from mapreduce_inverted_index_spark.operators.similarity import ivf_assign
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_semantic_cells_available_now,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_sem_stream_")
+    land, state, ckpt = f"{work}/landing", f"{work}/state", f"{work}/ckpt"
+    emb = load_table(spark, sf_dir, "embeddings")
+    tau, r = 0.4, 6
+
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(2).write.mode(
+        "append"
+    ).parquet(land)
+    maintain_semantic_cells_available_now(spark, land, state, ckpt, tau=tau, r=r)
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(2).write.mode(
+        "append"
+    ).parquet(land)
+    maintain_semantic_cells_available_now(spark, land, state, ckpt, tau=tau, r=r)
+
+    cents = spark.read.parquet(f"{state}/cents")
+    cells = spark.read.parquet(f"{state}/cells").select("vec_id", "cell")
+    dups = spark.read.parquet(f"{state}/dups")
+    rebuilt = ivf_assign(emb, cents).select("vec_id", "cell")
+    sym_diff = cells.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(cells))
+    bad_dups = (
+        dups.join(
+            emb.select(
+                F.col("vec_id").alias("new_id"),
+                F.col("embedding").alias("_va"),
+            ),
+            "new_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("dup_of"),
+                F.col("embedding").alias("_vb"),
+            ),
+            "dup_of",
+        )
+        .where(F.round(cosine_similarity("_va", "_vb"), 6) < tau)
+    )
+    return (
+        cells.agg(F.count("*").cast("bigint").alias("n_state_vectors"))
+        .crossJoin(
+            sym_diff.agg(
+                (F.count("*") == 0).alias("state_matches_batch_rebuild")
+            )
+        )
+        .crossJoin(bad_dups.agg((F.count("*") == 0).alias("all_dups_real")))
+        .crossJoin(dups.agg((F.count("*") > 0).alias("dups_nonempty")))
+    )
+
+
+@register(
     "stream_transition_matrix",
     oracle="""
     WITH seq AS (SELECT user_id, event_type,

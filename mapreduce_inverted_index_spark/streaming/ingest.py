@@ -29,6 +29,7 @@ __all__ = [
     "streamed_doc_ids",
     "maintain_index_available_now",
     "maintain_chunks_available_now",
+    "maintain_semantic_cells_available_now",
 ]
 
 
@@ -169,6 +170,104 @@ def maintain_index_available_now(
     q = (
         stream_text_corpus(spark, corpus_path)
         .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def maintain_semantic_cells_available_now(
+    spark: SparkSession,
+    emb_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    glob: str = "*.parquet",
+    n_cells: int = 16,
+    tau: float = 0.4,
+    r: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Stream-maintained semantic-dedup state — the embedding-space
+    twin of the MinHash/chunk/index maintenance loops: each
+    ``Trigger.AvailableNow`` pass processes exactly the embedding
+    files that arrived since the last pass (checkpoint cursor =
+    exactly-once per file) and, per micro-batch,
+
+    1. dedups the batch against the STORED cells via
+       ``similarity.semantic_incremental_dedup`` (batch × probed
+       cells, never batch × corpus) and APPENDS the matches to
+       ``state_dir/dups`` — the takedown/skip list a training
+       pipeline consumes;
+    2. assigns the batch to cells against the STORED codebook and
+       APPENDS it to ``state_dir/cells`` ``partitionBy(cell)`` — so
+       the state the NEXT batch probes stays partition-pruned.
+
+    The codebook (``state_dir/cents``) is trained once, on the first
+    batch, then frozen on disk — every later batch assigns against
+    the same floats, which is what makes state == batch
+    ``ivf_assign`` over everything ingested (the multi-pass pytest
+    invariant). Batches are deduped against PRIOR state only
+    (within-batch duplicates are the batch operator
+    ``semantic_dedup``'s job, same contract as
+    ``dedup.minhash_incremental_dedup``).
+
+    Durability note (same as ``maintain_index_available_now``): the
+    two appends inside foreachBatch are not atomic across a mid-batch
+    crash+retry on a bare filesystem; a production deployment points
+    them at a transactional table format (Iceberg/Delta) keyed by
+    ``(batch_id, vec_id)``. Per-pass cost: O(batch × r/n_cells of
+    state) for the dedup + O(batch) for the append — state is never
+    rewritten.
+    """
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        semantic_incremental_dedup,
+    )
+
+    cents_dir = f"{state_dir}/cents"
+    cells_dir = f"{state_dir}/cells"
+    dups_dir = f"{state_dir}/dups"
+    schema = spark.read.option("pathGlobFilter", glob).parquet(emb_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(emb_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        if os.path.isdir(cents_dir):
+            cents = sess.read.parquet(cents_dir)
+        else:
+            ivf_centroids(batch_df, n_cells, 3, id_col, vec_col).write.mode(
+                "overwrite"
+            ).parquet(cents_dir)
+            # re-read so every later batch assigns against the same
+            # on-disk floats, not a recomputed lineage
+            cents = sess.read.parquet(cents_dir)
+        if os.path.isdir(cells_dir):
+            # dedup against PRIOR state, materialized BEFORE the
+            # batch itself is appended below
+            semantic_incremental_dedup(
+                batch_df,
+                sess.read.parquet(cells_dir),
+                cents,
+                tau=tau,
+                r=r,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).write.mode("append").parquet(dups_dir)
+        ivf_assign(batch_df, cents, id_col, vec_col).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(cells_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

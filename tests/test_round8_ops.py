@@ -1,0 +1,146 @@
+"""Round-8 operator tests: IVF-backed hard-negative mining and BPE
+training edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_inverted_index_spark.operators.similarity import (
+    hard_negatives,
+    hard_negatives_ivf,
+    ivf_assign,
+    ivf_centroids,
+    write_ivf_cells,
+)
+
+
+def _setup_cells(spark, tmp_path, n_cells=8):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells, 3)
+    path = str(tmp_path / "hn_cells")
+    write_ivf_cells(ivf_assign(emb, cents, extra_cols=("label",)), path)
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return emb, cents, path, anchors
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact(spark, tmp_path):
+    """Probing every cell partitions the same candidate set the exact
+    broadcast form scores, so the results must be identical — the
+    machinery check that is independent of codebook float noise."""
+    emb, cents, path, anchors = _setup_cells(spark, tmp_path, n_cells=8)
+    mined = hard_negatives_ivf(spark, path, cents, anchors, k=3, n_probe=8)
+    exact = hard_negatives(emb, anchors, k=3)
+    assert sorted(map(tuple, mined.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_hard_negatives_ivf_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-cell literal must reach the parquet file index as a
+    PartitionFilters entry — candidate IO, not just compute, is
+    n_probe/n_cells of the corpus."""
+    _emb, cents, path, anchors = _setup_cells(spark, tmp_path, n_cells=8)
+    mined = hard_negatives_ivf(spark, path, cents, anchors, k=3, n_probe=2)
+    plan = mined._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or (
+        "PartitionFilters: [isnotnull(cell" in plan
+    ), plan[:1500]
+    # same-label filtering happens before scoring, not after top-k
+    got_labels = (
+        mined.join(
+            spark.read.parquet(path).select(
+                F.col("vec_id"), F.col("label").alias("_cand_lbl")
+            ),
+            "vec_id",
+        )
+        .join(
+            anchors.select("query_id", "query_label"), "query_id"
+        )
+        .where(F.col("_cand_lbl") == F.col("query_label"))
+        .count()
+    )
+    assert got_labels == 0
+
+
+def test_bpe_train_stops_when_pairs_exhausted(spark):
+    """A corpus whose tokens are all single characters after few
+    merges must stop early instead of erroring or looping."""
+    from mapreduce_inverted_index_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab b a"), (1, "ab a b")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10).collect()
+    # only one adjacent pair exists ('a','b'); after merging it the
+    # symbol table is single-symbol tokens with no pairs left
+    assert [(r["left_sym"], r["right_sym"]) for r in merges] == [("a", "b")]
+
+
+def test_semantic_cells_stream_maintenance_multipass(spark, tmp_path):
+    """Three maintenance passes (files arriving between each) must
+    leave (a) state == batch ivf_assign of everything ingested under
+    the frozen first-batch codebook, (b) a dup log equal to the
+    per-pass batch-vs-prior-state replay, and (c) a fourth pass with
+    nothing new a no-op."""
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        semantic_incremental_dedup,
+    )
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_semantic_cells_available_now,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    splits = [
+        emb.where(F.col("vec_id") % 3 == k) for k in range(3)
+    ]
+    expected_dups: set = set()
+    ingested = None
+    for batch in splits:
+        batch.coalesce(1).write.mode("append").parquet(land)
+        if ingested is not None:
+            cents = spark.read.parquet(f"{state}/cents")
+            prior = spark.read.parquet(f"{state}/cells")
+            expected_dups |= {
+                tuple(r)
+                for r in semantic_incremental_dedup(
+                    batch, prior, cents, tau=0.4, r=6
+                ).collect()
+            }
+        maintain_semantic_cells_available_now(
+            spark, land, state, ckpt, tau=0.4, r=6
+        )
+        ingested = emb if ingested is not None else batch
+
+    from mapreduce_inverted_index_spark.operators.similarity import ivf_assign
+
+    cents = spark.read.parquet(f"{state}/cents")
+    cells = spark.read.parquet(f"{state}/cells")
+    assert cells.count() == emb.count()
+    got_pairs = sorted(
+        (r["vec_id"], r["cell"]) for r in cells.collect()
+    )
+    want_pairs = sorted(
+        (r["vec_id"], r["cell"]) for r in ivf_assign(emb, cents).collect()
+    )
+    assert got_pairs == want_pairs
+    got_dups = {
+        tuple(r) for r in spark.read.parquet(f"{state}/dups").collect()
+    }
+    assert got_dups == expected_dups and len(got_dups) > 0
+
+    # idempotence: a pass with no new files changes nothing
+    maintain_semantic_cells_available_now(
+        spark, land, state, ckpt, tau=0.4, r=6
+    )
+    assert spark.read.parquet(f"{state}/cells").count() == emb.count()
+    assert (
+        len({tuple(r) for r in spark.read.parquet(f"{state}/dups").collect()})
+        == len(got_dups)
+    )

@@ -135,3 +135,92 @@ def test_bpe_encode_matches_reference_greedy(spark):
         assert got[w] == _py_bpe(w, merges), (
             w, got[w], _py_bpe(w, merges)
         )
+
+
+def _py_merge_pass(s: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _py_bpe_train(word_counts: dict[str, int], k: int):
+    """Reference trainer: word-frequency formulation, argmax with
+    (count DESC, pair ASC) tiebreak, greedy non-overlap merge pass."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        best_n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == best_n)
+        merges.append((step, a, b, best_n))
+        syms = {w: _py_merge_pass(s, a, b) for w, s in syms.items()}
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """bpe_train must replay the canonical greedy trainer round for
+    round — including frequency weighting (repeated words vote
+    per occurrence) and the multi-char-symbol rounds."""
+    from collections import Counter
+
+    from mapreduce_inverted_index_spark.operators.textstats import bpe_train
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wider wide wide wider widest",
+        "low newer wide low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    wc = Counter(w for t in corpus for w in t.split())
+    assert got == _py_bpe_train(dict(wc), 6)
+    # sanity: the corpus is rich enough to reach multi-char merges
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got)
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    """The closed tokenizer loop: encode with the trained merge table
+    and every encoded token must (a) re-concatenate to the original
+    token and (b) equal the canonical per-word greedy BPE under the
+    same merges."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert len(merges) == 8
+    sample = (
+        bpe_encode(docs, merges)
+        .select("tok", "symbols")
+        .distinct()
+        .limit(200)
+        .collect()
+    )
+    assert len(sample) > 20  # the smoke fixture's vocab is small
+    for r in sample:
+        assert "".join(r["symbols"]) == r["tok"]
+        assert list(r["symbols"]) == _py_bpe(r["tok"], merges)

@@ -824,6 +824,23 @@ AUDITS = [
         ["BroadcastHashJoin", "Union", "Generate explode("],
         ["CartesianProduct"],
     ),
+    (
+        # IVF-backed hard negatives: the probed-cell literal must
+        # reach the cell store's file index as a partition filter
+        # (candidate IO = n_probe/n_cells); the exact-form anchor's
+        # broadcast cross join is the verification side and expected
+        "hard_negatives_ivf_contract",
+        ["PartitionFilters: [cell", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+    ),
+    (
+        # bounded-demo index deletion takes the INLINE branch: one
+        # array_except map over the built index — no join anywhere
+        # (the >threshold branch is plan-audited in pytest instead)
+        "index_delete_docs",
+        ["array_except"],
+        ["Join", "CartesianProduct"],
+    ),
 ]
 
 

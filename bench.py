@@ -110,6 +110,12 @@ HEADLINE = _R1SET + (
     "salted_skew_join_events",
     "keyless_band_pairs_events",
     "quality_classifier_margins",
+    # round-8: the tokenizer-training loop (8 iterative pair-count +
+    # replace rounds over the distinct-token table — the heaviest new
+    # operator) and the IVF-backed hard-negative miner (cell-store
+    # write + pruned probe + exact-anchor verify in one query)
+    "bpe_train_merges",
+    "hard_negatives_ivf_contract",
 )
 
 

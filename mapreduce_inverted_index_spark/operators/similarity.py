@@ -463,6 +463,66 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def delete_from_ivf_cells(
+    spark,
+    path: str,
+    vec_ids: "list[int] | DataFrame",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Takedown from the IVF cell store — the DELETE half of the
+    embedding-state maintenance pair (:func:`write_ivf_cells` /
+    ``streaming.ingest.maintain_semantic_cells_available_now`` are
+    the ADD half, ``inverted_index.delete_from_index`` is the text
+    twin): remove a batch of vector ids, rewriting ONLY the cell
+    partitions that actually contain them. Untouched cell
+    directories keep their exact files (pytest-pinned by file
+    listing) — at 100 TB a takedown touches r ≈ batch-sized cells,
+    never the corpus.
+
+    Mechanics: one partition-pruned-able scan locates the affected
+    cells (broadcast semi-join on the id batch), the surviving rows
+    of ONLY those cells rewrite through a tmp directory, and the
+    affected cell dirs swap via rename (the filesystem stand-in for
+    a transactional format's partition-level REPLACE, same note as
+    ``maintain_index_available_now``). A cell whose last member dies
+    is removed entirely. Returns the affected cell ids (diagnostics /
+    downstream cache invalidation).
+    """
+    import os
+    import shutil
+
+    if isinstance(vec_ids, DataFrame):
+        dead = vec_ids.select(F.col(id_col).alias("vec_id"))
+    else:
+        dead = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id bigint"
+        )
+    cells = spark.read.parquet(path)
+    affected = sorted(
+        r["cell"]
+        for r in cells.join(F.broadcast(dead), "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    remaining = cells.where(F.col("cell").isin(affected)).join(
+        F.broadcast(dead), "vec_id", "left_anti"
+    )
+    tmp = path.rstrip("/") + ".tmp-del"
+    remaining.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    for c in affected:
+        old = f"{path}/cell={c}"
+        new = f"{tmp}/cell={c}"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(new):  # absent when the cell lost every row
+            os.rename(new, old)
+    shutil.rmtree(tmp)
+    return affected
+
+
 def ivf_pruned_scan_topk(
     spark,
     path: str,
@@ -550,6 +610,73 @@ def dequantize(qvec: F.Column | str, scale: F.Column | str) -> F.Column:
     q = F.col(qvec) if isinstance(qvec, str) else qvec
     s = F.col(scale) if isinstance(scale, str) else scale
     return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def quantized_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: score candidates on the int8-QUANTIZED vectors
+    (the 4×-smaller store a 100 TB probe actually scans — see
+    :func:`quantize_embeddings`), keep each query's top ``m``
+    shortlist, then exact-re-rank the shortlist on the float vectors
+    and return the top ``k``.
+
+    The quantized stage is deterministic integer math (codes are
+    ``floor(x/scale + 0.5)``, bit-identical cross-engine), so unlike
+    the IVF/LSH tiers this tier's ENTIRE two-stage ranking is
+    value-exact replayable in SQL — the catalog oracle re-runs both
+    stages, no recall contract needed. Stage-2 IO is only the
+    shortlist join back to the float table (Q × m rows, broadcast);
+    at production the quantized table is a materialized sibling of
+    the float table (same ids), exactly like the IVF cell store.
+
+    Output matches the other ANN tiers: ``query_id, vec_id, cos_sim
+    (exact), rank``; self-matches excluded, rounded-cosine + id
+    tiebreaks at both stages.
+    """
+    qt = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+    cand = qt.select(
+        "vec_id", dequantize("qvec", "scale").alias("deq")
+    )
+    coarse = (
+        cand.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "deq"), 6).alias("cos_q"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    shortlist = (
+        coarse.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= m)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", "query_vec")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("query_vec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
 
 
 def label_centroids(

@@ -1538,6 +1538,125 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "ann_quantized_rerank_topk",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings),
+    d AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+               THEN list_transform(embedding, x -> 0.0)
+               ELSE list_transform(embedding,
+                      x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+             END AS deq
+      FROM qz),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    coarse AS (
+      SELECT q.query_id, d.vec_id,
+             {_sql_cos('q.qv', 'd.deq')} AS cos_q
+      FROM d CROSS JOIN q WHERE d.vec_id <> q.query_id),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_q DESC, vec_id ASC) AS r
+        FROM coarse) WHERE r <= 32),
+    exact AS (
+      SELECT s.query_id, s.vec_id,
+             {_sql_cos('q.qv', 'e.embedding')} AS cos_sim
+      FROM short s JOIN q USING (query_id)
+           JOIN embeddings e ON s.vec_id = e.vec_id)
+    SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM exact
+    ) WHERE rn <= 10
+    """,
+    doc="Two-stage quantized ANN: candidates scored on the int8 "
+        "dequantized vectors (the 4x-smaller store a 100 TB probe "
+        "scans), top-32 shortlist per query, exact float re-rank to "
+        "top-10. floor(x/scale + 0.5) codes are bit-identical "
+        "cross-engine, so BOTH ranking stages replay value-exactly "
+        "in the oracle — the only ANN tier whose approximation is "
+        "fully deterministic (IVF/LSH carry recall contracts "
+        "instead). Operator: similarity.quantized_rerank_topk.",
+)
+def q_ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantized_rerank_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=10, m=32
+    )
+
+
+@register(
+    "ivf_cells_delete_vecs",
+    oracle="""
+    WITH dead AS (SELECT vec_id FROM embeddings WHERE vec_id % 9 = 0
+                  ORDER BY vec_id LIMIT 64)
+    SELECT CAST((SELECT count(*) FROM embeddings)
+                - (SELECT count(*) FROM dead) AS BIGINT)
+             AS n_state_vectors,
+           TRUE AS state_matches_rebuild,
+           TRUE AS no_dead_survivors
+    FROM (SELECT 1)
+    """,
+    doc="Takedown from the IVF cell store — the DELETE half of the "
+        "embedding-state pair (write_ivf_cells / the streaming "
+        "maintenance loop are the ADD half; delete_from_index is the "
+        "text twin): a bounded 64-id batch is removed by rewriting "
+        "ONLY the cell partitions containing it (tmp-write + "
+        "per-cell dir swap; untouched cells keep their exact files, "
+        "pytest-pinned). Contract columns Spark-verified: remaining "
+        "count exact in the oracle, surviving state equals "
+        "ivf_assign of the surviving vectors under the same "
+        "codebook, no deleted id survives. "
+        "Operator: similarity.delete_from_ivf_cells.",
+    scale_class="contract",
+)
+def q_ivf_cells_delete_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        delete_from_ivf_cells,
+        ivf_assign,
+        write_ivf_cells,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_ivf_del_")
+    path = f"{work}/cells"
+    emb = _emb(spark, sf_dir)
+    cents = _ivf_cents(spark, sf_dir)
+    write_ivf_cells(ivf_assign(emb, cents), path)
+    dead = [
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 9 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(64)
+        .collect()
+    ]
+    delete_from_ivf_cells(spark, path, dead)
+    state = spark.read.parquet(path).select("vec_id", "cell")
+    rebuilt = ivf_assign(
+        emb.where(~F.col("vec_id").isin(dead)), cents
+    ).select("vec_id", "cell")
+    sym_diff = state.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(state))
+    return (
+        state.agg(F.count("*").cast("bigint").alias("n_state_vectors"))
+        .crossJoin(
+            sym_diff.agg((F.count("*") == 0).alias("state_matches_rebuild"))
+        )
+        .crossJoin(
+            state.where(F.col("vec_id").isin(dead)).agg(
+                (F.count("*") == 0).alias("no_dead_survivors")
+            )
+        )
+    )
+
+
+@register(
     "curation_policy_filter",
     oracle=f"""
     WITH m AS (
@@ -2417,6 +2536,67 @@ def _sql_bpe_train(k: int) -> str:
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, toks,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['de']}))) AS INTEGER) AS hits_de,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['en']}))) AS INTEGER) AS hits_en,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['es']}))) AS INTEGER) AS hits_es,
+             CAST(len(list_filter(toks, t -> t IN ({_MARKER_SQL['fr']}))) AS INTEGER) AS hits_fr
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    lang AS (
+      SELECT doc_id, toks,
+             CASE WHEN {_GREATEST} <= 0 THEN 'und'
+                  WHEN hits_de = {_GREATEST} THEN 'de'
+                  WHEN hits_en = {_GREATEST} THEN 'en'
+                  WHEN hits_es = {_GREATEST} THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM h
+    ),
+    enc AS (
+      SELECT pred_lang,
+             CAST(len(list_filter(string_split(regexp_replace(
+                    __SYM__, '^,+|,+$', ''), ',,'), x -> x <> ''))
+                  AS BIGINT) AS n_symbols
+      FROM (SELECT pred_lang, unnest(toks) AS tok FROM lang)
+    )
+    SELECT pred_lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+           round(CAST(sum(n_symbols) AS DOUBLE) / count(*), 6) AS fertility
+    FROM enc GROUP BY pred_lang
+    """.replace("__SYM__", _sql_bpe_sym("tok")),
+    doc="Tokenizer fertility (BPE symbols emitted per word) per "
+        "predicted language — the standard tokenizer-evaluation "
+        "metric for multilingual corpora (a vocabulary trained on one "
+        "language over-fragments the others; fertility is how you see "
+        "it). Composition of two existing tiers: marker-word language "
+        "ID (per-doc argmax, codegen'd) feeding the 8-merge "
+        "replace-chain BPE encode — one explode + one groupBy "
+        "(pred_lang), both map-side combined; no UDFs, no joins "
+        "beyond the per-doc lang tag, value-exact oracle. "
+        "Operators: textstats.language_id + textstats.bpe_encode.",
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lang = T.language_id(docs).select("doc_id", "pred_lang")
+    enc = (
+        T.bpe_encode(docs, _BPE_MERGES)
+        .select("doc_id", "n_symbols")
+        .join(lang, "doc_id")
+    )
+    return enc.groupBy("pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_symbols").cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum("n_symbols").cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+    )
 
 
 _SQL_MD5_PART = (

@@ -128,12 +128,15 @@ _DRIVER_PRIORITY = (
     "bpe_train_merges",
     "hard_negatives_ivf_contract",
     "semantic_stream_maintenance",
+    "ann_quantized_rerank_topk",
+    "tokenizer_fertility_by_lang",
+    "ivf_cells_delete_vecs",
     # -- round-8 operator change: delete_from_index grew a
     # broadcast-anti-join branch for large takedown lists and the
     # demo derivation is now bounded (r7 ask #4) --
     "index_delete_docs",
-    # -- the 44 stale-evidence queries (latest green ≤ r3, all
-    # pre-fixture-regeneration; exhaustive) --
+    # -- 41 of the 44 stale-evidence queries (latest green ≤ r3, all
+    # pre-fixture-regeneration; the 3 deferred are noted inline) --
     "filter_pushdown_scan",
     "agg_pricing_summary",
     "rollup_order_stats",
@@ -153,9 +156,13 @@ _DRIVER_PRIORITY = (
     "set_union_active_keys",
     "set_intersect_status_keys",
     "set_except_inactive_keys",
-    "string_funcs_parts",
+    # (string_funcs_parts, math_funcs_lineitem, null_handling_funcs
+    # defer to round 9 for the three late-round-8 additions above:
+    # all three are function-surface checks over part/lineitem —
+    # tables the r5 fixture regeneration did not touch — holding r1
+    # driver rows plus this session's local exact sweep at sf0.01
+    # AND sf0.1; new queries with no driver row ever outrank them.)
     "date_funcs_orders",
-    "math_funcs_lineitem",
     "json_events_agg",
     "conditional_pivot_monthly",
     "above_avg_acctbal_customers",
@@ -164,7 +171,6 @@ _DRIVER_PRIORITY = (
     "salted_agg_event_values",
     "sql_passthrough",
     "map_funcs_events",
-    "null_handling_funcs",
     "array_hof_funcs",
     "median_stats_lineitem",
     "text_quality_profile",

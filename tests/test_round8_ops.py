@@ -144,3 +144,86 @@ def test_semantic_cells_stream_maintenance_multipass(spark, tmp_path):
         len({tuple(r) for r in spark.read.parquet(f"{state}/dups").collect()})
         == len(got_dups)
     )
+
+
+def test_quantized_rerank_full_shortlist_equals_brute(spark):
+    """With the shortlist as large as the corpus, stage 1 cannot drop
+    a true neighbor, so the exact re-rank must equal brute force —
+    the machinery check independent of quantization error."""
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    n = emb.count()
+    got = quantized_rerank_topk(emb, qs, k=10, m=n)
+    want = brute_force_topk(emb, qs, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_delete_from_ivf_cells_touches_only_affected_partitions(spark, tmp_path):
+    """Deleting a vec batch must (a) leave state == assign of the
+    survivors, (b) leave the FILES of unaffected cell directories
+    byte-identical (takedown IO is batch-sized, never corpus-sized),
+    and (c) drop a cell directory whose last member dies."""
+    import os
+
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        delete_from_ivf_cells,
+        ivf_assign,
+        ivf_centroids,
+        write_ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8, 3)
+    path = str(tmp_path / "cells")
+    assigned = ivf_assign(emb, cents)
+    write_ivf_cells(assigned, path)
+
+    def listing():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                full = f"{path}/{d}"
+                out[d] = sorted(
+                    (f, os.path.getmtime(f"{full}/{f}"))
+                    for f in os.listdir(full)
+                )
+        return out
+
+    before = listing()
+    # kill every member of one whole cell + a few from another
+    by_cell = {}
+    for r in assigned.select("vec_id", "cell").collect():
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    cells_sorted = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    whole, partial = cells_sorted[0], cells_sorted[-1]
+    dead = list(by_cell[whole]) + sorted(by_cell[partial])[:3]
+    affected = delete_from_ivf_cells(spark, path, dead)
+    assert sorted(affected) == sorted({whole, partial})
+
+    after = listing()
+    assert f"cell={whole}" not in after  # emptied cell dir removed
+    for d, files in before.items():
+        if d in (f"cell={whole}", f"cell={partial}"):
+            continue
+        assert after[d] == files, f"untouched {d} was rewritten"
+
+    state = spark.read.parquet(path).select("vec_id", "cell")
+    rebuilt = ivf_assign(
+        emb.where(~F.col("vec_id").isin(dead)), cents
+    ).select("vec_id", "cell")
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    # a batch touching nothing is a no-op returning []
+    assert delete_from_ivf_cells(spark, path, [10**12]) == []

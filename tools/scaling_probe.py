@@ -120,6 +120,17 @@ QUERIES = [
     # KMV sketch build + pairwise set-op estimates (distinct +
     # bounded window; pair math on |types| sketch rows)
     "kmv_user_overlap",
+    # round-8: the 8-round BPE trainer (per-round cost is one
+    # pair-count pass over the DISTINCT-token table — growth should
+    # track vocabulary, which Heaps' law keeps sublinear in corpus
+    # size), the IVF-backed hard-negative miner (cost INCLUDES the
+    # codebook build + cell-store write per run, so treat it as an
+    # upper bound on the probe), and the two-pass stream-maintained
+    # semantic dedup state (cost includes two full AvailableNow
+    # micro-batch cycles + state verification joins)
+    "bpe_train_merges",
+    "hard_negatives_ivf_contract",
+    "semantic_stream_maintenance",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

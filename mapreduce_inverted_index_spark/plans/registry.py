@@ -131,12 +131,13 @@ _DRIVER_PRIORITY = (
     "ann_quantized_rerank_topk",
     "tokenizer_fertility_by_lang",
     "ivf_cells_delete_vecs",
+    "bloom_prefilter_join_revenue",
     # -- round-8 operator change: delete_from_index grew a
     # broadcast-anti-join branch for large takedown lists and the
     # demo derivation is now bounded (r7 ask #4) --
     "index_delete_docs",
-    # -- 41 of the 44 stale-evidence queries (latest green ≤ r3, all
-    # pre-fixture-regeneration; the 3 deferred are noted inline) --
+    # -- 40 of the 44 stale-evidence queries (latest green ≤ r3, all
+    # pre-fixture-regeneration; the 4 deferred are noted inline) --
     "filter_pushdown_scan",
     "agg_pricing_summary",
     "rollup_order_stats",
@@ -165,7 +166,10 @@ _DRIVER_PRIORITY = (
     "date_funcs_orders",
     "json_events_agg",
     "conditional_pivot_monthly",
-    "above_avg_acctbal_customers",
+    # (above_avg_acctbal_customers also defers to round 9 for
+    # bloom_prefilter_join_revenue: customer-table-only, untouched by
+    # the r5 fixture regeneration, r1 driver row + this session's
+    # local exact sweep at sf0.01 AND sf0.1.)
     "asof_join_event_order",
     "range_join_close_events",
     "salted_agg_event_values",

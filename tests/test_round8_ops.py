@@ -227,3 +227,50 @@ def test_delete_from_ivf_cells_touches_only_affected_partitions(spark, tmp_path)
 
     # a batch touching nothing is a no-op returning []
     assert delete_from_ivf_cells(spark, path, [10**12]) == []
+
+
+def test_bloom_prefiltered_join_exactness_and_selectivity(spark):
+    """The bloom-prefiltered join must equal the plain join exactly —
+    including under a deliberately tiny bitmap (every probe a false
+    positive) — and must actually DROP non-matching large-side rows
+    before the join at sane sizing."""
+    from mapreduce_inverted_index_spark.operators.skew import (
+        bloom_prefiltered_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    plain = sorted(
+        map(tuple, orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_prefiltered_join(orders, cust, "o_custkey", "c_custkey").collect(),
+        )
+    )
+    assert got == plain and len(got) > 0
+    # saturated bitmap: 64 bits for hundreds of keys -> ~all false
+    # positives; the JOIN must still discard them all
+    saturated = sorted(
+        map(
+            tuple,
+            bloom_prefiltered_join(
+                orders, cust, "o_custkey", "c_custkey", m_bits=64, k=1
+            ).collect(),
+        )
+    )
+    assert saturated == plain
+    # selectivity: the prefilter keeps well under all orders (match
+    # set is ~1/5 of the fact side + fpp)
+    kept = bloom_prefiltered_join(
+        orders, cust, "o_custkey", "c_custkey"
+    ).count()
+    assert kept < orders.count() * 0.5

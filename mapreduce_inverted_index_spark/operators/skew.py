@@ -61,19 +61,22 @@ def bloom_prefiltered_join(
     ~10^8 keys prefer a partitioned semi-join instead of one bitmap.
     """
     n_words = m_bits // 64
-    bit = None
-    for seed in range(k):
-        h = F.pmod(
-            F.xxhash64(F.col(small_key).cast("string"), F.lit(seed)),
-            F.lit(m_bits),
-        )
-        b = small.select(h.alias("h")).select(
-            (F.col("h") / 64).cast("int").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))"
-            ).alias("bits"),
-        )
-        bit = b if bit is None else bit.unionAll(b)
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.col(small_key).cast("string"), F.lit(seed)),
+                F.lit(m_bits),
+            )
+            for seed in range(k)
+        ]
+    )
+    # all k bit positions in ONE scan of the small side
+    bit = small.select(F.explode(hashes).alias("h")).select(
+        (F.col("h") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
+            "bits"
+        ),
+    )
     words = bit.groupBy("word").agg(F.bit_or("bits").alias("bits")).collect()
     bitmap = [0] * n_words
     for r in words:

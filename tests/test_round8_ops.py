@@ -274,3 +274,22 @@ def test_bloom_prefiltered_join_exactness_and_selectivity(spark):
         orders, cust, "o_custkey", "c_custkey"
     ).count()
     assert kept < orders.count() * 0.5
+
+
+def test_bloom_prefiltered_join_edge_cases(spark):
+    """Empty small side -> empty join (all-zero bitmap drops every
+    probe); NULL join keys never match, with or without the bloom."""
+    from mapreduce_inverted_index_spark.operators.skew import (
+        bloom_prefiltered_join,
+    )
+
+    large = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, key int"
+    )
+    empty = spark.createDataFrame([], "k int")
+    assert (
+        bloom_prefiltered_join(large, empty, "key", "k").count() == 0
+    )
+    small = spark.createDataFrame([(10,), (None,)], "k int")
+    got = bloom_prefiltered_join(large, small, "key", "k").collect()
+    assert [(r["id"], r["k"]) for r in got] == [(1, 10)]

@@ -843,6 +843,10 @@ def hard_negatives_ivf(
         .withColumn("pr", F.row_number().over(pw))
         .where(F.col("pr") <= n_probe)
         .select("query_id", "query_vec", "query_label", "cell")
+        # cache: the probe table is read twice (cell-literal derivation
+        # below + the scored join) — without this the crossJoin+window
+        # subplan executes twice per call
+        .localCheckpoint(eager=True)
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     scanned = spark.read.parquet(path).where(F.col("cell").isin(cells))

@@ -60,7 +60,11 @@ def bloom_prefiltered_join(
     ``m_bits`` ≈ 20× the expected distinct small-side keys; above
     ~10^8 keys prefer a partitioned semi-join instead of one bitmap.
     """
-    n_words = m_bits // 64
+    # round UP: hash positions live in [0, m_bits), so the top word
+    # must exist even when m_bits is not a multiple of 64 (otherwise
+    # element_at past the array end returns NULL and silently drops
+    # true matches before the join)
+    n_words = (m_bits + 63) // 64
     hashes = F.array(
         *[
             F.pmod(

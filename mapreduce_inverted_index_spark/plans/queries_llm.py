@@ -1827,6 +1827,7 @@ _HN_MEAN_FLOOR = 0.7
 )
 def q_hard_negatives_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import tempfile
 
     from mapreduce_inverted_index_spark.operators.similarity import (
@@ -1836,8 +1837,11 @@ def q_hard_negatives_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         write_ivf_cells,
     )
 
+    # pid in the tag: stable within a process (bench passes reuse the
+    # written store) but unique across processes, so a concurrent
+    # pytest/driver run can't overwrite partitions mid-scan
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    path = f"{tempfile.gettempdir()}/mii_hn_cells_{tag}"
+    path = f"{tempfile.gettempdir()}/mii_hn_cells_{tag}_{os.getpid()}"
     emb = _emb(spark, sf_dir)
     cents = _ivf_cents(spark, sf_dir)
     write_ivf_cells(ivf_assign(emb, cents, extra_cols=("label",)), path)
@@ -1854,12 +1858,22 @@ def q_hard_negatives_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from pyspark.sql import Window
 
+    # RIGHT-join onto the anchor universe: an anchor whose probed
+    # cells hold only same-label vectors mines zero rows and must
+    # appear with recall 0 (lowering the hit-rate, keeping the
+    # oracle's fixed 50-row shape), not vanish from the metric
     per_anchor = (
         mined.join(F.broadcast(exact_ids), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(
             (F.count("*") <= 3).alias("k_returned_ok"),
             (F.coalesce(F.sum("_hit"), F.lit(0)) / 3.0).alias("_recall"),
+        )
+        .join(anchors.select("query_id"), "query_id", "right")
+        .select(
+            "query_id",
+            F.coalesce("k_returned_ok", F.lit(True)).alias("k_returned_ok"),
+            F.coalesce("_recall", F.lit(0.0)).alias("_recall"),
         )
     )
     # the unpartitioned windows run over the AGGREGATED 50-anchor

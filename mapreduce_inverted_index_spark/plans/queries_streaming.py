@@ -329,9 +329,19 @@ def q_semantic_stream_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     ).parquet(land)
     maintain_semantic_cells_available_now(spark, land, state, ckpt, tau=tau, r=r)
 
+    import os
+
     cents = spark.read.parquet(f"{state}/cents")
     cells = spark.read.parquet(f"{state}/cells").select("vec_id", "cell")
-    dups = spark.read.parquet(f"{state}/dups")
+    # the dup log only materializes once a batch finds matches; if no
+    # cross-batch pair clears tau the contract must report
+    # dups_nonempty=false (a red row), not crash on a missing path
+    if os.path.isdir(f"{state}/dups"):
+        dups = spark.read.parquet(f"{state}/dups")
+    else:
+        dups = spark.createDataFrame(
+            [], "new_id bigint, dup_of bigint, cos_sim double"
+        )
     rebuilt = ivf_assign(emb, cents).select("vec_id", "cell")
     sym_diff = cells.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(cells))
     bad_dups = (

@@ -72,7 +72,9 @@ def test_delete_large_batch_plan_is_antijoin_not_literal(spark, sf_smoke):
     big_batch = list(range(DELETE_INLINE_THRESHOLD + 1))
     plan = delete_from_index(index, big_batch)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the deletion side must stay BROADCAST: a SortMergeJoin here
+    # means the whole exploded index shuffles for a tiny id batch
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # the inline branch bakes every id into one array literal; the
     # join branch must NOT (spot-check a mid-range id that would
     # appear in the literal but not in any smoke-fixture posting)

@@ -293,3 +293,31 @@ def test_bloom_prefiltered_join_edge_cases(spark):
     small = spark.createDataFrame([(10,), (None,)], "k int")
     got = bloom_prefiltered_join(large, small, "key", "k").collect()
     assert [(r["id"], r["k"]) for r in got] == [(1, 10)]
+
+
+def test_bloom_prefiltered_join_non_multiple_of_64_bits(spark):
+    """m_bits that is not a multiple of 64 must still be exact: the
+    bitmap rounds UP to the covering word count (positions in the top
+    partial word used to read past the array and silently drop true
+    matches)."""
+    from mapreduce_inverted_index_spark.operators.skew import (
+        bloom_prefiltered_join,
+    )
+
+    large = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "id int, key int"
+    )
+    small = spark.createDataFrame([(k,) for k in range(50)], "k int")
+    plain = sorted(
+        map(tuple, large.join(small, F.col("key") == F.col("k")).collect())
+    )
+    for m_bits in (1000, 67, 130):
+        got = sorted(
+            map(
+                tuple,
+                bloom_prefiltered_join(
+                    large, small, "key", "k", m_bits=m_bits, k=3
+                ).collect(),
+            )
+        )
+        assert got == plain, f"m_bits={m_bits} dropped true matches"

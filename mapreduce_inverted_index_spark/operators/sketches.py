@@ -37,6 +37,8 @@ __all__ = [
     "kmv_sketch",
     "kmv_pairwise_overlap",
     "KMV_DOMAIN",
+    "log_histogram_sketch",
+    "log_histogram_quantiles",
 ]
 
 
@@ -399,3 +401,116 @@ def kmv_pairwise_overlap(
         as_int(F.col("_jac") * F.lit(1_000_000.0)).alias("jaccard_e6"),
         as_int(F.col("_jac") * F.col("_union_est")).alias("est_intersection"),
     )
+
+
+# ------------------------------------------- log-histogram quantiles
+
+def log_histogram_sketch(
+    df: DataFrame,
+    key: str,
+    cents_col: Column | str,
+    subbins: int = 8,
+) -> DataFrame:
+    """Mergeable log-histogram sketch over a POSITIVE integer measure
+    (money in cents, latencies in ms): each value lands in one of
+    ``subbins`` linear sub-bins of its binary octave, so the state is
+    ``(key, bin, cnt)`` with at most ``63 x subbins`` rows per key —
+    tiny, mergeable by ADDING counts (associative/commutative: shard
+    sketches, stream micro-batch sketches, and time-bucket rollups
+    all merge with one groupBy-sum), and 100% deterministic integer
+    math, so unlike Spark's own GK ``approx_percentile`` the DuckDB
+    oracle replays it value-exactly.
+
+    Bin math (integer-exact in both engines): octave
+    ``e = floor(log2(v))`` via the base-2 digit count, sub-bin
+    ``s = v*subbins/2^e - subbins``; ``bin = e*subbins + s``. The
+    represented interval is ``[2^e(1+s/k), 2^e(1+(s+1)/k))``, whose
+    midpoint estimate carries relative error ≤ ``1/(2*subbins)``
+    (pytest-pinned against exact quantiles).
+
+    Output: ``<key>, bin, cnt, est`` — ``est`` is the bin midpoint
+    (the value :func:`log_histogram_quantiles` reports).
+    """
+    c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    v = c.cast("bigint")
+    # named intermediates so the expr-based shift can reference them
+    staged = df.select(F.col(key).alias(key), v.alias("__v__")).where(
+        F.col("__v__") >= 1
+    )
+    staged = staged.select(
+        key,
+        "__v__",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(length(conv(CAST(__v__ AS STRING), 10, 2)) - 1 AS INT))"
+        ).alias("__base__"),
+    ).select(
+        key,
+        "__v__",
+        "__base__",
+        (
+            (F.col("__v__") * subbins / F.col("__base__")).cast("bigint")
+            - subbins
+        ).alias("__s__"),
+        (
+            (F.length(F.conv(F.col("__v__").cast("string"), 10, 2)) - 1)
+            * subbins
+        ).alias("__e_k__"),
+    )
+    return (
+        staged.groupBy(
+            key,
+            (F.col("__e_k__") + F.col("__s__")).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            # every member of a bin shares (base, s), so min() just
+            # reads the shared values back out of the group
+            F.round(
+                F.min(
+                    F.col("__base__").cast("double")
+                    * (1.0 + (2 * F.col("__s__") + 1) / (2.0 * subbins))
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+
+
+def log_histogram_quantiles(
+    hist: DataFrame,
+    key: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a :func:`log_histogram_sketch` (or any
+    sum-merge of such sketches): per key, the estimate for quantile
+    ``q`` is the midpoint of the first bin whose cumulative count
+    reaches ``ceil(q * n)``. The cumulative window runs over the
+    SKETCH (≤ 63·subbins rows per key), never the data.
+
+    Output: ``<key>, n, q<q> ...`` (one column per requested
+    quantile, e.g. ``q50, q90, q99``).
+    """
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    cum = hist.select(
+        key,
+        "est",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("n"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("est"))).alias(
+                f"q{int(round(q * 100))}"
+            )
+        )
+    return cum.groupBy(key).agg(*aggs)

@@ -289,3 +289,57 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("type_b"),
         "est_a", "est_b", "est_union", "jaccard_e6", "est_intersection",
     )
+
+
+@register(
+    "log_histogram_quantiles_events",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value >= 0.01),
+    staged AS (
+      SELECT event_type, v,
+             (CAST(1 AS BIGINT) << CAST(length(to_base(v, 2)) - 1 AS INTEGER)) AS base,
+             (length(to_base(v, 2)) - 1) * 8 AS e_k
+      FROM cents),
+    hist AS (
+      SELECT event_type,
+             CAST(e_k + (v * 8) // base - 8 AS INTEGER) AS bin,
+             count(*) AS cnt,
+             round(min(CAST(base AS DOUBLE)
+                   * (1.0 + (2 * ((v * 8) // base - 8) + 1) / 16.0)), 6) AS est
+      FROM staged GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, est,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN est END) AS q50,
+           min(CASE WHEN cum >= ceil(0.9 * n) THEN est END) AS q90,
+           min(CASE WHEN cum >= ceil(0.99 * n) THEN est END) AS q99
+    FROM cum GROUP BY event_type
+    """,
+    doc="Mergeable log-histogram quantiles (p50/p90/p99 of the cent "
+        "value per event type): each value lands in one of 8 linear "
+        "sub-bins of its binary octave, state is (key, bin, cnt) — "
+        "<= 63x8 rows per key, merged across shards/streams/time "
+        "buckets by ADDING counts — and the whole sketch is "
+        "deterministic integer math, so the oracle replays it "
+        "value-exactly (Spark's own GK approx_percentile cannot be "
+        "SQL-replayed; its rank contract lives in "
+        "approx_quantiles_rank_checked). Midpoint estimates carry "
+        "relative error <= 1/16, pytest-pinned vs exact quantiles. "
+        "Operators: sketches.log_histogram_sketch/_quantiles.",
+)
+def q_log_histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.where(F.col("value") >= 0.01).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    hist = S.log_histogram_sketch(cents, "event_type", "cents", subbins=8)
+    return S.log_histogram_quantiles(hist, "event_type", qs=_QS)

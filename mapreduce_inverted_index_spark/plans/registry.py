@@ -132,12 +132,13 @@ _DRIVER_PRIORITY = (
     "tokenizer_fertility_by_lang",
     "ivf_cells_delete_vecs",
     "bloom_prefilter_join_revenue",
+    "log_histogram_quantiles_events",
     # -- round-8 operator change: delete_from_index grew a
     # broadcast-anti-join branch for large takedown lists and the
     # demo derivation is now bounded (r7 ask #4) --
     "index_delete_docs",
-    # -- 40 of the 44 stale-evidence queries (latest green ≤ r3, all
-    # pre-fixture-regeneration; the 4 deferred are noted inline) --
+    # -- 39 of the 44 stale-evidence queries (latest green ≤ r3, all
+    # pre-fixture-regeneration; the 5 deferred are noted inline) --
     "filter_pushdown_scan",
     "agg_pricing_summary",
     "rollup_order_stats",
@@ -176,7 +177,10 @@ _DRIVER_PRIORITY = (
     "sql_passthrough",
     "map_funcs_events",
     "array_hof_funcs",
-    "median_stats_lineitem",
+    # (median_stats_lineitem also defers to round 9 for
+    # log_histogram_quantiles_events: lineitem-only, untouched by the
+    # r5 fixture regeneration, r1 driver row + this session's local
+    # exact sweep at sf0.01 AND sf0.1.)
     "text_quality_profile",
     "doc_fingerprints",
     "groupwise_zscore",

@@ -321,3 +321,61 @@ def test_bloom_prefiltered_join_non_multiple_of_64_bits(spark):
             )
         )
         assert got == plain, f"m_bits={m_bits} dropped true matches"
+
+
+def test_log_histogram_quantiles_error_bound_and_merge(spark):
+    """(a) Midpoint estimates must sit within the documented
+    1/(2*subbins) relative error of the exact quantiles; (b) shard
+    sketches merged by summing counts must equal the one-shot sketch
+    (the mergeability that makes it a sketch at all)."""
+    from mapreduce_inverted_index_spark.operators.sketches import (
+        log_histogram_quantiles,
+        log_histogram_sketch,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cents = ev.where(F.col("value") >= 0.01).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    subbins = 8
+    hist = log_histogram_sketch(cents, "event_type", "cents", subbins=subbins)
+    got = {
+        r["event_type"]: r
+        for r in log_histogram_quantiles(hist, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in cents.groupBy("event_type")
+        .agg(F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("qs"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 1
+    bound = 1.0 / (2 * subbins) + 1e-9
+    for et, row in got.items():
+        for col, q_exact in zip(("q50", "q90", "q99"), exact[et]):
+            rel = abs(row[col] - q_exact) / q_exact
+            # percentile() interpolates between ranks; the sketch picks
+            # the ceil-rank bin — allow one midpoint of slack on top
+            assert rel <= bound * 2, (et, col, row[col], q_exact, rel)
+
+    # mergeability: shard by event_id parity, sum counts, same sketch
+    ev_id = ev.where(F.col("value") >= 0.01).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    shards = [
+        log_histogram_sketch(
+            ev_id.where(F.col("event_id") % 2 == k), "event_type", "cents",
+            subbins=subbins,
+        )
+        for k in range(2)
+    ]
+    merged = (
+        shards[0].unionByName(shards[1])
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"), F.min("est").alias("est"))
+    )
+    one_shot = sorted(map(tuple, hist.collect()))
+    assert sorted(map(tuple, merged.collect())) == one_shot

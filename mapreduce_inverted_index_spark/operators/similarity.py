@@ -523,6 +523,59 @@ def delete_from_ivf_cells(
     return affected
 
 
+def compact_ivf_cells(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+) -> list[int]:
+    """Small-file compaction for the IVF cell store — the third leg
+    of the state lifecycle (:func:`write_ivf_cells` / the streaming
+    maintenance loop APPEND a file per micro-batch per cell;
+    :func:`delete_from_ivf_cells` removes). Cells holding more than
+    ``max_files_per_cell`` parquet files are rewritten to a single
+    file each via the same tmp-write + dir-swap commit as delete;
+    cells at or under the threshold keep their exact files. Row
+    content is untouched (pytest-pinned identity), only layout
+    changes — probe latency recovers because a pruned scan opens
+    O(probed cells) files again instead of O(batches x cells).
+
+    Returns the compacted cell ids. At 100 TB the same body runs as
+    a transactional REWRITE (Iceberg rewrite_data_files / Delta
+    OPTIMIZE); file-count-per-partition is the trigger either way.
+    """
+    import os
+    import shutil
+
+    affected = []
+    for d in os.listdir(path):
+        if d.startswith("cell="):
+            n = sum(
+                1 for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")
+            )
+            if n > max_files_per_cell:
+                affected.append(int(d.split("=", 1)[1]))
+    if not affected:
+        return []
+    cells = spark.read.parquet(path)
+    # hash-repartition on cell: every cell's rows land in exactly one
+    # task, so each rewritten cell dir gets exactly one file — and the
+    # rewrite parallelizes across cells (no global coalesce)
+    packed = (
+        cells.where(F.col("cell").isin(affected))
+        .repartition(len(affected), "cell")
+        .sortWithinPartitions("vec_id")
+    )
+    tmp = path.rstrip("/") + ".tmp-compact"
+    packed.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    for c in affected:
+        old = f"{path}/cell={c}"
+        new = f"{tmp}/cell={c}"
+        shutil.rmtree(old)
+        os.rename(new, old)
+    shutil.rmtree(tmp)
+    return sorted(affected)
+
+
 def ivf_pruned_scan_topk(
     spark,
     path: str,

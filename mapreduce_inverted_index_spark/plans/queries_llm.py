@@ -1657,6 +1657,72 @@ def q_ivf_cells_delete_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_cells_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS rows_identical,
+           TRUE AS compacted_to_single_file
+    FROM embeddings
+    """,
+    doc="Small-file compaction of the IVF cell store — the third leg "
+        "of the embedding-state lifecycle (streaming appends create a "
+        "file per micro-batch per cell; delete rewrites affected "
+        "cells; this packs over-threshold cells back to one file each "
+        "via the same tmp-write + dir-swap commit). The demo appends "
+        "4 simulated micro-batches, compacts, and Spark-verifies: row "
+        "content identical (count exact in the oracle), every "
+        "compacted cell at one file. Layout-only by construction — "
+        "the 100 TB form is Iceberg rewrite_data_files / Delta "
+        "OPTIMIZE with the same file-count trigger. "
+        "Operator: similarity.compact_ivf_cells.",
+    scale_class="contract",
+)
+def q_ivf_cells_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_ivf_compact_")
+    path = f"{work}/cells"
+    emb = _emb(spark, sf_dir)
+    cents = _ivf_cents(spark, sf_dir)
+    for k in range(4):
+        ivf_assign(emb.where(F.col("vec_id") % 4 == k), cents).repartition(
+            1
+        ).write.mode("append").partitionBy("cell").parquet(path)
+    before = spark.read.parquet(path).select("vec_id", "cell")
+    before_rows = before.count()  # materialized before the rewrite
+    compacted = set(compact_ivf_cells(spark, path, max_files_per_cell=1))
+    after = spark.read.parquet(path).select("vec_id", "cell")
+    single_file = all(
+        sum(
+            1
+            for f in os.listdir(f"{path}/cell={c}")
+            if f.endswith(".parquet")
+        )
+        == 1
+        for c in compacted
+    )
+    rebuilt = ivf_assign(emb, cents).select("vec_id", "cell")
+    sym_diff = after.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(after))
+    return (
+        after.agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .crossJoin(
+            sym_diff.agg(
+                (
+                    (F.count("*") == 0) & F.lit(before_rows > 0)
+                ).alias("rows_identical")
+            )
+        )
+        .withColumn("compacted_to_single_file", F.lit(single_file))
+    )
+
+
+@register(
     "curation_policy_filter",
     oracle=f"""
     WITH m AS (

@@ -379,3 +379,46 @@ def test_log_histogram_quantiles_error_bound_and_merge(spark):
     )
     one_shot = sorted(map(tuple, hist.collect()))
     assert sorted(map(tuple, merged.collect())) == one_shot
+
+
+def test_compact_ivf_cells_layout_only(spark, tmp_path):
+    """Compaction must leave row content identical, reduce every
+    over-threshold cell to one file, and leave under-threshold cells'
+    files byte-untouched."""
+    import os
+
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 4, 3)
+    path = str(tmp_path / "cells")
+    # simulate 6 streaming appends -> 6 files per cell
+    for k in range(6):
+        ivf_assign(emb.where(F.col("vec_id") % 6 == k), cents).repartition(
+            1
+        ).write.mode("append").partitionBy("cell").parquet(path)
+
+    def files(d):
+        return sorted(
+            f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")
+        )
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert all(len(files(d)) == 6 for d in cell_dirs)
+
+    affected = compact_ivf_cells(spark, path, max_files_per_cell=4)
+    assert sorted(affected) == sorted(
+        int(d.split("=")[1]) for d in cell_dirs
+    )
+    for d in cell_dirs:
+        assert len(files(d)) == 1, d
+    assert (
+        sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
+    )
+    # second pass: everything under threshold -> no-op
+    assert compact_ivf_cells(spark, path, max_files_per_cell=4) == []

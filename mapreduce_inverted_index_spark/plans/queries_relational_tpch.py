@@ -1,8 +1,10 @@
-"""The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q10/Q11/Q14/Q16/Q19/Q20),
-adapted to the fixture star schema (which carries no ``partsupp``
-table — cost/stock-flavored queries are re-grounded on ``lineitem``
-shipment facts, keeping the PLAN shape that makes each query a
-distinct Catalyst exercise).
+"""The remaining TPC-H query shapes
+(Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q16/Q19/Q20), adapted to the fixture
+star schema (which carries no ``partsupp`` table — cost/stock-
+flavored queries are re-grounded on ``lineitem`` shipment facts,
+keeping the PLAN shape that makes each query a distinct Catalyst
+exercise). With the Q1/Q3/Q4/Q5/Q6/Q13/Q15/Q17/Q18/Q21/Q22 family in
+``queries_relational.py`` this completes all 22 TPC-H plan shapes.
 
 Like the Q4/Q15/Q17/Q21 family in ``queries_relational.py``, every
 correlated subquery is written as its DECORRELATED plan — the
@@ -695,4 +697,51 @@ def q_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "priority_shipping_mix",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="Q12 shape (the last of the 22 TPC-H plan shapes; the fixture "
+        "carries no shipmode/commitdate, so the late-shipment flags "
+        "re-ground on return flag + ship-date band, keeping the plan "
+        "that makes Q12 distinct): a selective date-band scan of the "
+        "FACT side joined fact-to-fact on orderkey, with the "
+        "high/low priority split as two conditional sums INSIDE one "
+        "aggregation — one pass, no pivot, no second join; the date "
+        "filter reaches the parquet scan as a pushed range predicate "
+        "and the join shuffles only the band's rows.",
+)
+def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )

@@ -421,3 +421,66 @@ def q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@register(
+    "stream_takedown_queue",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, unnest(__TERMS__) AS term FROM documents),
+    dead AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      ORDER BY doc_id LIMIT 64)
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+    GROUP BY term
+    """.replace("__TERMS__", sql_terms("text", distinct=True)),
+    doc="The DELETE side of stream maintenance: a takedown queue "
+        "(GDPR erasure / opt-outs) as a checkpointed file stream — "
+        "two AvailableNow passes fold id batches into the stored "
+        "index via delete_from_index's DataFrame branch (broadcast "
+        "anti-join on exploded postings; plan size constant in queue "
+        "length), tmp-write + rename commit, exactly-once per file. "
+        "The second pass replays half the first batch (takedown "
+        "queues are idempotent by nature) plus a never-ingested id "
+        "(a no-op fold). Oracle = build_index of the surviving "
+        "corpus, so a green row proves the stream-maintained index "
+        "equals a batch rebuild minus every erased id. Operator: "
+        "streaming.ingest.maintain_takedowns_available_now.",
+)
+def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_takedowns_available_now,
+    )
+
+    work = tempfile.mkdtemp(prefix="mii_takedown_")
+    index_dir, queue, ckpt = f"{work}/index", f"{work}/queue", f"{work}/ckpt"
+    docs = load_table(spark, sf_dir, "documents")
+    build_index(docs).write.mode("overwrite").parquet(index_dir)
+    dead = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(64)
+    )
+    # pass 1: the first half of the batch; pass 2: the WHOLE batch
+    # (overlap proves idempotence) plus a never-ingested ghost id
+    dead.limit(32).coalesce(1).write.mode("append").parquet(queue)
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    dead.union(
+        spark.createDataFrame([(10**12,)], "doc_id bigint")
+    ).coalesce(1).write.mode("append").parquet(queue)
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    return spark.read.parquet(index_dir).select(
+        "term",
+        F.array_join("postings", ",").alias("postings_csv"),
+        "df",
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "maintain_index_available_now",
     "maintain_chunks_available_now",
     "maintain_semantic_cells_available_now",
+    "maintain_takedowns_available_now",
 ]
 
 
@@ -265,6 +266,65 @@ def maintain_semantic_cells_available_now(
         ivf_assign(batch_df, cents, id_col, vec_col).write.mode(
             "append"
         ).partitionBy("cell").parquet(cells_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def maintain_takedowns_available_now(
+    spark: SparkSession,
+    takedown_dir: str,
+    index_dir: str,
+    checkpoint_path: str,
+    glob: str = "*.parquet",
+) -> None:
+    """The DELETE side of stream maintenance — a takedown queue
+    (GDPR erasure, opt-outs, retention expiry) as a checkpointed file
+    stream: each AvailableNow pass folds exactly the takedown-id
+    files that arrived since the last pass into the stored inverted
+    index via ``operators.inverted_index.delete_from_index`` with the
+    batch as a DataFrame (the broadcast-anti-join branch — plan size
+    never grows with the queue), committed by the same tmp-write +
+    rename as ``maintain_index_available_now``.
+
+    Together with the ADD loops (index/chunks/MG/semantic cells) this
+    closes the maintenance pair: a corpus pipeline runs both on a
+    schedule and the stored state tracks ingest MINUS erasure without
+    ever re-reading document text. Invariant (pytest-pinned): after
+    any pass history, the stored index equals ``build_index`` of the
+    ingested corpus minus every taken-down doc_id. Ids with no
+    postings (already deleted, never ingested) fold through as
+    no-ops — takedown queues are idempotent by nature.
+    """
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        delete_from_index,
+    )
+
+    schema = spark.read.option("pathGlobFilter", glob).parquet(takedown_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(takedown_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        if not os.path.isdir(index_dir):
+            return  # nothing built yet; ids re-fold on a later pass
+        merged = delete_from_index(
+            sess.read.parquet(index_dir), batch_df.select("doc_id")
+        )
+        tmp = index_dir.rstrip("/") + f".tmp-del-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(index_dir)
+        os.rename(tmp, index_dir)
 
     q = (
         stream.writeStream.foreachBatch(_fold)

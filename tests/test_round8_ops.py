@@ -422,3 +422,54 @@ def test_compact_ivf_cells_layout_only(spark, tmp_path):
     )
     # second pass: everything under threshold -> no-op
     assert compact_ivf_cells(spark, path, max_files_per_cell=4) == []
+
+
+def test_takedown_stream_maintenance(spark, tmp_path):
+    """Two takedown passes over a stored index must leave it equal to
+    build_index of the corpus minus every taken-down id; a pass with
+    ids that were already deleted (or never existed) is a no-op; a
+    pass with no new files leaves the index untouched."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_takedowns_available_now,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    index_dir = str(tmp_path / "index")
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    build_index(docs).write.mode("overwrite").parquet(index_dir)
+
+    batches = [
+        [r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()],
+        # second batch overlaps the first (idempotence) + a ghost id
+        [r["doc_id"] for r in docs.where(F.col("doc_id") % 10 < 2).collect()]
+        + [10**12],
+    ]
+    gone: set = set()
+    for ids in batches:
+        spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id bigint"
+        ).coalesce(1).write.mode("append").parquet(queue)
+        maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+        gone |= set(ids)
+        want = sorted(
+            map(
+                tuple,
+                build_index(
+                    docs.where(~F.col("doc_id").isin(list(gone)))
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, spark.read.parquet(index_dir).collect())
+        )
+        assert got == want
+
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    assert (
+        sorted(map(tuple, spark.read.parquet(index_dir).collect())) == want
+    )

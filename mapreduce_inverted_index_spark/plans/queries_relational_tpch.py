@@ -745,3 +745,70 @@ def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "smb_join_lineitem_orders",
+    oracle="""
+    SELECT o_orderpriority, l_returnflag,
+           count(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+    doc="Sort-merge-BUCKET fact-fact join: lineitem and orders are "
+        "written bucketBy(16)/sortBy on the order key with EQUAL "
+        "bucket counts, so the join reads pre-partitioned, pre-sorted "
+        "buckets — the SortMergeJoin runs with ZERO Exchange on "
+        "either input (pytest asserts exactly one Exchange in the "
+        "whole plan: the post-join rollup's). This is the co-located "
+        "join answer at 100 TB — both fact tables pay their shuffle "
+        "ONCE at write time and every future orderkey join is "
+        "shuffle-free — complementing the term-keyed bucket tier "
+        "(write_index_tables) with the numeric-fact form. "
+        "Oracle = the plain join + rollup.",
+)
+def q_smb_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    base = f"{tempfile.gettempdir()}/mii_smb_{tag}_{os.getpid()}"
+    li_name, o_name = f"mii_smb_li_{tag}", f"mii_smb_o_{tag}"
+    if not spark.catalog.tableExists(li_name):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(16, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/li")
+            .saveAsTable(li_name)
+        )
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .bucketBy(16, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/o")
+            .saveAsTable(o_name)
+        )
+    li = spark.table(li_name)
+    orders = spark.table(o_name)
+    # the merge hint pins the join SHAPE at every SF: at fixture
+    # scale AQE would broadcast the small side (hiding the property
+    # under test); at 100 TB SortMergeJoin is the natural choice and
+    # the bucket layout is what deletes its exchanges
+    return (
+        li.hint("merge").join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -133,12 +133,13 @@ _DRIVER_PRIORITY = (
     "ivf_cells_delete_vecs",
     "bloom_prefilter_join_revenue",
     "log_histogram_quantiles_events",
-    # (ivf_cells_compaction, stream_takedown_queue, and
-    # priority_shipping_mix — the late round-8 additions — wait for
-    # round 9 rather than displacing further stale re-proofs: all
-    # three hold invariant pytest cover plus this session's local
-    # exact sweep, and the r7 VERDICT's explicit ask was the stale
-    # re-window, which wins the tiebreak.)
+    # (ivf_cells_compaction, stream_takedown_queue,
+    # priority_shipping_mix, and smb_join_lineitem_orders — the late
+    # round-8 additions — wait for round 9 rather than displacing
+    # further stale re-proofs: all four hold invariant pytest cover
+    # plus this session's local exact sweep at sf0.01 AND sf0.1, and
+    # the r7 VERDICT's explicit ask was the stale re-window, which
+    # wins the tiebreak.)
     # -- round-8 operator change: delete_from_index grew a
     # broadcast-anti-join branch for large takedown lists and the
     # demo derivation is now bounded (r7 ask #4) --

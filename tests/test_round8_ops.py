@@ -473,3 +473,18 @@ def test_takedown_stream_maintenance(spark, tmp_path):
     assert (
         sorted(map(tuple, spark.read.parquet(index_dir).collect())) == want
     )
+
+
+def test_smb_join_has_no_pre_join_exchange(spark):
+    """Equal-bucket-count sortBy tables must SortMergeJoin with zero
+    Exchange on either input — the whole point of paying the shuffle
+    at write time. The only Exchange allowed in the plan is the
+    post-join rollup's."""
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    df = all_queries()["smb_join_lineitem_orders"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan[:2000]

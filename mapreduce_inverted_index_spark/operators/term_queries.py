@@ -429,3 +429,47 @@ def top_k_terms(docs: DataFrame, k: int = 25,
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def write_reversed_index(
+    index: DataFrame, path: str, buckets: int = 8, prefix: str = "mii"
+) -> str:
+    """Materialize the SUFFIX-probe tier: the index keyed by the
+    REVERSED term, ``bucketBy/sortBy(rterm)`` — the classic trick
+    that turns a trailing wildcard (``*ing``) into a leading one:
+    ``term LIKE '%ing'`` ⇔ ``reverse(term) LIKE 'gni%'``, which
+    pushes down as StringStartsWith and row-group-skips on the
+    sorted layout exactly like :func:`prefix_query`. One extra copy
+    of the (tiny, term-keyed) index buys O(matching pages) suffix
+    probes forever; a leading wildcard against the FORWARD layout
+    would scan every term.
+
+    Returns the table name.
+    """
+    name = f"{prefix}_rindex_b{buckets}"
+    (
+        index.select(
+            F.reverse(F.col("term")).alias("rterm"), "term", "df", "postings"
+        )
+        .write.mode("overwrite")
+        .bucketBy(buckets, "rterm")
+        .sortBy("rterm")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return name
+
+
+def suffix_query(spark, rindex_table: str, suffix: str) -> DataFrame:
+    """Trailing-wildcard term probe (``*suffix``) over the
+    :func:`write_reversed_index` tier: a StringStartsWith scan
+    predicate on the reversed key — IO-bounded, no shuffle, no join,
+    the mirror image of :func:`prefix_query`.
+
+    Output: ``term, df, postings ARRAY<BIGINT>``.
+    """
+    return (
+        spark.table(rindex_table)
+        .where(F.col("rterm").startswith(suffix[::-1]))
+        .select("term", "df", "postings")
+    )

@@ -883,3 +883,36 @@ def q_crawl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
     )
+
+
+@register(
+    "suffix_query_index",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+    FROM pairs WHERE term LIKE '%er' GROUP BY term
+    """,
+    doc="Trailing-wildcard probe (*er) over the REVERSED-key index "
+        "tier: reverse(term) LIKE 'gn%' pushes down as "
+        "StringStartsWith on the bucketBy/sortBy(rterm) layout "
+        "(plan-audited), so a suffix probe row-group-skips exactly "
+        "like the prefix probe — against the forward layout a "
+        "leading wildcard scans every term. One extra copy of the "
+        "term-keyed index buys the whole *suffix query class. "
+        "Operators: term_queries.write_reversed_index/suffix_query.",
+)
+def q_suffix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = f"{tempfile.gettempdir()}/mii_ridx_{tag}"
+    rtable = tq.write_reversed_index(
+        idx.build_index(_docs(spark, sf_dir)), path, buckets=8,
+        prefix=f"mii_{tag}",
+    )
+    return tq.suffix_query(spark, rtable, "er").select(
+        "term", "df", F.array_join("postings", ",").alias("postings_csv")
+    )

@@ -488,3 +488,37 @@ def test_smb_join_has_no_pre_join_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_suffix_query_pushes_down_on_reversed_key(spark):
+    """The reversed suffix must reach the scan as StringStartsWith on
+    rterm (IO-bounded probe, no join/shuffle), and results must equal
+    a plain endswith filter over the index."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+    )
+    from mapreduce_inverted_index_spark.operators.term_queries import (
+        suffix_query,
+        write_reversed_index,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    import tempfile
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    index = build_index(docs)
+    path = tempfile.mkdtemp(prefix="mii_ridx_test_")
+    rt = write_reversed_index(index, f"{path}/r", prefix="mii_t8")
+    got = suffix_query(spark, rt, "er")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(rterm,re)" in plan, plan[:1200]
+    assert "Join" not in plan and "Exchange" not in plan
+    want = sorted(
+        (r["term"], tuple(r["postings"]), r["df"])
+        for r in index.where(F.col("term").endswith("er")).collect()
+    )
+    assert (
+        sorted((r["term"], tuple(r["postings"]), r["df"]) for r in got.collect())
+        == want
+    )
+    assert len(want) > 0

@@ -26,6 +26,7 @@ __all__ = [
     "pii_stats",
     "repetition_profile",
     "lm_unigram_scores",
+    "lm_bigram_scores",
     "build_vocab",
     "encode_docs",
     "distribution_divergence",
@@ -856,4 +857,105 @@ def bpe_encode(
             ),
         )
         .withColumn("n_symbols", F.size("symbols").cast("int"))
+    )
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document interpolated BIGRAM-LM quality score — the
+    next-order upgrade of :func:`lm_unigram_scores` (a CCNet-style
+    perplexity-proxy filter; unigram models can't see word-order
+    degeneracy, a bigram model scores "the the the the" as the
+    garbage it is). Score = average negative log of
+    ``lam * P_ml(w|prev) + (1-lam) * P_add1(w)`` over the document's
+    token bigrams; higher = less corpus-like.
+
+    Engine-stability discipline (the ``lm_unigram_scores`` pattern
+    one order up): the interpolated probability is a deterministic
+    double expression of integer counts (IEEE division/multiply are
+    exactly reproducible cross-engine), its ``ln`` is computed once
+    per DISTINCT corpus bigram, rounded to 9 decimals and cast
+    DECIMAL(18,9) BEFORE aggregation — per-doc decimal sums are exact
+    and order-independent under any partitioning/retry.
+
+    Plan: one explode builds the per-doc bigram stream from adjacent
+    array slots (no window, no shuffle); bigram/unigram count tables
+    aggregate map-side and broadcast back (the LM is vocabulary²-
+    bounded — at corpus scale the trusted-LM table you'd ship is the
+    same broadcast); the only corpus-wide shuffle is the per-doc
+    rollup. Docs with fewer than two tokens emit ``n_bigrams = 0``
+    with a NULL score.
+
+    Output: ``doc_id, n_bigrams, nll_per_bigram``.
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    bi = base.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS prev, toks[i + 1] AS w))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+
+    uni = base.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1")
+    )
+    z = uni.agg(
+        F.sum("c1").alias("_n"), F.count("*").alias("_v")
+    ).select(
+        F.col("_n").cast("double").alias("n_corpus"),
+        F.col("_v").cast("double").alias("v_corpus"),
+    )
+    c2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    lm = (
+        c2.join(F.broadcast(uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))), "prev")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "prev",
+            "w",
+            F.round(
+                F.ln(
+                    F.lit(float(lam))
+                    * (F.col("c2").cast("double") / F.col("c1_prev").cast("double"))
+                    + F.lit(1.0 - float(lam))
+                    * ((F.col("c1").cast("double") + 1.0) / (F.col("n_corpus") + F.col("v_corpus")))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    per_doc = (
+        bi.join(F.broadcast(lm), ["prev", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp").alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("_slp").cast("double") / F.col("n_bigrams"), 6).alias(
+                "nll_per_bigram"
+            ),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "nll_per_bigram",
+        )
     )

@@ -3071,3 +3071,48 @@ def q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("en_rate"),
         F.round("avg_chars", 2).alias("avg_chars"),
     )
+
+
+@register(
+    "lm_bigram_quality_scores",
+    oracle="""
+    WITH base AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks[CAST(i AS INTEGER)] AS prev,
+             toks[CAST(i + 1 AS INTEGER)] AS w
+      FROM base, unnest(range(1, len(toks))) AS u(i)),
+    uni AS (SELECT w, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+    z AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_corpus,
+                 CAST(count(*) AS DOUBLE) AS v_corpus FROM uni),
+    c2 AS (SELECT prev, w, count(*) AS c2 FROM bi GROUP BY prev, w),
+    lm AS (
+      SELECT c2.prev, c2.w,
+             CAST(round(ln(0.75 * (CAST(c2 AS DOUBLE) / CAST(p.c1 AS DOUBLE))
+                  + 0.25 * ((CAST(u.c1 AS DOUBLE) + 1.0)
+                            / (z.n_corpus + z.v_corpus))), 9)
+                  AS DECIMAL(18,9)) AS lp
+      FROM c2 JOIN uni p ON c2.prev = p.w JOIN uni u ON c2.w = u.w, z),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+      FROM bi JOIN lm USING (prev, w) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           per.nll AS nll_per_bigram
+    FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+    """.replace("__TOKS__", _TOKS),
+    doc="Interpolated bigram-LM quality scores (0.75 * ML bigram + "
+        "0.25 * add-one unigram; average negative log-likelihood per "
+        "token bigram) — the next-order CCNet-style perplexity filter "
+        "above lm_quality_scores: unigram models cannot see "
+        "word-order degeneracy. Bigrams come from adjacent array "
+        "slots (one explode, no window, no shuffle); the "
+        "vocabulary^2-bounded LM table broadcasts back; each distinct "
+        "bigram's ln is computed once, rounded to 9 decimals and "
+        "summed as exact DECIMAL so the score is order-independent "
+        "and the oracle replays it bit-for-bit. "
+        "Operator: textstats.lm_bigram_scores.",
+)
+def q_lm_bigram_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lm_bigram_scores(_docs(spark, sf_dir))

@@ -134,10 +134,10 @@ _DRIVER_PRIORITY = (
     "bloom_prefilter_join_revenue",
     "log_histogram_quantiles_events",
     # (ivf_cells_compaction, stream_takedown_queue,
-    # priority_shipping_mix, smb_join_lineitem_orders, and
-    # suffix_query_index — the late
+    # priority_shipping_mix, smb_join_lineitem_orders,
+    # suffix_query_index, and lm_bigram_quality_scores — the late
     # round-8 additions — wait for round 9 rather than displacing
-    # further stale re-proofs: all five hold invariant pytest cover
+    # further stale re-proofs: all six hold invariant pytest cover
     # plus this session's local exact sweep at sf0.01 AND sf0.1, and
     # the r7 VERDICT's explicit ask was the stale re-window, which
     # wins the tiebreak.)

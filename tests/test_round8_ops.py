@@ -522,3 +522,45 @@ def test_suffix_query_pushes_down_on_reversed_key(spark):
         == want
     )
     assert len(want) > 0
+
+
+def test_lm_bigram_scores_semantics(spark):
+    """Word-order degeneracy must score WORSE (higher NLL) than
+    corpus-like text; short docs emit n_bigrams=0 with NULL score;
+    a hand-computed two-doc corpus matches exactly."""
+    import math
+
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_bigram_scores(docs, lam=0.75).collect()}
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["nll_per_bigram"] is None
+    # hand computation: corpus tokens N=7, V=5
+    # c1: alpha 2, beta 2, gamma 1, delta 1, solo 1
+    # bigrams: (alpha,beta) c2=2; (beta,gamma) 1; (beta,delta) 1
+    def lp(c2, c1prev, c1w):
+        p = 0.75 * (c2 / c1prev) + 0.25 * ((c1w + 1.0) / (7.0 + 5.0))
+        return round(math.log(p), 9)
+
+    d1 = -(lp(2, 2, 2) + lp(1, 2, 1)) / 2
+    assert abs(rows[1]["nll_per_bigram"] - round(d1, 6)) < 1e-9
+    assert rows[1]["n_bigrams"] == 2
+
+    # order sensitivity, the property unigram LMs cannot have: the
+    # same two words in FREQUENT order must score more corpus-like
+    # (lower NLL) than in the once-seen reversed order. NB a
+    # self-trained LM scores pure repetition as highly predictable —
+    # that pathology is repetition_profile's job, not this scorer's.
+    corpus = [(i, "good morning") for i in range(20)] + [(99, "morning good")]
+    out = {
+        r["doc_id"]: r["nll_per_bigram"]
+        for r in lm_bigram_scores(
+            spark.createDataFrame(corpus, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0] < out[99]

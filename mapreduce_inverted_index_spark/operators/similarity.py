@@ -570,8 +570,14 @@ def compact_ivf_cells(
     for c in affected:
         old = f"{path}/cell={c}"
         new = f"{tmp}/cell={c}"
-        shutil.rmtree(old)
-        os.rename(new, old)
+        # guards mirror delete_from_ivf_cells: a cell whose files hold
+        # zero rows (interrupted append debris) produces no tmp dir —
+        # removing the old dir IS its compaction, and the swap must
+        # not crash mid-way with data already deleted
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(new):
+            os.rename(new, old)
     shutil.rmtree(tmp)
     return sorted(affected)
 

@@ -413,7 +413,9 @@ def log_histogram_sketch(
 ) -> DataFrame:
     """Mergeable log-histogram sketch over a POSITIVE integer measure
     (money in cents, latencies in ms): each value lands in one of
-    ``subbins`` linear sub-bins of its binary octave, so the state is
+    ``subbins`` linear sub-bins of its binary octave (values capped
+    at ``2^62/subbins`` — larger measures rescale first; enforced
+    with a per-row raise), so the state is
     ``(key, bin, cnt)`` with at most ``63 x subbins`` rows per key —
     tiny, mergeable by ADDING counts (associative/commutative: shard
     sketches, stream micro-batch sketches, and time-bucket rollups
@@ -433,10 +435,25 @@ def log_histogram_sketch(
     """
     c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
     v = c.cast("bigint")
-    # named intermediates so the expr-based shift can reference them
-    staged = df.select(F.col(key).alias(key), v.alias("__v__")).where(
-        F.col("__v__") >= 1
-    )
+    # named intermediates so the expr-based shift can reference them.
+    # Domain guard: the sub-bin numerator v*subbins must stay inside
+    # int64, so v is capped at 2^62/subbins — raise_error per row
+    # beats a silent wrap producing negative garbage bins.
+    limit = (1 << 62) // subbins
+    staged = df.select(
+        F.col(key).alias(key),
+        F.when(
+            v > limit,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"log_histogram_sketch: value exceeds {limit} "),
+                    F.lit(f"(2^62/subbins={subbins}); rescale the measure"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(v)
+        .alias("__v__"),
+    ).where(F.col("__v__") >= 1)
     staged = staged.select(
         key,
         "__v__",
@@ -448,9 +465,12 @@ def log_histogram_sketch(
         key,
         "__v__",
         "__base__",
+        # integer DIV, never double division: a double quotient can
+        # round across a sub-bin boundary for large v, silently
+        # diverging from the oracle's exact // (and from this very
+        # sketch built on another engine)
         (
-            (F.col("__v__") * subbins / F.col("__base__")).cast("bigint")
-            - subbins
+            F.expr(f"(__v__ * {subbins}) DIV __base__") - subbins
         ).alias("__s__"),
         (
             (F.length(F.conv(F.col("__v__").cast("string"), 10, 2)) - 1)
@@ -505,6 +525,13 @@ def log_histogram_quantiles(
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
     )
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile labels collide: {names} — q{{int(q*100)}} naming "
+            "needs whole-percent-distinct quantiles (e.g. not both "
+            "0.99 and 0.995); rescale or query separately"
+        )
     aggs = [F.max("n").cast("bigint").alias("n")]
     for q in qs:
         rank = F.ceil(F.lit(float(q)) * F.col("n"))

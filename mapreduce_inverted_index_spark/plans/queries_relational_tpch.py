@@ -774,10 +774,18 @@ def q_smb_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    base = f"{tempfile.gettempdir()}/mii_smb_{tag}_{os.getpid()}"
+    # pid in BOTH the path and the table names: the registrations
+    # and their file locations live and die together per process
+    # (a name shared across processes would point at another pid's
+    # deleted /tmp location); the guard checks BOTH tables so a
+    # crash between the two writes can't strand a half-built pair
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_{os.getpid()}"
+    base = f"{tempfile.gettempdir()}/mii_smb_{tag}"
     li_name, o_name = f"mii_smb_li_{tag}", f"mii_smb_o_{tag}"
-    if not spark.catalog.tableExists(li_name):
+    if not (
+        spark.catalog.tableExists(li_name)
+        and spark.catalog.tableExists(o_name)
+    ):
         (
             _t(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_returnflag", "l_extendedprice")

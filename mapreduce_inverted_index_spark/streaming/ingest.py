@@ -317,7 +317,13 @@ def maintain_takedowns_available_now(
             return
         sess = batch_df.sparkSession
         if not os.path.isdir(index_dir):
-            return  # nothing built yet; ids re-fold on a later pass
+            # FAIL the micro-batch so it is NOT committed to the
+            # checkpoint — a silent return here would mark these
+            # erasure ids as processed and they would never re-fold
+            raise FileNotFoundError(
+                f"takedown fold: no index at {index_dir}; build it "
+                "first, then re-run (the uncommitted batch replays)"
+            )
         merged = delete_from_index(
             sess.read.parquet(index_dir), batch_df.select("doc_id")
         )

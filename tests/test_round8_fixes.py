@@ -218,3 +218,61 @@ def test_index_delete_demo_is_bounded(spark, sf_oracle):
         r["doc_id"] for r in docs.where(F.col("doc_id") % 7 == 0).collect()
     ) - dead
     assert kept_mod7 & surviving
+
+
+# ------------------- round-8 second-review regression guards
+
+def test_takedown_fold_fails_loud_without_index(spark, tmp_path):
+    """Erasure ids arriving before the index exists must FAIL the
+    micro-batch (uncommitted -> replayed later), never be silently
+    checkpointed away; after the index appears the same files fold."""
+    import pytest as _pytest
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_takedowns_available_now,
+    )
+    from pyspark.errors import StreamingQueryException
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    index_dir = str(tmp_path / "index")
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    dead = [r["doc_id"] for r in docs.limit(5).collect()]
+    spark.createDataFrame(
+        [(int(i),) for i in dead], "doc_id bigint"
+    ).coalesce(1).write.mode("append").parquet(queue)
+    with _pytest.raises(StreamingQueryException):
+        maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    # index appears; the SAME queue files must now apply
+    build_index(docs).write.mode("overwrite").parquet(index_dir)
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    want = sorted(
+        map(
+            tuple,
+            build_index(docs.where(~F.col("doc_id").isin(dead))).collect(),
+        )
+    )
+    assert sorted(map(tuple, spark.read.parquet(index_dir).collect())) == want
+
+
+def test_log_histogram_guards(spark):
+    """Out-of-domain values raise per row; colliding quantile labels
+    raise at call time."""
+    import pytest as _pytest
+
+    from mapreduce_inverted_index_spark.operators.sketches import (
+        log_histogram_quantiles,
+        log_histogram_sketch,
+    )
+
+    big = spark.createDataFrame([("g", (1 << 62))], "grp string, v long")
+    with _pytest.raises(Exception, match="rescale"):
+        log_histogram_sketch(big, "grp", "v", subbins=8).collect()
+    ok = spark.createDataFrame([("g", 7)], "grp string, v long")
+    hist = log_histogram_sketch(ok, "grp", "v", subbins=8)
+    with _pytest.raises(ValueError, match="collide"):
+        log_histogram_quantiles(hist, "grp", qs=(0.99, 0.994))

@@ -116,6 +116,9 @@ HEADLINE = _R1SET + (
     # write + pruned probe + exact-anchor verify in one query)
     "bpe_train_merges",
     "hard_negatives_ivf_contract",
+    # late round-8: second-order LM scoring (the heaviest new pure
+    # compute: bigram explode + LM broadcast + per-doc decimal rollup)
+    "lm_bigram_quality_scores",
 )
 
 

@@ -131,6 +131,14 @@ QUERIES = [
     "bpe_train_merges",
     "hard_negatives_ivf_contract",
     "semantic_stream_maintenance",
+    # late round-8: the vocabulary^2-bounded bigram LM (growth should
+    # track the token-explode scan; the LM table broadcast is
+    # corpus-size-invariant), the two-pass streaming takedown fold
+    # (cost includes the index build + two tmp-rename rewrites), and
+    # the quantized two-stage ANN re-rank
+    "lm_bigram_quality_scores",
+    "stream_takedown_queue",
+    "ann_quantized_rerank_topk",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

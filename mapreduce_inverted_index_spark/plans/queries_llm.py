@@ -1929,11 +1929,15 @@ def q_hard_negatives_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     # appear with recall 0 (lowering the hit-rate, keeping the
     # oracle's fixed 50-row shape), not vanish from the metric
     per_anchor = (
-        mined.join(F.broadcast(exact_ids), ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            (F.count("*") <= 3).alias("k_returned_ok"),
-            (F.coalesce(F.sum("_hit"), F.lit(0)) / 3.0).alias("_recall"),
+        F.broadcast(
+            mined.join(
+                F.broadcast(exact_ids), ["query_id", "vec_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                (F.count("*") <= 3).alias("k_returned_ok"),
+                (F.coalesce(F.sum("_hit"), F.lit(0)) / 3.0).alias("_recall"),
+            )
         )
         .join(anchors.select("query_id"), "query_id", "right")
         .select(

@@ -841,6 +841,30 @@ AUDITS = [
         ["array_except"],
         ["Join", "CartesianProduct"],
     ),
+    (
+        # bloom runtime filter: the bit-test conjunction must sit in
+        # the fact scan's Filter (shiftleft against the literal
+        # bitmap), the dim join broadcasts, and the rollup partial-aggs
+        "bloom_prefilter_join_revenue",
+        ["shiftleft", "BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
+        # SMB fact-fact join: both bucketed scans selected in full
+        # (SelectedBucketsCount), SortMergeJoin pinned by the merge
+        # hint, and NO exchange feeding it — the only Exchange in the
+        # plan is the post-join rollup's (exact count pytest-pinned)
+        "smb_join_lineitem_orders",
+        ["SortMergeJoin", "SelectedBucketsCount: 16 out of 16"],
+        ["BroadcastHashJoin", "CartesianProduct"],
+    ),
+    (
+        # bigram LM: adjacent-slot explode (no window), broadcast LM
+        # join, decimal partial sums; Python never touches a row
+        "lm_bigram_quality_scores",
+        ["Generate explode", "BroadcastHashJoin", "partial_sum"],
+        ["Window", "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    ),
 ]
 
 

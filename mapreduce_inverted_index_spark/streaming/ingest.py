@@ -31,6 +31,7 @@ __all__ = [
     "maintain_chunks_available_now",
     "maintain_semantic_cells_available_now",
     "maintain_takedowns_available_now",
+    "maintain_cell_takedowns_available_now",
 ]
 
 
@@ -331,6 +332,59 @@ def maintain_takedowns_available_now(
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(index_dir)
         os.rename(tmp, index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def maintain_cell_takedowns_available_now(
+    spark: SparkSession,
+    takedown_dir: str,
+    cells_dir: str,
+    checkpoint_path: str,
+    glob: str = "*.parquet",
+) -> None:
+    """The embedding-state twin of
+    :func:`maintain_takedowns_available_now`: a checkpointed erasure
+    queue of ``vec_id`` files folds into the IVF cell store via
+    ``similarity.delete_from_ivf_cells`` — per batch, only the cell
+    partitions containing the batch's ids rewrite (tmp-write +
+    per-cell dir swap); everything else keeps its exact files. With
+    this, both stored states (text index, embedding cells) have the
+    full streaming lifecycle: ADD (ingest loops), DELETE (takedown
+    queues), and for cells COMPACT (:func:`similarity.
+    compact_ivf_cells`). A missing cell store fails the micro-batch
+    (uncommitted → replays once the store exists), never silently
+    commits erasure ids away.
+    """
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        delete_from_ivf_cells,
+    )
+
+    schema = spark.read.option("pathGlobFilter", glob).parquet(takedown_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(takedown_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not os.path.isdir(cells_dir):
+            raise FileNotFoundError(
+                f"cell takedown fold: no cell store at {cells_dir}; "
+                "write it first, then re-run (the uncommitted batch "
+                "replays)"
+            )
+        delete_from_ivf_cells(
+            batch_df.sparkSession, cells_dir, batch_df.select("vec_id")
+        )
 
     q = (
         stream.writeStream.foreachBatch(_fold)

@@ -564,3 +564,55 @@ def test_lm_bigram_scores_semantics(spark):
         ).collect()
     }
     assert out[0] < out[99]
+
+
+def test_cell_takedown_stream_maintenance(spark, tmp_path):
+    """Erasure queue over the cell store: two passes must leave state
+    == assign of the survivors; pre-store arrival fails loud and the
+    same files fold after the store exists."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        write_ivf_cells,
+    )
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_cell_takedowns_available_now,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8, 3)
+    cells = str(tmp_path / "cells")
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+
+    dead1 = [r["vec_id"] for r in emb.where(F.col("vec_id") % 7 == 0).collect()]
+    spark.createDataFrame(
+        [(int(v),) for v in dead1], "vec_id bigint"
+    ).coalesce(1).write.mode("append").parquet(queue)
+    # store doesn't exist yet: the pass must fail, not commit
+    with _pytest.raises(StreamingQueryException):
+        maintain_cell_takedowns_available_now(spark, queue, cells, ckpt)
+
+    write_ivf_cells(ivf_assign(emb, cents), cells)
+    maintain_cell_takedowns_available_now(spark, queue, cells, ckpt)
+    dead2 = [r["vec_id"] for r in emb.where(F.col("vec_id") % 7 == 1).collect()]
+    spark.createDataFrame(
+        [(int(v),) for v in dead2], "vec_id bigint"
+    ).coalesce(1).write.mode("append").parquet(queue)
+    maintain_cell_takedowns_available_now(spark, queue, cells, ckpt)
+
+    gone = set(dead1) | set(dead2)
+    want = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(
+            emb.where(~F.col("vec_id").isin(list(gone))), cents
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(cells).select("vec_id", "cell").collect()
+    )
+    assert got == want and len(got) > 0

@@ -463,6 +463,35 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
+    """Crash-safe commit for cell-store rewrites (delete/compact):
+    write ``remaining`` into a per-call-UNIQUE tmp dir, then per
+    affected cell move the live dir ASIDE into the tmp before moving
+    the rewritten dir in — nothing is unlinked until both renames
+    landed, so a kill at any point leaves every row either live or
+    intact inside the orphaned tmp (the manual reconciliation point;
+    a bare filesystem has no atomic multi-dir commit — production
+    targets a transactional format's REPLACE). A fixed tmp name
+    would let a post-crash replay clobber the only surviving copy of
+    a half-swapped cell; the uuid suffix closes that window.
+    """
+    import os
+    import shutil
+    import uuid
+
+    tmp = path.rstrip("/") + f".tmp-swap-{uuid.uuid4().hex[:8]}"
+    remaining.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    for c in affected:
+        old = f"{path}/cell={c}"
+        new = f"{tmp}/cell={c}"
+        if os.path.isdir(old):
+            os.rename(old, f"{tmp}/retired-cell={c}")
+        if os.path.isdir(new):  # absent when the cell lost every row
+            os.rename(new, old)
+    shutil.rmtree(tmp)
+
+
+
 def delete_from_ivf_cells(
     spark,
     path: str,
@@ -510,16 +539,7 @@ def delete_from_ivf_cells(
     remaining = cells.where(F.col("cell").isin(affected)).join(
         F.broadcast(dead), "vec_id", "left_anti"
     )
-    tmp = path.rstrip("/") + ".tmp-del"
-    remaining.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    for c in affected:
-        old = f"{path}/cell={c}"
-        new = f"{tmp}/cell={c}"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(new):  # absent when the cell lost every row
-            os.rename(new, old)
-    shutil.rmtree(tmp)
+    _swap_cell_dirs(path, remaining, affected)
     return affected
 
 
@@ -565,20 +585,7 @@ def compact_ivf_cells(
         .repartition(len(affected), "cell")
         .sortWithinPartitions("vec_id")
     )
-    tmp = path.rstrip("/") + ".tmp-compact"
-    packed.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    for c in affected:
-        old = f"{path}/cell={c}"
-        new = f"{tmp}/cell={c}"
-        # guards mirror delete_from_ivf_cells: a cell whose files hold
-        # zero rows (interrupted append debris) produces no tmp dir —
-        # removing the old dir IS its compaction, and the swap must
-        # not crash mid-way with data already deleted
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(new):
-            os.rename(new, old)
-    shutil.rmtree(tmp)
+    _swap_cell_dirs(path, packed, affected)
     return sorted(affected)
 
 

@@ -479,8 +479,19 @@ def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(10**12,)], "doc_id bigint")
     ).coalesce(1).write.mode("append").parquet(queue)
     maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
-    return spark.read.parquet(index_dir).select(
-        "term",
-        F.array_join("postings", ",").alias("postings_csv"),
-        "df",
+    out = (
+        spark.read.parquet(index_dir)
+        .select(
+            "term",
+            F.array_join("postings", ",").alias("postings_csv"),
+            "df",
+        )
+        # pin the (small) result in executor blocks so the per-call
+        # work dir can be removed — the scaling probe runs this query
+        # 7x per sweep and mkdtemp trees would otherwise pile up
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

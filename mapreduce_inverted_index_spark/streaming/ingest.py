@@ -277,6 +277,49 @@ def maintain_semantic_cells_available_now(
     q.awaitTermination()
 
 
+def _takedown_loop(
+    spark: SparkSession,
+    takedown_dir: str,
+    glob: str,
+    checkpoint_path: str,
+    state_dir: str,
+    state_kind: str,
+    fold,
+) -> None:
+    """Shared AvailableNow scaffolding for the erasure queues: file
+    stream over the id directory, empty-batch skip, FAIL-LOUD when
+    the target state does not exist yet (the micro-batch stays
+    uncommitted and replays once the state appears — a silent return
+    would checkpoint erasure ids away forever), then the
+    state-specific ``fold(batch_df)``."""
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(takedown_dir).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(takedown_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not os.path.isdir(state_dir):
+            raise FileNotFoundError(
+                f"takedown fold: no {state_kind} at {state_dir}; build "
+                "it first, then re-run (the uncommitted batch replays)"
+            )
+        fold(batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def maintain_takedowns_available_now(
     spark: SparkSession,
     takedown_dir: str,
@@ -306,25 +349,8 @@ def maintain_takedowns_available_now(
         delete_from_index,
     )
 
-    schema = spark.read.option("pathGlobFilter", glob).parquet(takedown_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .parquet(takedown_dir)
-    )
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        if not os.path.isdir(index_dir):
-            # FAIL the micro-batch so it is NOT committed to the
-            # checkpoint — a silent return here would mark these
-            # erasure ids as processed and they would never re-fold
-            raise FileNotFoundError(
-                f"takedown fold: no index at {index_dir}; build it "
-                "first, then re-run (the uncommitted batch replays)"
-            )
         merged = delete_from_index(
             sess.read.parquet(index_dir), batch_df.select("doc_id")
         )
@@ -333,13 +359,10 @@ def maintain_takedowns_available_now(
         shutil.rmtree(index_dir)
         os.rename(tmp, index_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    _takedown_loop(
+        spark, takedown_dir, glob, checkpoint_path, index_dir,
+        "index", fold,
     )
-    q.awaitTermination()
 
 
 def maintain_cell_takedowns_available_now(
@@ -366,30 +389,12 @@ def maintain_cell_takedowns_available_now(
         delete_from_ivf_cells,
     )
 
-    schema = spark.read.option("pathGlobFilter", glob).parquet(takedown_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .parquet(takedown_dir)
-    )
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        if not os.path.isdir(cells_dir):
-            raise FileNotFoundError(
-                f"cell takedown fold: no cell store at {cells_dir}; "
-                "write it first, then re-run (the uncommitted batch "
-                "replays)"
-            )
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
         delete_from_ivf_cells(
             batch_df.sparkSession, cells_dir, batch_df.select("vec_id")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    _takedown_loop(
+        spark, takedown_dir, glob, checkpoint_path, cells_dir,
+        "cell store", fold,
     )
-    q.awaitTermination()

@@ -908,7 +908,9 @@ def main() -> None:
         ]
         print("\n```")
         for line in interesting[:12]:
-            print(line[:160])
+            # scrub process-unique suffixes (pid-keyed temp tables) so
+            # regenerating PLANS.md is idempotent across runs
+            print(re.sub(r"(mii_\w+?_[0-9a-f]{6})_\d+", r"\1_<pid>", line[:160]))
         print("```")
     if failures:
         print("\nFAILURES:", failures, file=sys.stderr)

@@ -168,7 +168,24 @@ def main() -> None:
         reset_shared_cache()
         spark.catalog.clearCache()
 
-    def best_of(fn) -> float:
+    # Iterative / state-store queries pay per-round fixed costs
+    # (micro-batch scheduling, lineage truncation, checkpoint IO)
+    # that dominate at bench scale and jitter multiplicatively on a
+    # shared host — round 8 read 7-22% drift on five of them with NO
+    # plan change. They get the third pass regardless of their time,
+    # so drift separates from real regression (VERDICT r8 ask #8).
+    _JITTER_PRONE = {
+        "stream_attribution_join",
+        "stream_transition_matrix",
+        "graph_bfs_levels",
+        "pagerank_user_graph",
+        "peak_concurrent_sessions",
+        "event_graph_triangles",
+        "embedding_dim_auc",
+        "bpe_train_merges",
+    }
+
+    def best_of(fn, name: str = "") -> float:
         best = float("inf")
         for _ in range(PASSES):
             clear_state()
@@ -178,7 +195,8 @@ def main() -> None:
         # Sub-2s queries are jitter-dominated at min-of-2 (round 6
         # showed +-0.3s swings read as regressions); one extra pass
         # tightens the min estimator where it's cheapest to do so.
-        if best < 2.0:
+        # State-store/iterative queries get it unconditionally.
+        if best < 2.0 or name in _JITTER_PRONE:
             clear_state()
             t0 = time.perf_counter()
             fn()
@@ -190,7 +208,7 @@ def main() -> None:
         q = queries.get(name)
         if q is None:
             continue
-        timings[name] = best_of(lambda: run(q.fn(spark, sf_dir)))
+        timings[name] = best_of(lambda: run(q.fn(spark, sf_dir)), name)
 
     # Second pass with the round-1 count() methodology so the
     # baseline ratio stays apples-to-apples across rounds (count()
@@ -201,7 +219,7 @@ def main() -> None:
         q = queries.get(name)
         if q is None:
             continue
-        compat[name] = best_of(lambda: q.fn(spark, sf_dir).count())
+        compat[name] = best_of(lambda: q.fn(spark, sf_dir).count(), name)
 
     # The driver keeps only a ~2 KB tail of stdout and parses the LAST
     # JSON line; round 6's single line carried two 41-query dicts and

@@ -36,12 +36,17 @@ __all__ = [
     "doc_freq",
     "write_index",
     "write_index_tables",
+    "write_doc_tables",
     "merge_index",
     "gap_encode_col",
     "gap_decode_col",
     "gap_encode_index",
     "gap_decode_postings",
     "delete_from_index",
+    "index_bucket_col",
+    "write_index_store",
+    "read_index_store",
+    "delete_from_index_store",
 ]
 
 
@@ -178,6 +183,48 @@ def write_index_tables(
     return index_name, tf_name
 
 
+def write_doc_tables(
+    docs: DataFrame,
+    path: str,
+    *,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix: str = "mii",
+) -> tuple[str, str]:
+    """Materialize the DOC-keyed co-located bucket tier — the
+    doc_id-axis mirror of :func:`write_index_tables` (term axis) and
+    the SMB fact pair (``queries_relational_tpch.py``'s orderkey
+    axis): the per-(doc, term) frequency table and the per-doc
+    length table, both ``bucketBy(buckets, doc_id)`` +
+    ``sortBy(doc_id)``. Every doc-keyed pipeline downstream — BM25's
+    tf x dl normalization, per-doc quality joins, funnel/retention
+    user joins re-keyed on the doc axis — reads pre-partitioned,
+    pre-sorted buckets and joins with ZERO pre-join Exchange
+    (pytest-asserted). Both tables pay their doc_id shuffle ONCE at
+    write time; at 100 TB that is the difference between re-shuffling
+    the (doc, term) fact on every scoring run and never shuffling it
+    again.
+
+    Returns the two table names ``(tf_table, dlen_table)``.
+    """
+    tf_name = f"{prefix}_dtf_b{buckets}"
+    dlen_name = f"{prefix}_dlen_b{buckets}"
+    tf = doc_term_freq(docs, text_col, id_col)
+    (tf.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .option("path", f"{path}/dtf")
+        .saveAsTable(tf_name))
+    dlen = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    (dlen.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .option("path", f"{path}/dlen")
+        .saveAsTable(dlen_name))
+    return tf_name, dlen_name
+
+
 def gap_encode_col(postings: F.Column) -> F.Column:
     """Gap-encoding expression: sorted ``[p0, p1, p2, ...]`` →
     ``[p0, p1-p0, p2-p1, ...]`` (``zip_with`` against the 1-shifted
@@ -264,6 +311,103 @@ def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
     return merged.select(
         "term", "postings", F.size("postings").cast("bigint").alias("df")
     )
+
+
+INDEX_STORE_BUCKETS = 16
+
+
+def index_bucket_col(term: "F.Column | str", n_buckets: int = INDEX_STORE_BUCKETS) -> F.Column:
+    """Deterministic term-hash bucket id — the partition key of the
+    maintained index STORE (:func:`write_index_store`). A pure
+    expression of the term, so any writer/reader pair agrees on a
+    term's bucket without coordination."""
+    t = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.xxhash64(t), F.lit(n_buckets)).cast("int")
+
+
+def write_index_store(
+    index: DataFrame, path: str, n_buckets: int = INDEX_STORE_BUCKETS
+) -> None:
+    """Materialize the index as a term-hash-bucket-PARTITIONED store
+    (``path/bucket=K/``) — the layout that makes maintenance
+    partition-local: a takedown batch touches only the buckets whose
+    postings actually contain its ids
+    (:func:`delete_from_index_store` rewrites those dirs and nothing
+    else), the exact discipline the IVF cell store already has
+    (``similarity.delete_from_ivf_cells``). Directory partitioning —
+    not ``bucketBy`` table buckets — because the maintenance commit
+    is a per-directory swap (``store.swap_partition_dirs``); the
+    bucketed-TABLE tier for shuffle-free lookup joins is
+    :func:`write_index_tables`, a different axis.
+    """
+    index.withColumn("bucket", index_bucket_col("term", n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def read_index_store(spark, path: str) -> DataFrame:
+    """Read a :func:`write_index_store` store back as a plain index
+    ``(term, postings, df)`` — the bucket partition column is storage
+    layout, not index content."""
+    return spark.read.parquet(path).select("term", "postings", "df")
+
+
+def delete_from_index_store(
+    spark, path: str, doc_ids: "list[int] | DataFrame"
+) -> list[int]:
+    """Takedown from the bucketed index store — the text twin of
+    ``similarity.delete_from_ivf_cells``: remove a batch of doc_ids,
+    rewriting ONLY the bucket partitions whose postings contain them.
+    Untouched bucket directories keep their exact files
+    (pytest-pinned by file listing) — at 100 TB a takedown batch
+    touching 64 docs rewrites ~64 term-buckets' worth of postings,
+    never a multi-TB index.
+
+    Mechanics: one scan locates the affected buckets (explode
+    postings, broadcast semi-join on the id batch, distinct bucket —
+    shuffle rows are bucket ids, not postings); the affected buckets'
+    rows then re-aggregate per (bucket, term) with the dead ids
+    anti-joined out — the bucket column rides THROUGH the regroup, so
+    no bucket recomputation (and no bucket-count parameter) is
+    needed; terms whose last posting dies drop out, a bucket whose
+    last term dies loses its directory. Commit = the shared
+    crash-safe dir swap (``store.swap_partition_dirs``). Returns the
+    affected bucket ids.
+    """
+    from mapreduce_inverted_index_spark.operators.store import (
+        swap_partition_dirs,
+    )
+
+    if isinstance(doc_ids, DataFrame):
+        dead = doc_ids.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    else:
+        dead = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id bigint"
+        )
+    store = spark.read.parquet(path)
+    affected = sorted(
+        r["bucket"]
+        for r in store.select(
+            "bucket", F.explode("postings").alias("doc_id")
+        )
+        .join(F.broadcast(dead), "doc_id")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    pairs = (
+        store.where(F.col("bucket").isin(affected))
+        .select("bucket", "term", F.explode("postings").alias("doc_id"))
+        .join(F.broadcast(dead), "doc_id", "left_anti")
+    )
+    remaining = pairs.groupBy("bucket", "term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count("*").cast("bigint").alias("df"),
+    ).select("term", "postings", "df", "bucket")
+    swap_partition_dirs(path, remaining, "bucket", affected)
+    return affected
 
 
 DELETE_INLINE_THRESHOLD = 10_000

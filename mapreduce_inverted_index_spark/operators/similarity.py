@@ -464,31 +464,19 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
 
 
 def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
-    """Crash-safe commit for cell-store rewrites (delete/compact):
-    write ``remaining`` into a per-call-UNIQUE tmp dir, then per
-    affected cell move the live dir ASIDE into the tmp before moving
-    the rewritten dir in — nothing is unlinked until both renames
-    landed, so a kill at any point leaves every row either live or
-    intact inside the orphaned tmp (the manual reconciliation point;
-    a bare filesystem has no atomic multi-dir commit — production
-    targets a transactional format's REPLACE). A fixed tmp name
-    would let a post-crash replay clobber the only surviving copy of
-    a half-swapped cell; the uuid suffix closes that window.
+    """Crash-safe commit for cell-store rewrites (delete/compact) —
+    the cell-keyed face of the shared partition-dir swap; see
+    :func:`operators.store.swap_partition_dirs` for the commit
+    discipline (uuid tmp, rename-aside-then-in, nothing unlinked
+    until both renames landed). The text index store's bucket-level
+    takedown (``inverted_index.delete_from_index_store``) commits
+    through the same helper.
     """
-    import os
-    import shutil
-    import uuid
+    from mapreduce_inverted_index_spark.operators.store import (
+        swap_partition_dirs,
+    )
 
-    tmp = path.rstrip("/") + f".tmp-swap-{uuid.uuid4().hex[:8]}"
-    remaining.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    for c in affected:
-        old = f"{path}/cell={c}"
-        new = f"{tmp}/cell={c}"
-        if os.path.isdir(old):
-            os.rename(old, f"{tmp}/retired-cell={c}")
-        if os.path.isdir(new):  # absent when the cell lost every row
-            os.rename(new, old)
-    shutil.rmtree(tmp)
+    swap_partition_dirs(path, remaining, "cell", affected)
 
 
 
@@ -577,9 +565,14 @@ def compact_ivf_cells(
     if not affected:
         return []
     cells = spark.read.parquet(path)
-    # hash-repartition on cell: every cell's rows land in exactly one
-    # task, so each rewritten cell dir gets exactly one file — and the
-    # rewrite parallelizes across cells (no global coalesce)
+    # hash-repartition on cell: each cell's rows land in ONE task
+    # (possibly shared with other cells that hash to the same task,
+    # leaving some tasks empty), and partitionBy then splits a task's
+    # output per cell value — so every rewritten cell dir gets exactly
+    # one file regardless of collisions; no global coalesce. If true
+    # per-cell rewrite parallelism ever matters, salt the repartition
+    # key — the one-file-per-cell outcome is partitionBy's, not the
+    # hash layout's.
     packed = (
         cells.where(F.col("cell").isin(affected))
         .repartition(len(affected), "cell")

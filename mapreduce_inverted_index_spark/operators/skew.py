@@ -59,6 +59,11 @@ def bloom_prefiltered_join(
     measured fpp at k=3, m=64Ki, |keys|=3k is ~0.2%). Choose
     ``m_bits`` ≈ 20× the expected distinct small-side keys; above
     ~10^8 keys prefer a partitioned semi-join instead of one bitmap.
+
+    Output columns: when the two key names MATCH the join runs on the
+    name list, so the key appears once; with distinct names both key
+    columns survive (equal values — callers pick either), matching
+    plain ``join`` semantics on every route.
     """
     # round UP: hash positions live in [0, m_bits), so the top word
     # must exist even when m_bits is not a multiple of 64 (otherwise
@@ -99,9 +104,12 @@ def bloom_prefiltered_join(
         )
         test = word_val.bitwiseAND(mask) != 0
         cond = test if cond is None else (cond & test)
-    return large.where(cond).join(
-        small, F.col(large_key) == F.col(small_key)
-    )
+    pre = large.where(cond)
+    if large_key == small_key:
+        # same-name keys: equality on F.col would be an ambiguous
+        # reference — join on the name list (key appears once)
+        return pre.join(small, large_key)
+    return pre.join(small, F.col(large_key) == F.col(small_key))
 
 
 def join_skew_profile(

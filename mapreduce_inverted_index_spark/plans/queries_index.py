@@ -905,9 +905,15 @@ def q_crawl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    # pid in BOTH the path and the table-name prefix (the
+    # q_smb_join_lineitem_orders convention): a concurrent
+    # pytest/bench process must not overwrite the store mid-scan,
+    # and a table name shared across processes would point at
+    # another pid's deleted /tmp location
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_{os.getpid()}"
     path = f"{tempfile.gettempdir()}/mii_ridx_{tag}"
     rtable = tq.write_reversed_index(
         idx.build_index(_docs(spark, sf_dir)), path, buckets=8,
@@ -915,4 +921,71 @@ def q_suffix_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tq.suffix_query(spark, rtable, "er").select(
         "term", "df", F.array_join("postings", ",").alias("postings_csv")
+    )
+
+
+@register(
+    "colocated_doc_tf_norm",
+    oracle=f"""
+    WITH tfp AS ({_TF_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tfp GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, term, tf, dl,
+           CAST(FLOOR(tf * 1000000.0 / dl) AS BIGINT) AS ntf_ppm
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    """,
+    doc="Doc-keyed co-located bucket tier (the doc_id-axis mirror of "
+        "term_lookup_bucketed and the orderkey SMB fact pair): the "
+        "(doc_id, term, tf) table and the per-doc length table are "
+        "written bucketBy(16, doc_id)/sortBy(doc_id) with EQUAL "
+        "bucket counts, so BM25-style tf x dl normalization — and "
+        "every future doc-keyed join over these facts — reads "
+        "pre-partitioned, pre-sorted buckets with ZERO Exchange in "
+        "the whole plan (pytest-asserted: not even the rollup's, "
+        "because dl is precomputed at write time). Both tables pay "
+        "their doc_id shuffle once at write; at 100 TB scoring runs "
+        "stop re-shuffling the (doc, term) fact ever again. "
+        "ntf_ppm = floor(tf*1e6/dl): integer-exact cross-engine "
+        "(IEEE division correctly rounded; quotients stay > 1/dl "
+        "away from integers unless exactly representable). "
+        "Operator: inverted_index.write_doc_tables.",
+)
+def q_colocated_doc_tf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    # pid in path AND table names (the q_smb_join_lineitem_orders
+    # convention); the guard checks both tables so a crash between
+    # the two writes can't strand a half-built pair
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_{os.getpid()}"
+    base = f"{tempfile.gettempdir()}/mii_dtab_{tag}"
+    prefix = f"mii_{tag}"
+    tf_name = f"{prefix}_dtf_b16"
+    dlen_name = f"{prefix}_dlen_b16"
+    if not (
+        spark.catalog.tableExists(tf_name)
+        and spark.catalog.tableExists(dlen_name)
+    ):
+        tf_name, dlen_name = idx.write_doc_tables(
+            _docs(spark, sf_dir), base, buckets=16, prefix=prefix
+        )
+    tf = spark.table(tf_name)
+    dl = spark.table(dlen_name)
+    # merge hint pins the SMB shape at every SF (AQE would broadcast
+    # the small side at fixture scale, hiding the property under test)
+    return (
+        tf.hint("merge")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            F.floor(F.col("tf") * 1000000.0 / F.col("dl"))
+            .cast("bigint")
+            .alias("ntf_ppm"),
+        )
     )

@@ -440,14 +440,18 @@ def q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The DELETE side of stream maintenance: a takedown queue "
         "(GDPR erasure / opt-outs) as a checkpointed file stream — "
         "two AvailableNow passes fold id batches into the stored "
-        "index via delete_from_index's DataFrame branch (broadcast "
-        "anti-join on exploded postings; plan size constant in queue "
-        "length), tmp-write + rename commit, exactly-once per file. "
-        "The second pass replays half the first batch (takedown "
-        "queues are idempotent by nature) plus a never-ingested id "
-        "(a no-op fold). Oracle = build_index of the surviving "
-        "corpus, so a green row proves the stream-maintained index "
-        "equals a batch rebuild minus every erased id. Operator: "
+        "BUCKETED index store (write_index_store layout) via "
+        "delete_from_index_store: each pass rewrites ONLY the "
+        "term-hash bucket partitions whose postings contain the "
+        "batch's ids (crash-safe per-dir swap; untouched bucket dirs "
+        "keep their exact files, pytest-pinned), exactly-once per "
+        "file. Per-batch IO is O(affected buckets), never O(index) — "
+        "the discipline the IVF cell store's erasure queue has. The "
+        "second pass replays half the first batch (takedown queues "
+        "are idempotent by nature) plus a never-ingested id (a no-op "
+        "fold). Oracle = build_index of the surviving corpus, so a "
+        "green row proves the stream-maintained store equals a batch "
+        "rebuild minus every erased id. Operator: "
         "streaming.ingest.maintain_takedowns_available_now.",
 )
 def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +459,7 @@ def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_inverted_index_spark.operators.inverted_index import (
         build_index,
+        write_index_store,
     )
     from mapreduce_inverted_index_spark.sources.tables import load_table
     from mapreduce_inverted_index_spark.streaming.ingest import (
@@ -464,7 +469,7 @@ def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="mii_takedown_")
     index_dir, queue, ckpt = f"{work}/index", f"{work}/queue", f"{work}/ckpt"
     docs = load_table(spark, sf_dir, "documents")
-    build_index(docs).write.mode("overwrite").parquet(index_dir)
+    write_index_store(build_index(docs), index_dir)
     dead = (
         docs.where(F.col("doc_id") % 10 == 0)
         .select("doc_id")
@@ -485,7 +490,7 @@ def q_stream_takedown_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.array_join("postings", ",").alias("postings_csv"),
             "df",
-        )
+        )  # bucket partition col dropped by the select — layout, not content
         # pin the (small) result in executor blocks so the per-call
         # work dir can be removed — the scaling probe runs this query
         # 7x per sweep and mkdtemp trees would otherwise pile up

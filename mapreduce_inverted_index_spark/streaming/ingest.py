@@ -83,6 +83,27 @@ def streamed_doc_ids(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _swap_flat_dir(df: DataFrame, live_dir: str, tag: str) -> None:
+    """Crash-safe whole-dir commit for FLAT (unpartitioned) stores:
+    write to a uuid tmp, rename the live dir ASIDE, rename the tmp
+    in, then drop the retired copy — nothing is unlinked until the
+    new dir is live, so a kill at any point leaves a complete copy
+    on disk (live, ``.retired-*``, or ``.tmp-*`` — the recovery
+    order the takedown loop's fail-loud message names). The
+    partition-level twin is ``operators.store.swap_partition_dirs``.
+    """
+    import uuid
+
+    u = uuid.uuid4().hex[:8]
+    tmp = live_dir.rstrip("/") + f".tmp-{tag}-{u}"
+    retired = live_dir.rstrip("/") + f".retired-{tag}-{u}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(live_dir):
+        os.rename(live_dir, retired)
+    os.rename(tmp, live_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
 def maintain_chunks_available_now(
     spark: SparkSession,
     sf_dir: str,
@@ -163,11 +184,7 @@ def maintain_index_available_now(
             merged = merge_index(sess.read.parquet(index_dir), delta)
         else:
             merged = delta
-        tmp = index_dir.rstrip("/") + f".tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(index_dir):
-            shutil.rmtree(index_dir)
-        os.rename(tmp, index_dir)
+        _swap_flat_dir(merged, index_dir, f"add-{batch_id}")
 
     q = (
         stream_text_corpus(spark, corpus_path)
@@ -307,7 +324,11 @@ def _takedown_loop(
         if not os.path.isdir(state_dir):
             raise FileNotFoundError(
                 f"takedown fold: no {state_kind} at {state_dir}; build "
-                "it first, then re-run (the uncommitted batch replays)"
+                "it first, then re-run (the uncommitted batch replays). "
+                "If a prior run crashed mid-commit, the fully written "
+                f"state sits intact next to this path in a "
+                f"'{state_dir}.retired-*' or '{state_dir}.tmp-*' dir — "
+                "rename it back instead of rebuilding"
             )
         fold(batch_df, batch_id)
 
@@ -331,33 +352,54 @@ def maintain_takedowns_available_now(
     (GDPR erasure, opt-outs, retention expiry) as a checkpointed file
     stream: each AvailableNow pass folds exactly the takedown-id
     files that arrived since the last pass into the stored inverted
-    index via ``operators.inverted_index.delete_from_index`` with the
-    batch as a DataFrame (the broadcast-anti-join branch — plan size
-    never grows with the queue), committed by the same tmp-write +
-    rename as ``maintain_index_available_now``.
+    index.
+
+    Two store layouts, detected from the directory:
+
+    - **bucketed store** (``write_index_store`` layout,
+      ``bucket=K/`` partition dirs — the production path): the batch
+      folds via ``delete_from_index_store``, which rewrites ONLY the
+      bucket partitions whose postings contain the batch's ids and
+      commits with the shared crash-safe dir swap. Per-batch IO is
+      O(affected buckets), not O(index) — a 64-doc takedown must not
+      rewrite a multi-TB index. This is the discipline the embedding
+      twin (``maintain_cell_takedowns_available_now`` →
+      ``delete_from_ivf_cells``) has always had.
+    - **flat parquet dir** (legacy / small indexes): whole-index
+      rewrite via ``delete_from_index`` (DataFrame batch — the
+      broadcast-anti-join branch, plan size constant in queue
+      length), committed by the rename-aside swap (a crash at any
+      point leaves a complete copy on disk).
 
     Together with the ADD loops (index/chunks/MG/semantic cells) this
     closes the maintenance pair: a corpus pipeline runs both on a
     schedule and the stored state tracks ingest MINUS erasure without
-    ever re-reading document text. Invariant (pytest-pinned): after
-    any pass history, the stored index equals ``build_index`` of the
-    ingested corpus minus every taken-down doc_id. Ids with no
-    postings (already deleted, never ingested) fold through as
-    no-ops — takedown queues are idempotent by nature.
+    ever re-reading document text. Invariant (pytest-pinned for both
+    layouts): after any pass history, the stored index equals
+    ``build_index`` of the ingested corpus minus every taken-down
+    doc_id. Ids with no postings (already deleted, never ingested)
+    fold through as no-ops — takedown queues are idempotent by
+    nature.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import (
         delete_from_index,
+        delete_from_index_store,
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        bucketed = any(
+            d.startswith("bucket=") for d in os.listdir(index_dir)
+        )
+        if bucketed:
+            delete_from_index_store(
+                sess, index_dir, batch_df.select("doc_id")
+            )
+            return
         merged = delete_from_index(
             sess.read.parquet(index_dir), batch_df.select("doc_id")
         )
-        tmp = index_dir.rstrip("/") + f".tmp-del-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(index_dir)
-        os.rename(tmp, index_dir)
+        _swap_flat_dir(merged, index_dir, f"del-{batch_id}")
 
     _takedown_loop(
         spark, takedown_dir, glob, checkpoint_path, index_dir,

@@ -295,6 +295,25 @@ def test_bloom_prefiltered_join_edge_cases(spark):
     assert [(r["id"], r["k"]) for r in got] == [(1, 10)]
 
 
+def test_bloom_prefiltered_join_same_key_name(spark):
+    """Same-name keys must join on the name list (no ambiguous-
+    reference AnalysisException) and carry the key column once."""
+    from mapreduce_inverted_index_spark.operators.skew import (
+        bloom_prefiltered_join,
+    )
+
+    large = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, key int"
+    )
+    small = spark.createDataFrame([(10, "a"), (30, "c")], "key int, tag string")
+    got = bloom_prefiltered_join(large, small, "key", "key")
+    assert got.columns.count("key") == 1
+    assert sorted((r["id"], r["key"], r["tag"]) for r in got.collect()) == [
+        (1, 10, "a"),
+        (3, 30, "c"),
+    ]
+
+
 def test_bloom_prefiltered_join_non_multiple_of_64_bits(spark):
     """m_bits that is not a multiple of 64 must still be exact: the
     bitmap rounds UP to the covering word count (positions in the top

@@ -1,0 +1,108 @@
+"""Mechanical driver-window rotation (VERDICT r8 ask #4).
+
+The driver's per-round correctness check covers only the FIRST
+``WINDOW`` catalog entries, so catalog order is driver-evidence
+policy. Rounds 6-8 hand-computed that order from CORRECTNESS_r*.json;
+this tool makes the policy executable:
+
+1. read every ``CORRECTNESS_r*.json`` at the repo root and compute,
+   per query, the latest round with a GREEN row (rows_match AND
+   schema_match AND hash_match-not-false AND no err);
+2. order the catalog: never-driver-checked queries first (newest
+   capabilities need their first row), then ascending
+   latest-green-round (stalest evidence re-proves first);
+3. ties break by catalog REGISTRATION order — the same axis the
+   driver itself walks, so the ordering is total and reproducible.
+
+``registry._DRIVER_PRIORITY`` holds the emitted window as a literal
+(the driver must not depend on runtime file reads), and
+``tests/test_driver_compat.py`` asserts the literal matches this
+tool's output — the window is provably mechanical.
+
+Usage: python tools/driver_window.py [--window N]   (default 50)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+WINDOW = 50
+
+
+def _is_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match") is not False
+        and not row.get("err")
+    )
+
+
+def latest_green_rounds(repo_root: str = REPO_ROOT) -> dict:
+    """{query name -> latest green round int} over every
+    CORRECTNESS_r*.json; queries with driver rows but no green row
+    map to 0 (re-check before any stale green)."""
+    latest: dict = {}
+    for path in sorted(glob.glob(f"{repo_root}/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if _is_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+            else:
+                latest.setdefault(name, 0)
+    return latest
+
+
+def compute_window(
+    catalog_names: "list[str]",
+    latest: "dict[str, int]",
+    window: int = WINDOW,
+) -> "list[str]":
+    """The staleness-ordered driver window: (never-checked first,
+    then oldest green), registration-order tiebreak."""
+    pos = {n: i for i, n in enumerate(catalog_names)}
+    ranked = sorted(
+        catalog_names, key=lambda n: (latest.get(n, -1), pos[n])
+    )
+    return ranked[:window]
+
+
+def registration_order() -> "list[str]":
+    """Catalog names in REGISTRATION order (not the prioritized
+    iteration order ``all_queries`` exposes)."""
+    from mapreduce_inverted_index_spark.plans import registry
+
+    if not registry._LOADED:
+        registry._load()
+    return list(registry._REGISTRY)
+
+
+def main() -> None:
+    window = WINDOW
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
+    names = registration_order()
+    latest = latest_green_rounds()
+    win = compute_window(names, latest, window)
+    print("# staleness-ordered driver window "
+          f"({window} of {len(names)} catalog queries)")
+    print("# paste into registry._DRIVER_PRIORITY:")
+    print("_DRIVER_PRIORITY = (")
+    for n in win:
+        tag = latest.get(n)
+        note = "never checked" if tag is None else f"latest green r{tag}"
+        print(f'    "{n}",  # {note}')
+    print(")")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,8 @@ __all__ = [
     "write_index_store",
     "read_index_store",
     "delete_from_index_store",
+    "merge_into_index_store",
+    "term_lookup_store",
 ]
 
 
@@ -343,6 +345,22 @@ def write_index_store(
     index.withColumn("bucket", index_bucket_col("term", n_buckets)).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
+    # sidecar records the bucket-fn arity: ADD merges and term-probe
+    # pruning must hash NEW terms with the same n_buckets the store
+    # was laid out with (DELETE doesn't need it — the bucket column
+    # rides through its regroup). Written after the data so a failed
+    # write never leaves a meta file pointing at nothing.
+    import json
+
+    with open(f"{path}/_mii_store.json", "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def _store_n_buckets(path: str) -> int:
+    import json
+
+    with open(f"{path}/_mii_store.json") as f:
+        return int(json.load(f)["n_buckets"])
 
 
 def read_index_store(spark, path: str) -> DataFrame:
@@ -408,6 +426,71 @@ def delete_from_index_store(
     ).select("term", "postings", "df", "bucket")
     swap_partition_dirs(path, remaining, "bucket", affected)
     return affected
+
+
+def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
+    """ADD to the bucketed index store — the other half of
+    :func:`delete_from_index_store`'s bucket-local discipline: fold a
+    delta index (newly ingested docs, built by :func:`build_index`
+    over the batch only) into the store, rewriting ONLY the bucket
+    partitions the delta's terms hash into. For a small ingest batch
+    the delta vocabulary covers a subset of buckets; the rest keep
+    their exact files (pytest-pinned) — per-batch IO tracks the
+    batch's vocabulary footprint, not the index.
+
+    Mechanics: the delta's buckets come from one bounded collect
+    (≤ n_buckets ints — the sidecar written by
+    :func:`write_index_store` pins n_buckets so new terms hash with
+    the store's arity); the affected subset full-outer-merges with
+    the delta via :func:`merge_index` and swaps in through the shared
+    crash-safe commit. Returns the affected bucket ids.
+    """
+    from mapreduce_inverted_index_spark.operators.store import (
+        swap_partition_dirs,
+    )
+
+    n_buckets = _store_n_buckets(path)
+    tagged = delta.withColumn("bucket", index_bucket_col("term", n_buckets))
+    affected = sorted(
+        r["bucket"]
+        for r in tagged.select("bucket").distinct().collect()
+    )
+    if not affected:
+        return []
+    base = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(affected))
+        .select("term", "postings", "df")
+    )
+    merged = merge_index(base, delta).withColumn(
+        "bucket", index_bucket_col("term", n_buckets)
+    )
+    swap_partition_dirs(path, merged, "bucket", affected)
+    return affected
+
+
+def term_lookup_store(spark, path: str, terms: "list[str]") -> DataFrame:
+    """Exact term probe over the PARTITIONED index store: the probe
+    terms' buckets become a partition-literal predicate, so the scan
+    opens only those bucket directories (``PartitionFilters`` on the
+    plan, pytest-audited) — the directory-layout twin of the
+    bucketed-TABLE lookup (``term_queries.term_lookup_bucketed``).
+    The bucket list is query metadata (≤ |terms| ints, computed with
+    the store's own hash arity from the sidecar), like an IVF probe's
+    cell list.
+
+    Output: ``term, postings ARRAY<BIGINT>, df``.
+    """
+    n_buckets = _store_n_buckets(path)
+    probe = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select(index_bucket_col("term", n_buckets).alias("bucket"))
+    buckets = sorted(r["bucket"] for r in probe.distinct().collect())
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "postings", "df")
+    )
 
 
 DELETE_INLINE_THRESHOLD = 10_000

@@ -241,7 +241,8 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
               b: float = 0.75, k: int = 10, text_col: str = "text",
               id_col: str = "doc_id",
               persist_weights: bool = True,
-              tf: DataFrame | None = None) -> DataFrame:
+              tf: DataFrame | None = None,
+              dl: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 top-k ranking for a bag-of-terms query.
 
     idf is the Lucene form ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
@@ -267,6 +268,13 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
     ``spark.table(tf_table)`` from ``write_index_tables`` so the qtf
     filter bucket-prunes and the df aggregate runs Exchange-free;
     the corpus is then never tokenized at query time at all.
+
+    ``dl``: optional precomputed (doc_id, dl) table — pass BOTH
+    tables from ``inverted_index.write_doc_tables`` (co-bucketed on
+    doc_id) and the score join qtf x dl runs with NO
+    doc_id Exchange at all (pytest-audited in the
+    ``bm25_topk_colocated`` catalog twin): the doc-axis shuffle the
+    plain form pays per query is paid once at write time.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
@@ -274,9 +282,17 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *, k1: float = 1.2,
         tf = doc_term_freq(docs, text_col, id_col)
         if persist_weights:
             tf = tf.persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    if persist_weights:
-        dl = dl.persist()
+    if dl is None:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        if persist_weights:
+            dl = dl.persist()
+    else:
+        # precomputed (co-bucketed) dl: pin the sort-merge shape so
+        # the zero-Exchange bucket join is the plan at EVERY scale —
+        # at fixture scale the planner would broadcast dl instead,
+        # which hides the co-location property (and at 100 TB dl is
+        # not broadcast-sized anyway)
+        dl = dl.hint("merge")
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -865,6 +865,8 @@ def lm_bigram_scores(
     lam: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_lm: "bool | str" = "auto",
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Per-document interpolated BIGRAM-LM quality score — the
     next-order upgrade of :func:`lm_unigram_scores` (a CCNet-style
@@ -884,11 +886,24 @@ def lm_bigram_scores(
 
     Plan: one explode builds the per-doc bigram stream from adjacent
     array slots (no window, no shuffle); bigram/unigram count tables
-    aggregate map-side and broadcast back (the LM is vocabulary²-
-    bounded — at corpus scale the trusted-LM table you'd ship is the
-    same broadcast); the only corpus-wide shuffle is the per-doc
+    aggregate map-side; the only corpus-wide shuffle is the per-doc
     rollup. Docs with fewer than two tokens emit ``n_bigrams = 0``
     with a NULL score.
+
+    Join-route gate (``broadcast_lm="auto"``, default — the
+    ``semantic_incremental_dedup`` discipline): a bounded
+    ``limit(n+1).count()`` probe of the DISTINCT-bigram count decides
+    whether the LM (and the two vocabulary-sized unigram dims inside
+    it) broadcast or shuffle-hash-join on ``(prev, w)``. A
+    ship-a-trusted-LM deployment (CCNet-style) is
+    executor-memory-bounded and broadcasts; but the operator as
+    written induces its LM from the INPUT corpus, and a web-scale
+    corpus's bigram table is not broadcast-sized — above the
+    threshold every LM join falls back to a plain shuffle join, with
+    results identical on both routes (pytest forces each and pins
+    equality; the per-distinct-bigram decimal rounding makes the
+    score order-independent, so the route never leaks into values).
+    Pass ``True``/``False`` to force a side.
 
     Output: ``doc_id, n_bigrams, nll_per_bigram``.
     """
@@ -915,9 +930,25 @@ def lm_bigram_scores(
         F.col("_v").cast("double").alias("v_corpus"),
     )
     c2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    if broadcast_lm == "auto":
+        # bounded probe: never counts past the threshold (the
+        # choose_join_route discipline); the distinct-bigram table is
+        # the largest thing this operator would broadcast
+        probe = c2.limit(broadcast_max_rows + 1).count()
+        broadcast_lm = probe <= broadcast_max_rows
+    # Above the threshold the LM side is explicitly hinted
+    # shuffle_hash: small-scale size ESTIMATES would otherwise let
+    # the planner broadcast anyway (or worse, broadcast the corpus
+    # side), and the whole point of the gate is a plan that cannot
+    # OOM the executors on an unbounded LM.
+    _b = (
+        F.broadcast
+        if broadcast_lm
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     lm = (
-        c2.join(F.broadcast(uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))), "prev")
-        .join(F.broadcast(uni), "w")
+        c2.join(_b(uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))), "prev")
+        .join(_b(uni), "w")
         .crossJoin(F.broadcast(z))
         .select(
             "prev",
@@ -936,7 +967,7 @@ def lm_bigram_scores(
         )
     )
     per_doc = (
-        bi.join(F.broadcast(lm), ["prev", "w"])
+        bi.join(_b(lm), ["prev", "w"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

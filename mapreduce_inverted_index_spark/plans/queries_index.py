@@ -760,9 +760,7 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.phrase_query(_docs(spark, sf_dir), ["sort", "merge"])
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH tf AS (SELECT doc_id, term, count(*) AS tf
                 FROM ({_TF_SQL}) GROUP BY doc_id, term),
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -787,7 +785,12 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS bm25
     FROM s GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
     doc="Okapi BM25 top-10 for a 3-term query — ranked retrieval over "
         "the tf/df/dl statistics the index pipeline already produces; "
         "scores rounded per-stage and summed in fixed query order for "
@@ -988,4 +991,129 @@ def q_colocated_doc_tf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ntf_ppm"),
         )
+    )
+
+
+@register(
+    "term_lookup_store_pruned",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs WHERE term IN ('{_T1}', '{_T2}', '{_T3}') GROUP BY term
+    """,
+    doc="Exact term probe over the PARTITIONED index store (the "
+        "write_index_store layout the streaming takedown queue "
+        "maintains): the probe terms' hash buckets become a "
+        "partition-literal predicate, so the scan opens ONLY those "
+        "bucket directories (PartitionFilters, pytest-audited) — the "
+        "directory-layout twin of term_lookup_bucketed's bucketed-"
+        "TABLE probe, and the lookup story for the store the "
+        "maintenance loops actually write. "
+        "Operator: inverted_index.term_lookup_store.",
+)
+def q_term_lookup_store_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/mii_pstore_{tag}"
+    if not os.path.isdir(path):
+        idx.write_index_store(idx.build_index(_docs(spark, sf_dir)), path)
+    return idx.term_lookup_store(spark, path, [_T1, _T2, _T3]).select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df"
+    )
+
+
+@register(
+    "index_store_merge_docs",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+           count(*) AS df
+    FROM pairs GROUP BY term
+    """,
+    doc="Bucket-local ADD on the partitioned index store: the store "
+        "is built from two thirds of the corpus, then the remaining "
+        "third's delta index folds in via merge_into_index_store — "
+        "only the bucket partitions the delta's terms hash into "
+        "rewrite (crash-safe dir swap; untouched dirs keep exact "
+        "files, pytest-pinned). Oracle = the flagship index over the "
+        "WHOLE corpus, so a green row proves "
+        "merge_store(build(2/3), build(1/3)) == build(all) — the "
+        "ADD half of the store lifecycle whose DELETE half is "
+        "stream_takedown_queue. "
+        "Operator: inverted_index.merge_into_index_store.",
+)
+def q_index_store_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mii_storemerge_")
+    path = f"{work}/store"
+    idx.write_index_store(
+        idx.build_index(docs.where(F.col("doc_id") % 3 != 0)), path
+    )
+    idx.merge_into_index_store(
+        spark, path, idx.build_index(docs.where(F.col("doc_id") % 3 == 0))
+    )
+    out = (
+        idx.read_index_store(spark, path)
+        .select(
+            "term",
+            F.array_join("postings", ",").alias("postings_csv"),
+            "df",
+        )
+        # pin the result in executor blocks so the per-call work dir
+        # can be removed (the stream_takedown_queue discipline)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "bm25_topk_colocated",
+    oracle=_BM25_ORACLE,
+    doc="BM25 top-10 over the doc-keyed co-located bucket tier — the "
+        "production form of bm25_topk at 100 TB: tf and dl come from "
+        "the write_doc_tables pair (bucketBy(16, doc_id)/sortBy both "
+        "sides), so the qtf x dl score join — the per-query doc-axis "
+        "shuffle the plain form pays — runs with NO doc_id Exchange "
+        "(pytest-audited; the only exchanges left are the tiny "
+        "query-sized df/stats aggregates), and the corpus is never "
+        "tokenized at query time. Same oracle as bm25_topk: the tier "
+        "changes the plan, never the scores. "
+        "Operators: term_queries.bm25_rank(tf=, dl=) + "
+        "inverted_index.write_doc_tables.",
+)
+def q_bm25_topk_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_{os.getpid()}"
+    base = f"{tempfile.gettempdir()}/mii_dtab_{tag}"
+    prefix = f"mii_{tag}"
+    tf_name, dlen_name = f"{prefix}_dtf_b16", f"{prefix}_dlen_b16"
+    if not (
+        spark.catalog.tableExists(tf_name)
+        and spark.catalog.tableExists(dlen_name)
+    ):
+        tf_name, dlen_name = idx.write_doc_tables(
+            _docs(spark, sf_dir), base, buckets=16, prefix=prefix
+        )
+    return tq.bm25_rank(
+        _docs(spark, sf_dir),
+        list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        k=10,
+        persist_weights=False,
+        tf=spark.table(tf_name),
+        dl=spark.table(dlen_name),
     )

@@ -163,16 +163,22 @@ def maintain_index_available_now(
     O(corpus). Invariant (pytest-pinned): after every pass the stored
     index equals a batch ``build_index`` over all files so far.
 
-    The swap is write-to-tmp + rename because the merged plan READS
-    ``index_dir`` while its sink would truncate it (DSv1 overwrite
-    truncates before compute). On a real cluster the same foreachBatch
-    body targets a transactional table format (Iceberg/Delta MERGE) or
-    a ``bucketBy(term)`` table so the merge join is shuffle-free; the
-    tmp-rename is the filesystem-only stand-in for that commit.
+    Store layouts (same detection as the takedown loop): a BUCKETED
+    store (``write_index_store`` layout) folds each delta
+    bucket-locally via ``merge_into_index_store`` — only the bucket
+    dirs the delta's vocabulary hashes into rewrite, so ADD and
+    DELETE now share the partition-local discipline. A flat dir
+    keeps the whole-index ``merge_index`` with the rename-aside
+    commit (write-to-tmp because the merged plan READS ``index_dir``
+    while its sink would truncate it — DSv1 overwrite truncates
+    before compute). On a real cluster the same foreachBatch body
+    targets a transactional table format (Iceberg/Delta MERGE); the
+    dir swaps are the filesystem-only stand-in for that commit.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import (
         build_index,
         merge_index,
+        merge_into_index_store,
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -180,6 +186,11 @@ def maintain_index_available_now(
             return
         sess = batch_df.sparkSession
         delta = build_index(streamed_doc_ids(batch_df))
+        if os.path.isdir(index_dir) and any(
+            d.startswith("bucket=") for d in os.listdir(index_dir)
+        ):
+            merge_into_index_store(sess, index_dir, delta)
+            return
         if os.path.isdir(index_dir):
             merged = merge_index(sess.read.parquet(index_dir), delta)
         else:
@@ -207,6 +218,7 @@ def maintain_semantic_cells_available_now(
     r: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_files_per_cell: "int | None" = 8,
 ) -> None:
     """Stream-maintained semantic-dedup state — the embedding-space
     twin of the MinHash/chunk/index maintenance loops: each
@@ -231,6 +243,15 @@ def maintain_semantic_cells_available_now(
     (within-batch duplicates are the batch operator
     ``semantic_dedup``'s job, same contract as
     ``dedup.minhash_incremental_dedup``).
+
+    Self-healing layout: the ADD loop appends one file per micro-
+    batch per cell, so N passes would leave probe scans opening
+    O(passes x cells) files. When a maintenance pass completes, any
+    cell that crossed ``max_files_per_cell`` is compacted in place
+    (``similarity.compact_ivf_cells`` — row content untouched,
+    pytest-pinned across multiple passes), so the store's file count
+    stays bounded without a manual compaction schedule. Pass ``None``
+    to disable (e.g. when an external table service owns compaction).
 
     Durability note (same as ``maintain_index_available_now``): the
     two appends inside foreachBatch are not atomic across a mid-batch
@@ -292,6 +313,12 @@ def maintain_semantic_cells_available_now(
         .start()
     )
     q.awaitTermination()
+    if max_files_per_cell is not None and os.path.isdir(cells_dir):
+        from mapreduce_inverted_index_spark.operators.similarity import (
+            compact_ivf_cells,
+        )
+
+        compact_ivf_cells(spark, cells_dir, max_files_per_cell)
 
 
 def _takedown_loop(

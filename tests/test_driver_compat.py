@@ -63,3 +63,29 @@ def test_no_unhashable_columns_in_driver_output(spark, sf_smoke, name):
         "scalar-ize the catalog twin (array_join / element unpack) "
         "and keep the array form as the operator API"
     )
+
+
+def test_driver_window_is_mechanical():
+    """_DRIVER_PRIORITY must equal tools/driver_window.py's output —
+    the staleness-ordered window (never-driver-checked first, then
+    ascending latest-green-round, registration-order tiebreak) over
+    the committed CORRECTNESS_r*.json files. Hand-editing the window
+    without regenerating it is the failure this pins (VERDICT r8
+    ask #4)."""
+    import importlib.util
+    import os
+
+    from mapreduce_inverted_index_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "driver_window", f"{repo}/tools/driver_window.py"
+    )
+    dw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dw)
+    want = dw.compute_window(
+        dw.registration_order(), dw.latest_green_rounds(), len(_DRIVER_PRIORITY)
+    )
+    assert list(_DRIVER_PRIORITY) == want

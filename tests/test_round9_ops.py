@@ -193,3 +193,255 @@ def test_colocated_doc_tier_has_zero_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 0, plan[:2000]
+
+
+def test_lm_bigram_routes_are_value_identical(spark):
+    """The LM join-route gate must never leak into values: forcing
+    broadcast and forcing shuffle yield identical rows, and the
+    shuffle route's plan really does drop the LM broadcasts."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rows_b = sorted(
+        map(tuple, lm_bigram_scores(docs, broadcast_lm=True).collect())
+    )
+    shuffled = lm_bigram_scores(docs, broadcast_lm=False)
+    assert sorted(map(tuple, shuffled.collect())) == rows_b
+
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    # every LM-SIZED join (keys prev / w / (prev, w)) must be a
+    # shuffle join on this route; the 1-row corpus-totals cross join
+    # and the doc-keyed output join may still broadcast (AQE's call —
+    # they are bounded by docs, not by the LM)
+    assert "ShuffledHashJoin" in plan
+    for bad in ("BroadcastHashJoin [prev", "BroadcastHashJoin [w#"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_lm_bigram_auto_probe_is_bounded(spark):
+    """auto must pick the broadcast route under the threshold and the
+    shuffle route when the threshold is tiny — same values either
+    way (the gate is a plan decision, not a semantic one)."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    want = sorted(
+        map(tuple, lm_bigram_scores(docs, broadcast_lm=True).collect())
+    )
+    tiny = lm_bigram_scores(docs, broadcast_lm="auto", broadcast_max_rows=10)
+    assert sorted(map(tuple, tiny.collect())) == want
+    plan = tiny._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    for bad in ("BroadcastHashJoin [prev", "BroadcastHashJoin [w#"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_semantic_maintenance_self_compacts(spark, tmp_path):
+    """Six maintenance passes with max_files_per_cell=2 must keep
+    every cell dir at <= 2 parquet files (the ADD loop appends one
+    per pass; the end-of-pass compaction heals crossings) while the
+    state stays exactly ivf_assign of everything ingested under the
+    frozen codebook."""
+    from mapreduce_inverted_index_spark.operators.similarity import ivf_assign
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_semantic_cells_available_now,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    n_passes = 6
+    for k in range(n_passes):
+        emb.where(F.col("vec_id") % n_passes == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        maintain_semantic_cells_available_now(
+            spark, land, state, ckpt, n_cells=4, max_files_per_cell=2
+        )
+        cells_dir = f"{state}/cells"
+        for d in os.listdir(cells_dir):
+            if d.startswith("cell="):
+                n_files = len(
+                    [
+                        f
+                        for f in os.listdir(f"{cells_dir}/{d}")
+                        if f.endswith(".parquet")
+                    ]
+                )
+                assert n_files <= 2, f"pass {k}: {d} has {n_files} files"
+
+    cents = spark.read.parquet(f"{state}/cents")
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{state}/cells").collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"]) for r in ivf_assign(emb, cents).collect()
+    )
+    assert got == want
+
+
+def test_merge_into_index_store_touches_only_delta_buckets(spark, tmp_path):
+    """The bucket-local ADD: merging a delta index rewrites only the
+    buckets the delta's terms hash into; the store equals
+    build_index of the union; new-bucket terms land in fresh dirs."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        merge_into_index_store,
+        read_index_store,
+        write_index_store,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (i, f"alpha{chr(97 + i)} beta{chr(97 + i)}")
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "alphaa deltaq"), (101, "deltaq deltaz")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "store")
+    write_index_store(build_index(old), path)
+    before = _bucket_files(path)
+
+    affected = merge_into_index_store(spark, path, build_index(new))
+    assert affected
+    after = _bucket_files(path)
+    untouched = [d for d in before if int(d.split("=")[1]) not in affected]
+    assert untouched, "a 3-term delta should not touch every bucket"
+    for d in untouched:
+        assert after.get(d) == before[d], f"{d} was rewritten"
+
+    want = _index_rows(build_index(old.union(new)))
+    assert _index_rows(read_index_store(spark, path)) == want
+
+    # merging an empty delta is a no-op
+    empty = build_index(
+        spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    assert merge_into_index_store(spark, path, empty) == []
+    assert _bucket_files(path) == after
+
+
+def test_term_lookup_store_prunes_partitions(spark, tmp_path):
+    """The store probe must reach the scan as a PartitionFilters
+    bucket predicate (opens only the probe terms' bucket dirs) and
+    return exactly the index rows for those terms."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        term_lookup_store,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    index = build_index(docs)
+    path = str(tmp_path / "store")
+    write_index_store(index, path)
+
+    terms = ["join", "window"]
+    got = term_lookup_store(spark, path, terms)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan, plan[:2000]
+
+    want = sorted(
+        map(
+            tuple,
+            index.where(F.col("term").isin(terms))
+            .select("term", "postings", "df")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+
+def test_maintain_index_bucketed_store_add(spark, tmp_path):
+    """The streaming ADD loop must detect a bucketed store and fold
+    each delta bucket-locally: after every pass the store equals a
+    batch build over all files so far, and a pass whose delta
+    vocabulary misses a bucket leaves that bucket's files untouched."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_index_available_now,
+        streamed_doc_ids,
+    )
+
+    src = tmp_path / "landing"
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def corpus():
+        return (
+            spark.read.format("text")
+            .option("wholetext", "true")
+            .load(str(src))
+            .select(
+                F.input_file_name().alias("source"),
+                F.col("value").alias("text"),
+            )
+        )
+
+    def stored():
+        return _index_rows(
+            spark.read.parquet(index_dir).select("term", "postings", "df")
+        )
+
+    # seed the BUCKETED store from the first file batch
+    (src / "a.txt").write_text("alphaq betaq gammaq deltaq epsq zetaq")
+    (src / "b.txt").write_text("alphaq thetaq iotaq kappaq lambdaq muq")
+    maintain = maintain_index_available_now
+    write_index_store(build_index(streamed_doc_ids(corpus())), index_dir)
+    # checkpoint must see the seed files as consumed: run one pass
+    # BEFORE adding new files — it folds the same two files into the
+    # store; merge is idempotent for identical (term, doc) pairs
+    maintain(spark, str(src), index_dir, ckpt)
+    assert stored() == _index_rows(build_index(streamed_doc_ids(corpus())))
+
+    before = _bucket_files(index_dir)
+    (src / "c.txt").write_text("alphaq nuq")  # tiny vocabulary delta
+    maintain(spark, str(src), index_dir, ckpt)
+    assert stored() == _index_rows(build_index(streamed_doc_ids(corpus())))
+    after = _bucket_files(index_dir)
+    # the delta hashed into a strict subset of buckets
+    changed = [d for d in before if after.get(d) != before[d]]
+    untouched = [d for d in before if after.get(d) == before[d]]
+    assert untouched, "a 3-term delta should not rewrite every bucket"
+    assert len(changed) < len(before)
+
+    # no-new-files pass: byte-identical store
+    snap = _bucket_files(index_dir)
+    maintain(spark, str(src), index_dir, ckpt)
+    assert _bucket_files(index_dir) == snap
+
+
+def test_bm25_colocated_has_no_doc_exchange(spark):
+    """With tf and dl from the co-bucketed doc tables, the score
+    join must be a doc_id SortMergeJoin over bucketed scans with NO
+    doc_id re-shuffle anywhere (the per-query doc-axis Exchange the
+    plain form pays); scores equal the plain bm25_topk."""
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    df = qs["bm25_topk_colocated"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [doc_id" in plan
+    assert "hashpartitioning(doc_id" not in plan, plan[:2000]
+
+    want = [tuple(r) for r in qs["bm25_topk"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()]
+    assert [tuple(r) for r in df.collect()] == want

@@ -865,6 +865,59 @@ AUDITS = [
         ["Generate explode", "BroadcastHashJoin", "partial_sum"],
         ["Window", "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     ),
+    (
+        # doc-keyed co-located bucket pair: tf x dl joins
+        # pre-partitioned pre-sorted buckets — ZERO Exchange anywhere
+        # (not even a rollup's; dl is precomputed at write time)
+        "colocated_doc_tf_norm",
+        ["SortMergeJoin", "Bucketed: true"],
+        ["Exchange", "BroadcastHashJoin"],
+    ),
+    (
+        # partitioned index STORE probe: the probe terms' hash
+        # buckets reach the scan as PartitionFilters (opens only
+        # those bucket dirs); no join, no shuffle
+        "term_lookup_store_pruned",
+        ["PartitionFilters: [", "bucket"],
+        ["Exchange", "Join"],
+    ),
+    (
+        # co-located BM25: the per-query doc-axis shuffle is gone —
+        # qtf x dl is a bucket SortMergeJoin, top-k never global-sorts
+        "bm25_topk_colocated",
+        ["SortMergeJoin [doc_id", "TakeOrderedAndProject"],
+        ["hashpartitioning(doc_id"],
+    ),
+]
+
+# Non-catalog plan audits: (name, builder(spark) -> DataFrame, must,
+# must_not) — for operator ROUTES a catalog query can't pin (the
+# catalog runs the auto route; these force the other side).
+def _lm_bigram_shuffle_route(spark):
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    return lm_bigram_scores(
+        load_table(spark, SF, "documents"), broadcast_lm=False
+    )
+
+
+EXTRA_AUDITS = [
+    (
+        # the oversized-LM route (corpus-induced bigram tables are
+        # NOT executor-memory-bounded): every LM-sized join — keys
+        # prev / w / (prev, w) — must be a shuffle hash join; only
+        # the 1-row totals dim and the doc-keyed output join may
+        # broadcast. Values identical to the broadcast route
+        # (pytest-pinned, tests/test_round9_ops.py).
+        "lm_bigram_quality_scores[shuffle-route]",
+        _lm_bigram_shuffle_route,
+        ["ShuffledHashJoin", "partial_sum"],
+        ["BroadcastHashJoin [prev", "BroadcastHashJoin [w#",
+         "BatchEvalPython", "CartesianProduct"],
+    ),
 ]
 
 
@@ -878,10 +931,13 @@ def main() -> None:
     print()
     print("Markers asserted per query; full scan/join/agg lines quoted.")
     failures = []
-    for name, must, must_not in AUDITS:
+    audits = [
+        (name, lambda s, n=name: queries[n].fn(s, SF), must, must_not)
+        for name, must, must_not in AUDITS
+    ] + EXTRA_AUDITS
+    for name, build, must, must_not in audits:
         plan = (
-            queries[name]
-            .fn(spark, SF)
+            build(spark)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

@@ -134,11 +134,17 @@ QUERIES = [
     # late round-8: the vocabulary^2-bounded bigram LM (growth should
     # track the token-explode scan; the LM table broadcast is
     # corpus-size-invariant), the two-pass streaming takedown fold
-    # (cost includes the index build + two tmp-rename rewrites), and
+    # (round 9: bucketed store — cost includes the store build, but
+    # each fold now rewrites only the affected bucket dirs), and
     # the quantized two-stage ANN re-rank
     "lm_bigram_quality_scores",
     "stream_takedown_queue",
     "ann_quantized_rerank_topk",
+    # round-9: the doc-keyed co-located bucket pair (cost includes
+    # building both bucketed tables per run; the join itself is the
+    # zero-Exchange plan — the term_lookup_bucketed pattern on the
+    # doc axis)
+    "colocated_doc_tf_norm",
 ]
 
 # Pinned findings worth keeping next to the table (re-measured when

@@ -119,6 +119,12 @@ HEADLINE = _R1SET + (
     # late round-8: second-order LM scoring (the heaviest new pure
     # compute: bigram explode + LM broadcast + per-doc decimal rollup)
     "lm_bigram_quality_scores",
+    # round-9: the doc-keyed co-located tier's two faces — the raw
+    # zero-Exchange tf x dl join and BM25 riding the same tables
+    # (both pay the bucketed build once per process, so steady-state
+    # numbers are the join/scoring cost the tier buys)
+    "colocated_doc_tf_norm",
+    "bm25_topk_colocated",
 )
 
 

@@ -867,6 +867,7 @@ def lm_bigram_scores(
     id_col: str = "doc_id",
     broadcast_lm: "bool | str" = "auto",
     broadcast_max_rows: int = 1_000_000,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Per-document interpolated BIGRAM-LM quality score — the
     next-order upgrade of :func:`lm_unigram_scores` (a CCNet-style
@@ -910,6 +911,13 @@ def lm_bigram_scores(
     from mapreduce_inverted_index_spark.functions.text import tokenize
 
     base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    # the tokenized corpus feeds FOUR branches (route probe, unigram
+    # counts, bigram stream, final per-doc left join) — unpersisted,
+    # each branch re-runs the tokenize scan (the bm25_rank
+    # persist_weights discipline; LRU-evicted, clearCache drops it;
+    # at 100 TB read a materialized tokens table instead)
+    if persist_tokens:
+        base = base.persist()
     bi = base.where(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
@@ -931,11 +939,18 @@ def lm_bigram_scores(
     )
     c2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c2"))
     if broadcast_lm == "auto":
-        # bounded probe: never counts past the threshold (the
-        # choose_join_route discipline); the distinct-bigram table is
-        # the largest thing this operator would broadcast
-        probe = c2.limit(broadcast_max_rows + 1).count()
-        broadcast_lm = probe <= broadcast_max_rows
+        # bounded probe via a cheap UPPER bound: distinct bigrams <=
+        # total bigram occurrences = sum(max(|toks|-1, 0)) — one
+        # map+sum scan (partial-agg scalar, no explode, no shuffle).
+        # Counting the distinct-bigram table itself would pay the
+        # full bigram aggregation a second time (measured 6x the
+        # query cost at sf0.1); the upper bound is strictly MORE
+        # conservative — broadcast only when even the occurrence
+        # count fits — and both routes are value-identical anyway.
+        occ = base.select(
+            F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n")
+        ).first()["n"]
+        broadcast_lm = (occ or 0) <= broadcast_max_rows
     # Above the threshold the LM side is explicitly hinted
     # shuffle_hash: small-scale size ESTIMATES would otherwise let
     # the planner broadcast anyway (or worse, broadcast the corpus

@@ -36,6 +36,7 @@ __all__ = [
     "bpe_symbol_expr",
     "bpe_train",
     "bpe_encode",
+    "skipgram_pairs",
 ]
 
 # Tiny embedded marker-word lists (top function words per language).
@@ -1004,4 +1005,61 @@ def lm_bigram_scores(
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
             "nll_per_bigram",
         )
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide skip-gram co-occurrence counts — the (center,
+    context) pair table word2vec / GloVe training starts from: for
+    every token position i, every token within ``±window`` positions
+    (excluding i itself) contributes one pair; output is the
+    aggregated ``(center, context, n_pairs)`` table.
+
+    Plan shape (the 100 TB posture): pair GENERATION is a pure array
+    expression — per position, the window's neighbors come from two
+    bounded ``slice`` calls on the token array, flattened and
+    exploded — so there is NO self-join on position (the naive form
+    shuffles the corpus and multiplies it by 2·window before
+    aggregating); the only shuffle is the final (center, context)
+    count, map-side combined down to the co-occurrence vocabulary.
+    The lambda touches only its bound variables (the word_shingles
+    CollapseProject discipline, ``dedup.py``). Raw tokens, no
+    stopword filter — subsampling/filtering is the caller's policy
+    knob, as in word2vec.
+
+    Output: ``center STRING, context STRING, n_pairs BIGINT``.
+    """
+    from mapreduce_inverted_index_spark.functions.text import tokenize
+
+    w = int(window)
+    toks = tokenize(text_col)
+    # left neighbors: slice(toks, max(i-w,0)+1, min(i,w)) ;
+    # right neighbors: slice(toks, i+2, min(w, n-i-1))  (1-based slice)
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, size({'_toks'}) - 1), i ->
+          transform(
+            concat(
+              slice(_toks, greatest(i - {w}, 0) + 1, least(i, {w})),
+              slice(_toks, i + 2, least({w}, size(_toks) - i - 1))
+            ),
+            c -> struct(_toks[i] AS center, c AS context)
+          )
+        ))
+        """
+    )
+    return (
+        docs.select(toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
     )

@@ -3120,3 +3120,34 @@ def q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lm_bigram_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_bigram_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH t AS (SELECT {sql_tokens('text')} AS toks FROM documents),
+    f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+    pos AS (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+            FROM f),
+    pairs AS (
+      SELECT toks[i] AS center, toks[j] AS context
+      FROM pos, LATERAL (
+        SELECT unnest(generate_series(greatest(i - 2, 1),
+                                      least(i + 2, len(toks)))) AS j) u
+      WHERE j != i)
+    SELECT center, context, count(*) AS n_pairs
+    FROM pairs GROUP BY center, context
+    """,
+    doc="Skip-gram co-occurrence counts (window ±2) — the (center, "
+        "context) pair table word2vec/GloVe embedding training "
+        "starts from. Pair generation is a pure array expression "
+        "(two bounded slices per position, flattened) — NO self-join "
+        "on position, so nothing shuffles until the final "
+        "(center, context) count, which map-side combines down to "
+        "the co-occurrence vocabulary. The naive positional "
+        "self-join would shuffle the corpus ×2·window before "
+        "aggregating; this plan ships only the counts. "
+        "Operator: textstats.skipgram_pairs.",
+)
+def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.skipgram_pairs(_docs(spark, sf_dir), window=2)

@@ -445,3 +445,43 @@ def test_bm25_colocated_has_no_doc_exchange(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()]
     assert [tuple(r) for r in df.collect()] == want
+
+
+def test_skipgram_pairs_matches_bruteforce(spark):
+    """Window semantics pinned against a Python brute force on edge
+    shapes: window at text boundaries, repeated tokens (each
+    occurrence pairs separately), single-token docs (emit nothing)."""
+    from collections import Counter
+
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        skipgram_pairs,
+    )
+
+    texts = ["a b c d e", "x y", "solo", "p q p q p"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for w in (1, 2, 3):
+        got = sorted(map(tuple, skipgram_pairs(docs, window=w).collect()))
+        c: Counter = Counter()
+        for t in texts:
+            xs = t.split()
+            for i, x in enumerate(xs):
+                for j in range(max(0, i - w), min(len(xs), i + w + 1)):
+                    if j != i:
+                        c[(x, xs[j])] += 1
+        assert got == sorted((a, b, n) for (a, b), n in c.items()), w
+
+
+def test_skipgram_pairs_plan_has_no_join(spark):
+    """Pair generation must be a pure array expression: no join of
+    any kind in the plan, one aggregate shuffle only."""
+    from mapreduce_inverted_index_spark.operators.textstats import (
+        skipgram_pairs,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    df = skipgram_pairs(load_table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]

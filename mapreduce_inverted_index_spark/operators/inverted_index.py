@@ -342,9 +342,18 @@ def write_index_store(
     bucketed-TABLE tier for shuffle-free lookup joins is
     :func:`write_index_tables`, a different axis.
     """
-    index.withColumn("bucket", index_bucket_col("term", n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(path)
+    (
+        index.withColumn("bucket", index_bucket_col("term", n_buckets))
+        # one file per bucket, term-sorted within it: probe scans
+        # open O(probed buckets) files and row-group-skip on the
+        # term min/max stats (the write_index_tables sortBy story,
+        # directory-partitioned)
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
     # sidecar records the bucket-fn arity: ADD merges and term-probe
     # pruning must hash NEW terms with the same n_buckets the store
     # was laid out with (DELETE doesn't need it — the bucket column
@@ -420,10 +429,20 @@ def delete_from_index_store(
         .select("bucket", "term", F.explode("postings").alias("doc_id"))
         .join(F.broadcast(dead), "doc_id", "left_anti")
     )
-    remaining = pairs.groupBy("bucket", "term").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
-        F.count("*").cast("bigint").alias("df"),
-    ).select("term", "postings", "df", "bucket")
+    remaining = (
+        pairs.groupBy("bucket", "term")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+        .select("term", "postings", "df", "bucket")
+        # pack each rewritten bucket into ONE file (the
+        # compact_ivf_cells discipline): without this, every rewrite
+        # scatters a bucket across up to shuffle-partition-count
+        # files, and probe scans pay the open() count forever
+        .repartition(len(affected), "bucket")
+        .sortWithinPartitions("term")
+    )
     swap_partition_dirs(path, remaining, "bucket", affected)
     return affected
 
@@ -462,8 +481,12 @@ def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
         .where(F.col("bucket").isin(affected))
         .select("term", "postings", "df")
     )
-    merged = merge_index(base, delta).withColumn(
-        "bucket", index_bucket_col("term", n_buckets)
+    merged = (
+        merge_index(base, delta)
+        .withColumn("bucket", index_bucket_col("term", n_buckets))
+        # one file per rewritten bucket (see delete_from_index_store)
+        .repartition(len(affected), "bucket")
+        .sortWithinPartitions("term")
     )
     swap_partition_dirs(path, merged, "bucket", affected)
     return affected

@@ -485,3 +485,34 @@ def test_skipgram_pairs_plan_has_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_index_store_keeps_one_file_per_bucket(spark, tmp_path):
+    """Build, merge, and delete must each leave every bucket dir with
+    exactly ONE parquet file — rewrites pack per bucket instead of
+    scattering one file per shuffle partition."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        delete_from_index_store,
+        merge_into_index_store,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "store")
+
+    def assert_one_file_each():
+        for d, files in _bucket_files(path).items():
+            assert len(files) == 1, f"{d}: {len(files)} files"
+
+    write_index_store(build_index(docs.where(F.col("doc_id") % 3 != 0)), path)
+    assert_one_file_each()
+    merge_into_index_store(
+        spark, path, build_index(docs.where(F.col("doc_id") % 3 == 0))
+    )
+    assert_one_file_each()
+    delete_from_index_store(
+        spark, path, [r["doc_id"] for r in docs.limit(3).collect()]
+    )
+    assert_one_file_each()

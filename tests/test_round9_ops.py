@@ -516,3 +516,88 @@ def test_index_store_keeps_one_file_per_bucket(spark, tmp_path):
         spark, path, [r["doc_id"] for r in docs.limit(3).collect()]
     )
     assert_one_file_each()
+
+
+def test_bucketed_store_full_streaming_lifecycle(spark, tmp_path):
+    """ADD and DELETE streams composed on ONE bucketed store: ingest
+    pass, takedown pass, another ingest, another takedown — after
+    every step the store equals build_index(ingested so far) minus
+    every erased id. This is the operational loop a corpus pipeline
+    actually runs; the invariant composes because both folds are
+    bucket-local rewrites of the same layout."""
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_index_available_now,
+        maintain_takedowns_available_now,
+        streamed_doc_ids,
+    )
+
+    src = tmp_path / "landing"
+    index_dir = str(tmp_path / "index")
+    queue = str(tmp_path / "queue")
+    ckpt_add = str(tmp_path / "ckpt_add")
+    ckpt_del = str(tmp_path / "ckpt_del")
+    src.mkdir()
+
+    def corpus():
+        return (
+            spark.read.format("text")
+            .option("wholetext", "true")
+            .load(str(src))
+            .select(
+                F.input_file_name().alias("source"),
+                F.col("value").alias("text"),
+            )
+        )
+
+    def doc_id_of(fname):
+        return [
+            r["doc_id"]
+            for r in streamed_doc_ids(corpus())
+            .where(F.col("text").contains(fname))
+            .collect()
+        ]
+
+    erased: list = []
+
+    def check():
+        want = _index_rows(
+            build_index(
+                streamed_doc_ids(corpus()).where(
+                    ~F.col("doc_id").isin(erased) if erased else F.lit(True)
+                )
+            )
+        )
+        got = _index_rows(
+            spark.read.parquet(index_dir).select("term", "postings", "df")
+        )
+        assert got == want
+
+    # seed store + consume seed files through the ADD checkpoint
+    (src / "a.txt").write_text("afile alphaq betaq")
+    (src / "b.txt").write_text("bfile gammaq deltaq")
+    write_index_store(build_index(streamed_doc_ids(corpus())), index_dir)
+    maintain_index_available_now(spark, str(src), index_dir, ckpt_add)
+    check()
+
+    # takedown a.txt's doc
+    spark.createDataFrame(
+        [(int(i),) for i in doc_id_of("afile")], "doc_id bigint"
+    ).coalesce(1).write.mode("append").parquet(queue)
+    erased += doc_id_of("afile")
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt_del)
+    check()
+
+    # ingest c.txt, then takedown b.txt's doc
+    (src / "c.txt").write_text("cfile alphaq epsq")
+    maintain_index_available_now(spark, str(src), index_dir, ckpt_add)
+    check()
+    spark.createDataFrame(
+        [(int(i),) for i in doc_id_of("bfile")], "doc_id bigint"
+    ).coalesce(1).write.mode("append").parquet(queue)
+    erased += doc_id_of("bfile")
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt_del)
+    check()

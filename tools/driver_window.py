@@ -19,7 +19,12 @@ this tool makes the policy executable:
 ``tests/test_driver_compat.py`` asserts the literal matches this
 tool's output — the window is provably mechanical.
 
-Usage: python tools/driver_window.py [--window N]   (default 50)
+Usage:
+    python tools/driver_window.py [--window N]       print the window
+    python tools/driver_window.py --write [--window N]
+        splice the window literal into registry.py in place (the
+        comment above the literal is left for the human; the test
+        re-derives the expected list, so a stale splice fails CI)
 """
 
 from __future__ import annotations
@@ -86,6 +91,31 @@ def registration_order() -> "list[str]":
     return list(registry._REGISTRY)
 
 
+def render_literal(win: "list[str]", latest: "dict[str, int]") -> str:
+    lines = ["_DRIVER_PRIORITY = ("]
+    for n in win:
+        tag = latest.get(n)
+        note = "never checked" if tag is None else f"latest green r{tag}"
+        lines.append(f'    "{n}",  # {note}')
+    lines.append(")")
+    return "\n".join(lines)
+
+
+def write_registry(literal: str) -> str:
+    """Splice the window literal over the existing one in
+    registry.py; returns the path written."""
+    path = (
+        f"{REPO_ROOT}/mapreduce_inverted_index_spark/plans/registry.py"
+    )
+    with open(path) as f:
+        src = f.read()
+    start = src.index("_DRIVER_PRIORITY = (")
+    end = src.index(")\n", start) + 1
+    with open(path, "w") as f:
+        f.write(src[:start] + literal + src[end:])
+    return path
+
+
 def main() -> None:
     window = WINDOW
     if "--window" in sys.argv:
@@ -93,15 +123,14 @@ def main() -> None:
     names = registration_order()
     latest = latest_green_rounds()
     win = compute_window(names, latest, window)
+    literal = render_literal(win, latest)
+    if "--write" in sys.argv:
+        print("wrote", write_registry(literal))
+        return
     print("# staleness-ordered driver window "
           f"({window} of {len(names)} catalog queries)")
-    print("# paste into registry._DRIVER_PRIORITY:")
-    print("_DRIVER_PRIORITY = (")
-    for n in win:
-        tag = latest.get(n)
-        note = "never checked" if tag is None else f"latest green r{tag}"
-        print(f'    "{n}",  # {note}')
-    print(")")
+    print("# paste into registry._DRIVER_PRIORITY, or re-run --write:")
+    print(literal)
 
 
 if __name__ == "__main__":

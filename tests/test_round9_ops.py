@@ -601,3 +601,25 @@ def test_bucketed_store_full_streaming_lifecycle(spark, tmp_path):
     erased += doc_id_of("bfile")
     maintain_takedowns_available_now(spark, queue, index_dir, ckpt_del)
     check()
+
+
+def test_funnel_colocated_has_no_user_exchange(spark):
+    """The user-bucketed funnel must run all three per-user
+    aggregates and both stage joins on the bucket distribution —
+    no user_id re-shuffle anywhere; answers equal the plain funnel."""
+    from mapreduce_inverted_index_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    df = qs["event_funnel_colocated"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" not in plan, plan[:2000]
+
+    want = sorted(
+        map(
+            tuple,
+            qs["event_funnel_conversion"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == want

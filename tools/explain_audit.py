@@ -888,6 +888,20 @@ AUDITS = [
         ["SortMergeJoin [doc_id", "TakeOrderedAndProject"],
         ["hashpartitioning(doc_id"],
     ),
+    (
+        # skip-gram pairs: pure array expression, no positional
+        # self-join; the single shuffle is the pair-count aggregate
+        "skipgram_cooccurrence",
+        ["Generate explode", "HashAggregate", "partial_count"],
+        ["Join", "BatchEvalPython", "Window"],
+    ),
+    (
+        # user-bucketed funnel: three per-user aggs + two stage joins
+        # all on the bucket distribution — zero user_id re-shuffle
+        "event_funnel_colocated",
+        ["SortMergeJoin [user_id", "Bucketed: true"],
+        ["hashpartitioning(user_id"],
+    ),
 ]
 
 # Non-catalog plan audits: (name, builder(spark) -> DataFrame, must,

@@ -217,7 +217,12 @@ def write_doc_tables(
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .option("path", f"{path}/dtf")
         .saveAsTable(tf_name))
-    dlen = tf.groupBy("doc_id").agg(
+    # derive dlen from the just-WRITTEN tf table, not the logical tf
+    # plan: the corpus is tokenized once, and the rollup runs
+    # shuffle-free on the bucketed layout (doc_id groupBy satisfies
+    # the bucket distribution)
+    spark = docs.sparkSession
+    dlen = spark.table(tf_name).groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
     )
     (dlen.write.mode("overwrite")
@@ -372,10 +377,37 @@ def _store_n_buckets(path: str) -> int:
         return int(json.load(f)["n_buckets"])
 
 
+def is_index_store(path: str) -> bool:
+    """True iff ``path`` is a :func:`write_index_store` layout. The
+    authority is the ``_mii_store.json`` sidecar, NOT the presence of
+    ``bucket=`` dirs: a takedown that erases every remaining doc drops
+    every bucket directory (``swap_partition_dirs`` retires a
+    partition whose last term dies), and that empty-but-bucketed store
+    must keep routing through the store maintenance paths — detection
+    off ``bucket=`` dirs would silently fall back to the flat-parquet
+    path and crash on schema inference (or rebuild a flat layout)."""
+    import os
+
+    return os.path.isfile(f"{path}/_mii_store.json")
+
+
+def _store_bucket_dirs(path: str) -> "list[str]":
+    import os
+
+    return [d for d in os.listdir(path) if d.startswith("bucket=")]
+
+
+_INDEX_SCHEMA = "term string, postings array<bigint>, df bigint"
+
+
 def read_index_store(spark, path: str) -> DataFrame:
     """Read a :func:`write_index_store` store back as a plain index
     ``(term, postings, df)`` — the bucket partition column is storage
-    layout, not index content."""
+    layout, not index content. A store whose every doc has been taken
+    down (sidecar present, zero bucket dirs) is an EMPTY index, not an
+    error."""
+    if not _store_bucket_dirs(path):
+        return spark.createDataFrame([], _INDEX_SCHEMA)
     return spark.read.parquet(path).select("term", "postings", "df")
 
 
@@ -405,6 +437,11 @@ def delete_from_index_store(
         swap_partition_dirs,
     )
 
+    if not _store_bucket_dirs(path):
+        # every doc already taken down — the store is a valid EMPTY
+        # index (sidecar still pins the bucket arity for future ADDs)
+        # and any delete is a no-op
+        return []
     if isinstance(doc_ids, DataFrame):
         dead = doc_ids.select(F.col("doc_id").cast("bigint").alias("doc_id"))
     else:
@@ -476,11 +513,16 @@ def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
     )
     if not affected:
         return []
-    base = (
-        spark.read.parquet(path)
-        .where(F.col("bucket").isin(affected))
-        .select("term", "postings", "df")
-    )
+    if _store_bucket_dirs(path):
+        base = (
+            spark.read.parquet(path)
+            .where(F.col("bucket").isin(affected))
+            .select("term", "postings", "df")
+        )
+    else:
+        # fully-taken-down store: merge the delta against an empty
+        # base so re-ingest rebuilds the BUCKETED layout in place
+        base = spark.createDataFrame([], _INDEX_SCHEMA)
     merged = (
         merge_index(base, delta)
         .withColumn("bucket", index_bucket_col("term", n_buckets))
@@ -504,6 +546,8 @@ def term_lookup_store(spark, path: str, terms: "list[str]") -> DataFrame:
 
     Output: ``term, postings ARRAY<BIGINT>, df``.
     """
+    if not _store_bucket_dirs(path):
+        return spark.createDataFrame([], _INDEX_SCHEMA)
     n_buckets = _store_n_buckets(path)
     probe = spark.createDataFrame(
         [(t,) for t in terms], "term string"

@@ -133,7 +133,7 @@ def not_query(docs: DataFrame, include_term: str, exclude_term: str,
 
 
 def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-           round_to: int = 4) -> DataFrame:
+           round_to: int = 4, persist_weights: bool = True) -> DataFrame:
     """tf-idf score per (doc_id, term).
 
     tf = raw in-doc term count (duplicates preserved through the
@@ -142,10 +142,18 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     joins back — both shuffles are on the term key and AQE will
     broadcast the df side when small. Score rounded so differential
     oracles compare stably across engines.
+
+    ``persist_weights``: ``tf`` feeds two branches (the join's left
+    side and the df aggregation) — unpersisted, the explode + regex
+    tokenize over the whole corpus runs once per branch. Same
+    two-consumer hazard and same fix as ``bm25_rank``; at 100 TB the
+    tf table would be a materialized index table instead.
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import doc_term_freq
 
     tf = doc_term_freq(docs, text_col, id_col)
+    if persist_weights:
+        tf = tf.persist()
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     return (

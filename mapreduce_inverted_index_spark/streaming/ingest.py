@@ -177,6 +177,7 @@ def maintain_index_available_now(
     """
     from mapreduce_inverted_index_spark.operators.inverted_index import (
         build_index,
+        is_index_store,
         merge_index,
         merge_into_index_store,
     )
@@ -186,9 +187,10 @@ def maintain_index_available_now(
             return
         sess = batch_df.sparkSession
         delta = build_index(streamed_doc_ids(batch_df))
-        if os.path.isdir(index_dir) and any(
-            d.startswith("bucket=") for d in os.listdir(index_dir)
-        ):
+        # layout authority is the sidecar, not bucket= dirs: a store
+        # whose every doc was taken down has zero bucket dirs but must
+        # stay bucketed (merge_into_index_store rebuilds in place)
+        if os.path.isdir(index_dir) and is_index_store(index_dir):
             merge_into_index_store(sess, index_dir, delta)
             return
         if os.path.isdir(index_dir):
@@ -381,7 +383,8 @@ def maintain_takedowns_available_now(
     files that arrived since the last pass into the stored inverted
     index.
 
-    Two store layouts, detected from the directory:
+    Two store layouts, detected by the ``_mii_store.json`` sidecar
+    (NOT by ``bucket=`` dirs — an emptied bucketed store has none):
 
     - **bucketed store** (``write_index_store`` layout,
       ``bucket=K/`` partition dirs — the production path): the batch
@@ -411,14 +414,15 @@ def maintain_takedowns_available_now(
     from mapreduce_inverted_index_spark.operators.inverted_index import (
         delete_from_index,
         delete_from_index_store,
+        is_index_store,
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        bucketed = any(
-            d.startswith("bucket=") for d in os.listdir(index_dir)
-        )
-        if bucketed:
+        # sidecar-based detection (see maintain_index_available_now):
+        # an emptied bucketed store must no-op here, not crash the
+        # flat path on schema inference
+        if is_index_store(index_dir):
             delete_from_index_store(
                 sess, index_dir, batch_df.select("doc_id")
             )

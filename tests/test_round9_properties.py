@@ -69,11 +69,9 @@ def test_store_delete_property(spark, tmp_path_factory):
         want = _index_rows(
             build_index(docs.where(~F.col("doc_id").isin(dead or [10**9])))
         )
-        got = (
-            _index_rows(read_index_store(spark, path))
-            if any(d.startswith("bucket=") for d in os.listdir(path))
-            else []
-        )
+        # read_index_store handles the fully-emptied store directly
+        # (sidecar present, zero bucket dirs → empty index)
+        got = _index_rows(read_index_store(spark, path))
         assert got == want
 
     run()

@@ -95,7 +95,12 @@ def render_literal(win: "list[str]", latest: "dict[str, int]") -> str:
     lines = ["_DRIVER_PRIORITY = ("]
     for n in win:
         tag = latest.get(n)
-        note = "never checked" if tag is None else f"latest green r{tag}"
+        if tag is None:
+            note = "never checked"
+        elif tag == 0:
+            note = "driver-checked, never green"
+        else:
+            note = f"latest green r{tag}"
         lines.append(f'    "{n}",  # {note}')
     lines.append(")")
     return "\n".join(lines)
@@ -103,17 +108,58 @@ def render_literal(win: "list[str]", latest: "dict[str, int]") -> str:
 
 def write_registry(literal: str) -> str:
     """Splice the window literal over the existing one in
-    registry.py; returns the path written."""
+    registry.py; returns the path written. The splice END anchor is
+    a line that is EXACTLY ``)`` — anchoring on the first ``)\\n``
+    after the start would silently truncate the tuple at any comment
+    line that happens to end in ``)`` (the round-8 literal had
+    several)."""
+    import re
+
     path = (
         f"{REPO_ROOT}/mapreduce_inverted_index_spark/plans/registry.py"
     )
     with open(path) as f:
         src = f.read()
     start = src.index("_DRIVER_PRIORITY = (")
-    end = src.index(")\n", start) + 1
+    m = re.search(r"^\)$", src[start:], flags=re.M)
+    if m is None:
+        raise SystemExit("registry.py: no bare ')' closing the literal")
+    end = start + m.end()
     with open(path, "w") as f:
         f.write(src[:start] + literal + src[end:])
     return path
+
+
+def warn_untracked_rounds(repo_root: str = REPO_ROOT) -> "list[str]":
+    """Round-boundary ergonomics (VERDICT r9 ask #7): a
+    ``CORRECTNESS_r*.json`` that git does not yet track changes this
+    tool's output the moment it lands, so the regen must ride the
+    same commit. Returns (and prints a warning for) any such files,
+    so the round-start ritual is self-documenting."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_root, "status", "--porcelain",
+             "--", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return []
+    stale = [
+        line[3:].strip()
+        for line in out.splitlines()
+        if line[:2].strip() in {"??", "M", "A"}
+    ]
+    for f in stale:
+        print(
+            f"WARNING: {f} is not committed — the window literal "
+            "derives from it; commit it together with this regen "
+            "(else test_driver_window_is_mechanical goes red at the "
+            "next round boundary)",
+            file=sys.stderr,
+        )
+    return stale
 
 
 def main() -> None:
@@ -124,6 +170,7 @@ def main() -> None:
     latest = latest_green_rounds()
     win = compute_window(names, latest, window)
     literal = render_literal(win, latest)
+    warn_untracked_rounds()
     if "--write" in sys.argv:
         print("wrote", write_registry(literal))
         return

@@ -177,6 +177,14 @@ AUDITS = [
         ["CartesianProduct"],
     ),
     (
+        # tf-idf: the tf table feeds the join's left side AND the df
+        # aggregation — it must be persisted so the explode + regex
+        # tokenize runs once, not once per branch (bm25_rank pattern)
+        "tf_idf",
+        ["InMemoryTableScan", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    (
         # heavy hitters: candidate set must broadcast into the verify
         # join (the only shuffle carries candidate keys), and the MG
         # pass is an Arrow-batched python map, not a per-row UDF

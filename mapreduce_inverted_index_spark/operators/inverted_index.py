@@ -434,9 +434,11 @@ def delete_from_index_store(
     affected bucket ids.
     """
     from mapreduce_inverted_index_spark.operators.store import (
+        recover_partition_swaps,
         swap_partition_dirs,
     )
 
+    recover_partition_swaps(path, "bucket")
     if not _store_bucket_dirs(path):
         # every doc already taken down — the store is a valid EMPTY
         # index (sidecar still pins the bucket arity for future ADDs)
@@ -502,9 +504,11 @@ def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
     crash-safe commit. Returns the affected bucket ids.
     """
     from mapreduce_inverted_index_spark.operators.store import (
+        recover_partition_swaps,
         swap_partition_dirs,
     )
 
+    recover_partition_swaps(path, "bucket")
     n_buckets = _store_n_buckets(path)
     tagged = delta.withColumn("bucket", index_bucket_col("term", n_buckets))
     affected = sorted(

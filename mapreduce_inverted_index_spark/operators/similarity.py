@@ -508,6 +508,11 @@ def delete_from_ivf_cells(
     import os
     import shutil
 
+    from mapreduce_inverted_index_spark.operators.store import (
+        recover_partition_swaps,
+    )
+
+    recover_partition_swaps(path, "cell")
     if isinstance(vec_ids, DataFrame):
         dead = vec_ids.select(F.col(id_col).alias("vec_id"))
     else:
@@ -554,6 +559,11 @@ def compact_ivf_cells(
     import os
     import shutil
 
+    from mapreduce_inverted_index_spark.operators.store import (
+        recover_partition_swaps,
+    )
+
+    recover_partition_swaps(path, "cell")
     affected = []
     for d in os.listdir(path):
         if d.startswith("cell="):

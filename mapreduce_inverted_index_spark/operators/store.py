@@ -21,7 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["swap_partition_dirs"]
+__all__ = ["swap_partition_dirs", "recover_partition_swaps"]
 
 
 def swap_partition_dirs(
@@ -36,9 +36,9 @@ def swap_partition_dirs(
     the live dir ASIDE into the tmp before moving the rewritten dir
     in — nothing is unlinked until both renames landed, so a kill at
     any point leaves every row either live or intact inside the
-    orphaned tmp (the manual reconciliation point; a bare filesystem
-    has no atomic multi-dir commit — production targets a
-    transactional format's REPLACE). A fixed tmp name would let a
+    orphaned tmp (:func:`recover_partition_swaps` rolls that tmp
+    back; a bare filesystem has no atomic multi-dir commit —
+    production targets a transactional format's REPLACE). A fixed tmp name would let a
     post-crash replay clobber the only surviving copy of a
     half-swapped partition; the uuid suffix closes that window.
     Untouched partition directories are never opened, moved, or
@@ -55,3 +55,49 @@ def swap_partition_dirs(
         if os.path.isdir(new):  # absent when the partition lost every row
             os.rename(new, old)
     shutil.rmtree(tmp)
+
+
+def recover_partition_swaps(path: str, part_col: str) -> "list[str]":
+    """Executable crash recovery for orphaned mid-swap tmp dirs — the
+    reconciliation :func:`swap_partition_dirs` leaves as a manual
+    point, made a routine. Strategy: ROLL BACK to the pre-batch state.
+    The swap only runs inside a maintenance batch whose checkpoint
+    commits strictly after the swap returns, so a tmp that outlived
+    its process belongs to an UNcommitted batch — the stream will
+    replay it; restoring the retired copies (and discarding any
+    rewritten partitions that already landed) returns the store to
+    exactly the state that replay expects.
+
+    Per orphaned ``<path>.tmp-swap-*`` sibling, for every
+    ``retired-<part_col>=v`` inside it: the live dir currently holds
+    either nothing (crash between rename-aside and rename-in) or the
+    new copy (crash after this partition committed but before the
+    batch finished) — both roll back by moving the retired copy in.
+    Plain ``<part_col>=v`` entries are rewritten copies never renamed
+    in; the live dir still holds the old state (or the partition is
+    legitimately new), so they are dropped with the tmp. Idempotent
+    and safe to call when nothing is orphaned (returns []).
+
+    The streaming maintenance loops call this before every fold, so
+    a crash-restart cycle self-heals without an operator in the loop.
+    """
+    base = os.path.basename(path.rstrip("/"))
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    recovered = []
+    if not os.path.isdir(parent):
+        return recovered
+    for d in sorted(os.listdir(parent)):
+        if not d.startswith(f"{base}.tmp-swap-"):
+            continue
+        tmp = f"{parent}/{d}"
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith(f"retired-{part_col}="):
+                continue
+            v_dir = entry[len("retired-"):]
+            live = f"{path}/{v_dir}"
+            if os.path.isdir(live):  # the new copy landed: discard it
+                shutil.rmtree(live)
+            os.rename(f"{tmp}/{entry}", live)
+        shutil.rmtree(tmp)
+        recovered.append(d)
+    return recovered

@@ -104,6 +104,65 @@ def _swap_flat_dir(df: DataFrame, live_dir: str, tag: str) -> None:
     shutil.rmtree(retired, ignore_errors=True)
 
 
+def recover_flat_swaps(live_dir: str) -> "list[str]":
+    """Executable crash recovery for :func:`_swap_flat_dir` orphans —
+    the flat-store twin of ``store.recover_partition_swaps``. A swap
+    that died mid-commit leaves one of three states, each with a
+    complete copy on disk; this rolls the store back (or finishes
+    cleanup) so a restarted maintenance loop just replays the
+    uncommitted batch:
+
+    - tmp present, live present: crash during the tmp WRITE — the
+      live dir is untouched; drop the partial tmp.
+    - tmp present, live missing: crash between rename-aside and
+      rename-in — restore the retired copy (rollback; the batch
+      replays) or, when no retired copy exists (first-ever write),
+      rename the fully-written tmp in (roll-forward; ADD/DELETE folds
+      are idempotent so the replay converges either way).
+    - retired present, no tmp: crash after commit, before cleanup —
+      the live dir is the new state; drop the retired copy.
+
+    ``.tmp-swap-*`` siblings are the PARTITIONED store's orphans and
+    belong to ``recover_partition_swaps`` — skipped here. Idempotent;
+    returns the orphan dirs handled. The maintenance loops call this
+    before every flat fold, so crash-restart self-heals."""
+    base = os.path.basename(live_dir.rstrip("/"))
+    parent = os.path.dirname(live_dir.rstrip("/")) or "."
+    recovered: list = []
+    if not os.path.isdir(parent):
+        return recovered
+    tmps: dict = {}
+    retireds: dict = {}
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}.tmp-swap-"):
+            continue
+        if d.startswith(f"{base}.tmp-"):
+            tmps[d[len(base) + 5:]] = d
+        elif d.startswith(f"{base}.retired-"):
+            retireds[d[len(base) + 9:]] = d
+    live_exists = os.path.isdir(live_dir)
+    for key, d in sorted(tmps.items()):
+        tmp = f"{parent}/{d}"
+        if live_exists:
+            shutil.rmtree(tmp)
+        elif key in retireds:
+            os.rename(f"{parent}/{retireds.pop(key)}", live_dir)
+            shutil.rmtree(tmp)
+            live_exists = True
+        else:
+            os.rename(tmp, live_dir)
+            live_exists = True
+        recovered.append(d)
+    for key, d in sorted(retireds.items()):
+        if live_exists:
+            shutil.rmtree(f"{parent}/{d}")
+        else:
+            os.rename(f"{parent}/{d}", live_dir)
+            live_exists = True
+        recovered.append(d)
+    return recovered
+
+
 def maintain_chunks_available_now(
     spark: SparkSession,
     sf_dir: str,
@@ -186,6 +245,7 @@ def maintain_index_available_now(
         if not batch_df.take(1):
             return
         sess = batch_df.sparkSession
+        recover_flat_swaps(index_dir)  # heal any crashed prior commit
         delta = build_index(streamed_doc_ids(batch_df))
         # layout authority is the sidecar, not bucket= dirs: a store
         # whose every doc was taken down has zero bucket dirs but must
@@ -350,6 +410,11 @@ def _takedown_loop(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # a prior pass that crashed mid-commit left the state intact
+        # in a sibling dir; heal it before the existence check (a
+        # state-dir missing because of such a crash must NOT fail
+        # loud forever — only a never-built state should)
+        recover_flat_swaps(state_dir)
         if not os.path.isdir(state_dir):
             raise FileNotFoundError(
                 f"takedown fold: no {state_kind} at {state_dir}; build "
@@ -357,7 +422,8 @@ def _takedown_loop(
                 "If a prior run crashed mid-commit, the fully written "
                 f"state sits intact next to this path in a "
                 f"'{state_dir}.retired-*' or '{state_dir}.tmp-*' dir — "
-                "rename it back instead of rebuilding"
+                "recover_flat_swaps / recover_partition_swaps heals it "
+                "on the next maintenance pass"
             )
         fold(batch_df, batch_id)
 

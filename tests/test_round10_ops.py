@@ -159,3 +159,236 @@ def test_streaming_loops_route_emptied_store_through_store_paths(
     assert _index_rows(read_index_store(spark, index_dir)) == _index_rows(
         build_index(streamed_doc_ids(batch_corpus))
     )
+
+
+def _swap_crash_after_one_aside(monkeypatch):
+    """Monkeypatch os.rename inside the swap to die after the first
+    rename-ASIDE (before its rename-in) — the worst partial-commit
+    point: the live store is missing a partition whose only copies
+    sit inside the orphaned tmp."""
+    from mapreduce_inverted_index_spark.operators import store as store_mod
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(store_mod.os, "rename", dying_rename)
+
+
+def test_recover_partition_swaps_rolls_back_to_prebatch(
+    spark, tmp_path, monkeypatch
+):
+    """After a mid-swap crash, recover_partition_swaps restores the
+    EXACT pre-batch store (rolled-back partitions + discarded
+    rewrites), removes the orphaned tmp, and the replayed delete then
+    converges — the executable form of the 'manual reconciliation'
+    the swap docstring used to leave to an operator."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        delete_from_index_store,
+        read_index_store,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.operators.store import (
+        recover_partition_swaps,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{chr(97 + i)} common") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "store")
+    write_index_store(build_index(docs), path)
+    before = _index_rows(read_index_store(spark, path))
+
+    _swap_crash_after_one_aside(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        delete_from_index_store(spark, path, [0])
+    monkeypatch.undo()
+
+    recovered = recover_partition_swaps(path, "bucket")
+    assert recovered, "the orphaned tmp must be found and recovered"
+    assert _index_rows(read_index_store(spark, path)) == before
+    assert not [
+        d
+        for d in os.listdir(str(tmp_path))
+        if d.startswith("store.tmp-swap-")
+    ]
+    # idempotent when nothing is orphaned
+    assert recover_partition_swaps(path, "bucket") == []
+
+    # the replayed batch now converges
+    delete_from_index_store(spark, path, [0])
+    want = _index_rows(build_index(docs.where(F.col("doc_id") != 0)))
+    assert _index_rows(read_index_store(spark, path)) == want
+
+
+def test_takedown_loop_self_heals_after_mid_swap_crash(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end self-healing: a takedown pass crashes MID-SWAP (tmp
+    orphaned, one partition half-moved); simply RESTARTING the
+    maintenance loop recovers the store at op entry and replays the
+    uncommitted batch — no manual step, and the invariant holds."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        read_index_store,
+        write_index_store,
+    )
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_takedowns_available_now,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{chr(97 + i)} common") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    index_dir = str(tmp_path / "index")
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    write_index_store(build_index(docs), index_dir)
+    spark.createDataFrame([(0,), (3,)], "doc_id bigint").coalesce(
+        1
+    ).write.mode("append").parquet(queue)
+
+    _swap_crash_after_one_aside(monkeypatch)
+    with pytest.raises(Exception, match="injected crash"):
+        maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    monkeypatch.undo()
+
+    # restart the loop: entry-time recovery + checkpoint replay
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    want = _index_rows(
+        build_index(docs.where(~F.col("doc_id").isin([0, 3])))
+    )
+    assert _index_rows(read_index_store(spark, index_dir)) == want
+    assert not [
+        d
+        for d in os.listdir(str(tmp_path))
+        if d.startswith("index.tmp-swap-")
+    ]
+
+
+def test_recover_flat_swaps_all_crash_states(spark, tmp_path):
+    """recover_flat_swaps handles each of the three crash states a
+    flat-dir swap can die in, and is a no-op when nothing is
+    orphaned."""
+    import shutil
+
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        recover_flat_swaps,
+    )
+
+    def mkdir_with_marker(p, marker):
+        os.makedirs(p)
+        with open(f"{p}/{marker}", "w") as f:
+            f.write(marker)
+
+    live = str(tmp_path / "index")
+
+    # state 1: crash during tmp write (live intact) → drop tmp
+    mkdir_with_marker(live, "old")
+    mkdir_with_marker(f"{live}.tmp-del-1-aaaa", "new")
+    assert recover_flat_swaps(live) == ["index.tmp-del-1-aaaa"]
+    assert os.path.exists(f"{live}/old")
+    assert not os.path.exists(f"{live}.tmp-del-1-aaaa")
+
+    # state 2 (rollback): aside done, rename-in pending → restore old
+    shutil.rmtree(live)
+    mkdir_with_marker(f"{live}.retired-del-2-bbbb", "old")
+    mkdir_with_marker(f"{live}.tmp-del-2-bbbb", "new")
+    handled = recover_flat_swaps(live)
+    assert sorted(handled) == ["index.tmp-del-2-bbbb"] or sorted(
+        handled
+    ) == ["index.retired-del-2-bbbb", "index.tmp-del-2-bbbb"]
+    assert os.path.exists(f"{live}/old")
+    assert not os.path.exists(f"{live}.tmp-del-2-bbbb")
+    assert not os.path.exists(f"{live}.retired-del-2-bbbb")
+
+    # state 2 (roll-forward): first-ever write, no retired → tmp in
+    shutil.rmtree(live)
+    mkdir_with_marker(f"{live}.tmp-add-0-cccc", "new")
+    assert recover_flat_swaps(live) == ["index.tmp-add-0-cccc"]
+    assert os.path.exists(f"{live}/new")
+
+    # state 3: committed, cleanup pending → drop retired
+    mkdir_with_marker(f"{live}.retired-del-3-dddd", "old")
+    assert recover_flat_swaps(live) == ["index.retired-del-3-dddd"]
+    assert os.path.exists(f"{live}/new")
+    assert not os.path.exists(f"{live}.retired-del-3-dddd")
+
+    # idempotent no-op; .tmp-swap-* (partitioned-store orphans) are
+    # not touched
+    mkdir_with_marker(f"{live}.tmp-swap-eeee", "part")
+    assert recover_flat_swaps(live) == []
+    assert os.path.exists(f"{live}.tmp-swap-eeee/part")
+
+
+def test_flat_takedown_loop_self_heals_after_mid_swap_crash(
+    spark, tmp_path, monkeypatch
+):
+    """A FLAT-store takedown pass that crashes between rename-aside
+    and rename-in leaves the live dir missing; restarting the loop
+    must recover the store and replay the batch — not fail loud as
+    'no index' forever."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+    )
+    from mapreduce_inverted_index_spark.streaming import ingest as ingest_mod
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_takedowns_available_now,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{chr(97 + i)} common") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    index_dir = str(tmp_path / "index")
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    build_index(docs).write.parquet(index_dir)  # FLAT layout
+    spark.createDataFrame([(0,), (2,)], "doc_id bigint").coalesce(
+        1
+    ).write.mode("append").parquet(queue)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the rename-ASIDE: live moves to retired
+            real_rename(src, dst)
+            raise OSError("injected crash mid-flat-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(ingest_mod.os, "rename", dying_rename)
+    with pytest.raises(Exception, match="injected crash"):
+        maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    monkeypatch.undo()
+    assert not os.path.isdir(index_dir)  # live is gone — the bad state
+
+    # restart: loop-entry recovery restores the store, replay folds
+    maintain_takedowns_available_now(spark, queue, index_dir, ckpt)
+    got = sorted(
+        (r["term"], tuple(r["postings"]), r["df"])
+        for r in spark.read.parquet(index_dir)
+        .select("term", "postings", "df")
+        .collect()
+    )
+    want = sorted(
+        (r["term"], tuple(r["postings"]), r["df"])
+        for r in build_index(docs.where(~F.col("doc_id").isin([0, 2])))
+        .collect()
+    )
+    assert got == want

@@ -392,3 +392,59 @@ def test_flat_takedown_loop_self_heals_after_mid_swap_crash(
         .collect()
     )
     assert got == want
+
+
+def test_ivf_cell_store_self_heals_after_mid_swap_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The IVF cell store shares the partition-dir swap; a takedown
+    that crashes mid-swap must self-heal at the next op entry
+    (recover_partition_swaps runs inside delete_from_ivf_cells), and
+    the replayed delete must converge to assign-of-the-survivors."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators import store as store_mod
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        delete_from_ivf_cells,
+        ivf_assign,
+        ivf_centroids,
+        write_ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8, 3)
+    path = str(tmp_path / "cells")
+    assigned = ivf_assign(emb, cents)
+    write_ivf_cells(assigned, path)
+    dead = [r["vec_id"] for r in assigned.limit(5).collect()]
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(store_mod.os, "rename", dying_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        delete_from_ivf_cells(spark, path, dead)
+    monkeypatch.undo()
+
+    # replay: entry-time recovery rolls the store back, then the
+    # delete applies cleanly
+    delete_from_ivf_cells(spark, path, dead)
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in assigned.where(~F.col("vec_id").isin(dead)).collect()
+    )
+    assert got == want
+    assert not [
+        d
+        for d in os.listdir(str(tmp_path))
+        if d.startswith("cells.tmp-swap-")
+    ]

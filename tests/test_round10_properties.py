@@ -71,7 +71,10 @@ def test_takedown_crash_before_swap_replays_and_converges(
             "doc_id bigint, text string",
         )
         write_index_store(build_index(docs), index_dir)
-        dead = sorted(set(dead_sel))
+        # guarantee at least one REAL doc dies: a ghost-only batch
+        # never reaches the swap (delete_from_index_store no-ops), so
+        # the injection would have nothing to crash
+        dead = sorted(set(dead_sel) | {0})
         spark.createDataFrame(
             [(int(d),) for d in dead], "doc_id bigint"
         ).coalesce(1).write.mode("append").parquet(queue)

@@ -372,8 +372,22 @@ def write_index_store(
 
 def _store_n_buckets(path: str) -> int:
     import json
+    import os
 
-    with open(f"{path}/_mii_store.json") as f:
+    sidecar = f"{path}/_mii_store.json"
+    if not os.path.isfile(sidecar):
+        # bucket= dirs without the arity sidecar = a write_index_store
+        # that crashed between its data write and its sidecar write.
+        # ADDs can't hash new terms without the arity — fail loud with
+        # the recovery step instead of guessing (DELETEs don't come
+        # here; the bucket column rides through their regroup).
+        raise FileNotFoundError(
+            f"{sidecar} missing but the store layout is bucketed — a "
+            "prior write_index_store died before committing its "
+            "sidecar; re-run write_index_store (mode is a full "
+            "overwrite) to re-seed the store"
+        )
+    with open(sidecar) as f:
         return int(json.load(f)["n_buckets"])
 
 
@@ -385,10 +399,16 @@ def is_index_store(path: str) -> bool:
     partition whose last term dies), and that empty-but-bucketed store
     must keep routing through the store maintenance paths — detection
     off ``bucket=`` dirs would silently fall back to the flat-parquet
-    path and crash on schema inference (or rebuild a flat layout)."""
+    path and crash on schema inference (or rebuild a flat layout).
+    ``bucket=`` dirs WITHOUT a sidecar (a seed write that died between
+    data and sidecar) still count as a store, so the half-seeded state
+    fails loud in ``_store_n_buckets`` instead of silently rebuilding
+    a flat layout over a bucketed directory."""
     import os
 
-    return os.path.isfile(f"{path}/_mii_store.json")
+    return os.path.isfile(f"{path}/_mii_store.json") or (
+        os.path.isdir(path) and bool(_store_bucket_dirs(path))
+    )
 
 
 def _store_bucket_dirs(path: str) -> "list[str]":

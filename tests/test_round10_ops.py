@@ -448,3 +448,46 @@ def test_ivf_cell_store_self_heals_after_mid_swap_crash(
         for d in os.listdir(str(tmp_path))
         if d.startswith("cells.tmp-swap-")
     ]
+
+
+def test_half_seeded_store_fails_loud_not_flat_rebuild(spark, tmp_path):
+    """A write_index_store that died between its data write and its
+    sidecar write leaves bucket dirs with no _mii_store.json. That is
+    still a STORE (is_index_store True), and an ADD — which needs the
+    hash arity — fails loud with the re-seed instruction instead of
+    silently rebuilding a flat layout; a DELETE (arity-free: the
+    bucket column rides through its regroup) still works."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        delete_from_index_store,
+        is_index_store,
+        merge_into_index_store,
+        read_index_store,
+        write_index_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "store")
+    write_index_store(build_index(docs), path)
+    os.remove(f"{path}/_mii_store.json")  # the simulated crash state
+
+    assert is_index_store(path)
+    with pytest.raises(FileNotFoundError, match="re-run write_index_store"):
+        merge_into_index_store(
+            spark,
+            path,
+            build_index(
+                spark.createDataFrame(
+                    [(9, "delta")], "doc_id bigint, text string"
+                )
+            ),
+        )
+    # DELETE never touches the sidecar
+    delete_from_index_store(spark, path, [1])
+    want = _index_rows(build_index(docs.where(F.col("doc_id") != 1)))
+    assert _index_rows(read_index_store(spark, path)) == want

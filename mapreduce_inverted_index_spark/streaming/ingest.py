@@ -115,10 +115,12 @@ def recover_flat_swaps(live_dir: str) -> "list[str]":
     - tmp present, live present: crash during the tmp WRITE — the
       live dir is untouched; drop the partial tmp.
     - tmp present, live missing: crash between rename-aside and
-      rename-in — restore the retired copy (rollback; the batch
-      replays) or, when no retired copy exists (first-ever write),
-      rename the fully-written tmp in (roll-forward; ADD/DELETE folds
-      are idempotent so the replay converges either way).
+      rename-in — restore the retired copy, or when no retired copy
+      exists (the swap was the FIRST-ever write) drop the tmp so the
+      state is simply absent again. Rollback in both cases, never
+      roll-forward: the replayed batch re-derives the new state, and
+      rolling the tmp in would make a non-idempotent fold (e.g. the
+      MG count merge) double-count its replay.
     - retired present, no tmp: crash after commit, before cleanup —
       the live dir is the new state; drop the retired copy.
 
@@ -150,8 +152,8 @@ def recover_flat_swaps(live_dir: str) -> "list[str]":
             shutil.rmtree(tmp)
             live_exists = True
         else:
-            os.rename(tmp, live_dir)
-            live_exists = True
+            # first-ever write died pre-commit: rollback = no state
+            shutil.rmtree(tmp)
         recovered.append(d)
     for key, d in sorted(retireds.items()):
         if live_exists:

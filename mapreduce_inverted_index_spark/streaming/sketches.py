@@ -19,7 +19,6 @@ tmp-rename discipline as ``ingest.maintain_index_available_now``.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +90,17 @@ def maintain_frequent_terms_available_now(
         if not batch_df.take(1):
             return
         sess = batch_df.sparkSession
+        # heal any crashed prior commit BEFORE reading the state: the
+        # old rmtree-then-rename commit here could lose the live state
+        # to a mid-commit crash, and the replay would then silently
+        # merge into EMPTY state — the swap + entry recovery makes
+        # that window a clean rollback-and-replay instead
+        from mapreduce_inverted_index_spark.streaming.ingest import (
+            _swap_flat_dir,
+            recover_flat_swaps,
+        )
+
+        recover_flat_swaps(state_dir)
         counts = (
             batch_df.select(
                 F.explode(terms("text", keep_duplicates=True)).alias("term")
@@ -104,11 +114,7 @@ def maintain_frequent_terms_available_now(
             merged = mg_merge_summaries(
                 counts.limit(0), counts, k
             )
-        tmp = state_dir.rstrip("/") + f".tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        _swap_flat_dir(merged, state_dir, f"mg-{batch_id}")
 
     q = (
         docs_stream(spark, sf_dir, glob)

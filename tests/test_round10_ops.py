@@ -314,13 +314,18 @@ def test_recover_flat_swaps_all_crash_states(spark, tmp_path):
     assert not os.path.exists(f"{live}.tmp-del-2-bbbb")
     assert not os.path.exists(f"{live}.retired-del-2-bbbb")
 
-    # state 2 (roll-forward): first-ever write, no retired → tmp in
+    # state 2 (first-ever write, no retired): ROLLBACK — drop the tmp
+    # so the state is absent again and the replayed batch re-derives
+    # it; rolling the tmp forward would double-count non-idempotent
+    # folds (the MG count merge) on replay
     shutil.rmtree(live)
     mkdir_with_marker(f"{live}.tmp-add-0-cccc", "new")
     assert recover_flat_swaps(live) == ["index.tmp-add-0-cccc"]
-    assert os.path.exists(f"{live}/new")
+    assert not os.path.exists(live)
+    assert not os.path.exists(f"{live}.tmp-add-0-cccc")
 
     # state 3: committed, cleanup pending → drop retired
+    mkdir_with_marker(live, "new")
     mkdir_with_marker(f"{live}.retired-del-3-dddd", "old")
     assert recover_flat_swaps(live) == ["index.retired-del-3-dddd"]
     assert os.path.exists(f"{live}/new")
@@ -491,3 +496,78 @@ def test_half_seeded_store_fails_loud_not_flat_rebuild(spark, tmp_path):
     delete_from_index_store(spark, path, [1])
     want = _index_rows(build_index(docs.where(F.col("doc_id") != 1)))
     assert _index_rows(read_index_store(spark, path)) == want
+
+
+def test_mg_state_survives_mid_commit_crash(spark, tmp_path, monkeypatch):
+    """The MG heavy-hitter state's commit used to be rmtree-then-
+    rename: a crash between the two lost the live state, and the
+    replay then silently merged into EMPTY state (wrong counts, no
+    error). With the swap + entry recovery, the same crash rolls back
+    and the replayed batch folds into the intact prior state."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.streaming import ingest as ingest_mod
+    from mapreduce_inverted_index_spark.streaming.sketches import (
+        maintain_frequent_terms_available_now,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, text):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([text], pa.string()),
+                }
+            ),
+            str(land / name),
+        )
+
+    def counts():
+        return {
+            (r["term"], r["n"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    # pass 1: seed the state
+    drop("a.parquet", "alpha alpha beta")
+    maintain_frequent_terms_available_now(
+        spark, str(land), state, ckpt, k=25, glob="*.parquet"
+    )
+    seeded = counts()
+    assert ("alpha", 2) in seeded
+
+    # pass 2 crashes between rename-aside and rename-in
+    drop("b.parquet", "alpha gamma")
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the rename-ASIDE of the live state
+            real_rename(src, dst)
+            raise OSError("injected crash mid-mg-commit")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(ingest_mod.os, "rename", dying_rename)
+    with pytest.raises(Exception, match="injected crash"):
+        maintain_frequent_terms_available_now(
+            spark, str(land), state, ckpt, k=25, glob="*.parquet"
+        )
+    monkeypatch.undo()
+    assert not os.path.isdir(state)  # the bad window: live is gone
+
+    # restart: recovery restores the seeded state, replay folds batch
+    # 2 exactly once — alpha counts BOTH batches (the old commit lost
+    # batch 1 here and reported alpha=1)
+    maintain_frequent_terms_available_now(
+        spark, str(land), state, ckpt, k=25, glob="*.parquet"
+    )
+    assert ("alpha", 3) in counts()

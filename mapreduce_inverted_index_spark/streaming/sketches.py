@@ -12,8 +12,10 @@ never misses — the same two-phase contract as the batch operator,
 with phase 1 incremental.
 
 State lives as a tiny Parquet table (≤ k rows) swapped per batch —
-the filesystem stand-in for a transactional state table, same
-tmp-rename discipline as ``ingest.maintain_index_available_now``.
+the filesystem stand-in for a transactional state table, committed
+through the shared retire-aside swap (``ingest._swap_flat_dir``)
+with entry-time orphan recovery (``ingest.recover_flat_swaps``),
+same discipline as ``ingest.maintain_index_available_now``.
 """
 
 from __future__ import annotations

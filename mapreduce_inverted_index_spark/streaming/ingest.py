@@ -165,6 +165,52 @@ def recover_flat_swaps(live_dir: str) -> "list[str]":
     return recovered
 
 
+def _publish_batch_files(
+    df: DataFrame, target_dir: str, batch_id: int, part_col: "str | None" = None
+) -> None:
+    """Idempotent APPEND for foreachBatch sinks on a bare filesystem:
+    write the batch to a per-batch tmp dir, then ``os.replace`` each
+    output file onto a DETERMINISTIC batch-named target
+    (``<dir>/batch-<id>.parquet``, or per partition
+    ``<dir>/<part_col>=v/batch-<id>.parquet``). A replayed batch
+    recomputes the same rows (the fold reads only frozen state) and
+    overwrites its own files instead of appending duplicates — the
+    filesystem analog of a transactional sink keyed by batch_id. The
+    tmp name is batch-deterministic too, so a crashed publish is
+    simply overwritten by the replay and removed on its completion.
+    """
+    tmp = target_dir.rstrip("/") + f".tmp-batch-{batch_id}"
+    if part_col is None:
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(target_dir, exist_ok=True)
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if parts:
+            os.replace(
+                f"{tmp}/{parts[0]}", f"{target_dir}/batch-{batch_id}.parquet"
+            )
+    else:
+        (
+            df.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+        for d in os.listdir(tmp):
+            if not d.startswith(f"{part_col}="):
+                continue
+            parts = [
+                f for f in os.listdir(f"{tmp}/{d}") if f.endswith(".parquet")
+            ]
+            if not parts:
+                continue
+            os.makedirs(f"{target_dir}/{d}", exist_ok=True)
+            os.replace(
+                f"{tmp}/{d}/{parts[0]}",
+                f"{target_dir}/{d}/batch-{batch_id}.parquet",
+            )
+    shutil.rmtree(tmp)
+
+
 def maintain_chunks_available_now(
     spark: SparkSession,
     sf_dir: str,
@@ -317,13 +363,18 @@ def maintain_semantic_cells_available_now(
     stays bounded without a manual compaction schedule. Pass ``None``
     to disable (e.g. when an external table service owns compaction).
 
-    Durability note (same as ``maintain_index_available_now``): the
-    two appends inside foreachBatch are not atomic across a mid-batch
-    crash+retry on a bare filesystem; a production deployment points
-    them at a transactional table format (Iceberg/Delta) keyed by
-    ``(batch_id, vec_id)``. Per-pass cost: O(batch × r/n_cells of
-    state) for the dedup + O(batch) for the append — state is never
-    rewritten.
+    Durability: both sinks publish through
+    :func:`_publish_batch_files` — deterministic ``batch-<id>``-named
+    files, so a micro-batch replayed after a crash (sink writes
+    landed, checkpoint commit did not) OVERWRITES its own files
+    instead of appending duplicates; the dup recompute additionally
+    excludes the crashed attempt's own cells file from "prior state"
+    so the replay derives identical matches (pytest-pinned by a
+    deleted-commit-marker replay test). A production deployment still
+    prefers a transactional table format (Iceberg/Delta) keyed by
+    ``(batch_id, vec_id)`` — this is its bare-filesystem analog.
+    Per-pass cost: O(batch × r/n_cells of state) for the dedup +
+    O(batch) for the publish — state is never rewritten.
     """
     from mapreduce_inverted_index_spark.operators.similarity import (
         ivf_assign,
@@ -356,19 +407,34 @@ def maintain_semantic_cells_available_now(
             cents = sess.read.parquet(cents_dir)
         if os.path.isdir(cells_dir):
             # dedup against PRIOR state, materialized BEFORE the
-            # batch itself is appended below
-            semantic_incremental_dedup(
-                batch_df,
-                sess.read.parquet(cells_dir),
-                cents,
-                tau=tau,
-                r=r,
-                id_col=id_col,
-                vec_col=vec_col,
-            ).write.mode("append").parquet(dups_dir)
-        ivf_assign(batch_df, cents, id_col, vec_col).write.mode(
-            "append"
-        ).partitionBy("cell").parquet(cells_dir)
+            # batch itself is appended below. Published as a
+            # deterministic batch-named file so a crash-replay
+            # overwrites instead of duplicating (the dedup reads only
+            # PRIOR-batch files — its own batch file, if a crashed
+            # attempt published one, is excluded so the replay
+            # recomputes the same matches)
+            prior = sess.read.parquet(cells_dir).where(
+                ~F.input_file_name().contains(f"batch-{batch_id}.parquet")
+            )
+            _publish_batch_files(
+                semantic_incremental_dedup(
+                    batch_df,
+                    prior,
+                    cents,
+                    tau=tau,
+                    r=r,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                ),
+                dups_dir,
+                batch_id,
+            )
+        _publish_batch_files(
+            ivf_assign(batch_df, cents, id_col, vec_col),
+            cells_dir,
+            batch_id,
+            part_col="cell",
+        )
 
     q = (
         stream.writeStream.foreachBatch(_fold)

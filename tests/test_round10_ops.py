@@ -571,3 +571,64 @@ def test_mg_state_survives_mid_commit_crash(spark, tmp_path, monkeypatch):
         spark, str(land), state, ckpt, k=25, glob="*.parquet"
     )
     assert ("alpha", 3) in counts()
+
+
+def test_semantic_cells_replay_is_idempotent(spark, tmp_path):
+    """Replaying an uncommitted micro-batch (crash after the sink
+    writes, before the checkpoint commit — simulated by deleting the
+    batch's commit marker) must NOT duplicate rows: the batch-named
+    publish overwrites its own files, and the dup recompute excludes
+    the crashed attempt's own cells file from 'prior state'."""
+    from mapreduce_inverted_index_spark.streaming.ingest import (
+        maintain_semantic_cells_available_now,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # pass 1 seeds codebook + cells; pass 2 produces dups vs state
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    maintain_semantic_cells_available_now(
+        spark, land, state, ckpt, n_cells=4, tau=0.2, max_files_per_cell=None
+    )
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    maintain_semantic_cells_available_now(
+        spark, land, state, ckpt, n_cells=4, tau=0.2, max_files_per_cell=None
+    )
+
+    def snap(d):
+        df = spark.read.parquet(f"{state}/{d}")
+        return sorted(map(tuple, df.drop("embedding", "vec").collect()))
+
+    cells_before = snap("cells")
+    dups_before = snap("dups")
+    assert cells_before and dups_before  # both sinks have rows
+
+    # simulate the crash: batch 1's sink writes landed but its commit
+    # marker never did — the stream must replay it on restart. The
+    # checkpoint is COPIED first because the driver JVM's commit-log
+    # guard (rightly) flags external edits to a checkpoint it already
+    # ran; the copy is the same on-disk state a restarted process
+    # would see.
+    import shutil
+
+    ckpt2 = str(tmp_path / "ckpt_after_crash")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt2}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt2}/commits/{commits[-1]}")
+    crc = f"{ckpt2}/commits/.{commits[-1]}.crc"  # hadoop checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    maintain_semantic_cells_available_now(
+        spark, land, state, ckpt2, n_cells=4, tau=0.2, max_files_per_cell=None
+    )
+    assert snap("cells") == cells_before  # no duplicated assignments
+    assert snap("dups") == dups_before  # no duplicated matches

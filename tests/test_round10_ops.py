@@ -632,3 +632,66 @@ def test_semantic_cells_replay_is_idempotent(spark, tmp_path):
     )
     assert snap("cells") == cells_before  # no duplicated assignments
     assert snap("dups") == dups_before  # no duplicated matches
+
+
+def test_crash_sweep_every_rename_point_recovers(spark, tmp_path, monkeypatch):
+    """Systematic version of the hand-picked crash points: inject the
+    crash at EVERY os.rename call a bucketed takedown performs (the
+    swap does up to two renames per affected partition), then recover
+    + replay, and require exact convergence each time. If a future
+    change adds an unprotected window between any two renames, this
+    sweep finds it without anyone hand-picking the point."""
+    import pytest
+
+    from mapreduce_inverted_index_spark.operators import store as store_mod
+    from mapreduce_inverted_index_spark.operators.inverted_index import (
+        build_index,
+        delete_from_index_store,
+        read_index_store,
+        write_index_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{chr(97 + i)} common") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    dead = [0, 3, 5]
+    want = _index_rows(build_index(docs.where(~F.col("doc_id").isin(dead))))
+    real_rename = os.rename
+
+    # count the renames of a clean run first
+    path0 = str(tmp_path / "count")
+    write_index_store(build_index(docs), path0)
+    calls = {"n": 0}
+
+    def counting_rename(src, dst):
+        calls["n"] += 1
+        real_rename(src, dst)
+
+    monkeypatch.setattr(store_mod.os, "rename", counting_rename)
+    delete_from_index_store(spark, path0, dead)
+    monkeypatch.undo()
+    n_renames = calls["n"]
+    assert n_renames >= 2  # at least one aside+in pair
+
+    for k in range(1, n_renames + 1):
+        path = str(tmp_path / f"sweep{k}")
+        write_index_store(build_index(docs), path)
+        state = {"n": 0}
+
+        def dying_rename(src, dst, _state=state, _k=k):
+            _state["n"] += 1
+            if _state["n"] == _k:
+                raise OSError(f"injected crash at rename {_k}")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(store_mod.os, "rename", dying_rename)
+        with pytest.raises(OSError, match="injected crash"):
+            delete_from_index_store(spark, path, dead)
+        monkeypatch.undo()
+
+        # replay: entry-time recovery + the delete applied again
+        delete_from_index_store(spark, path, dead)
+        assert _index_rows(read_index_store(spark, path)) == want, (
+            f"crash at rename {k} did not recover"
+        )

@@ -347,27 +347,35 @@ def write_index_store(
     bucketed-TABLE tier for shuffle-free lookup joins is
     :func:`write_index_tables`, a different axis.
     """
-    (
-        index.withColumn("bucket", index_bucket_col("term", n_buckets))
-        # one file per bucket, term-sorted within it: probe scans
-        # open O(probed buckets) files and row-group-skip on the
-        # term min/max stats (the write_index_tables sortBy story,
-        # directory-partitioned)
-        .repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
+    from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
     )
-    # sidecar records the bucket-fn arity: ADD merges and term-probe
-    # pruning must hash NEW terms with the same n_buckets the store
-    # was laid out with (DELETE doesn't need it — the bucket column
-    # rides through its regroup). Written after the data so a failed
-    # write never leaves a meta file pointing at nothing.
-    import json
 
-    with open(f"{path}/_mii_store.json", "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+    # seeding is a mutation too: overwriting a store a live
+    # maintenance fold is mid-swap on loses the fold's batch
+    with mutation_lease(path):
+        (
+            index.withColumn("bucket", index_bucket_col("term", n_buckets))
+            # one file per bucket, term-sorted within it: probe scans
+            # open O(probed buckets) files and row-group-skip on the
+            # term min/max stats (the write_index_tables sortBy story,
+            # directory-partitioned)
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        # sidecar records the bucket-fn arity: ADD merges and
+        # term-probe pruning must hash NEW terms with the same
+        # n_buckets the store was laid out with (DELETE doesn't need
+        # it — the bucket column rides through its regroup). Written
+        # after the data so a failed write never leaves a meta file
+        # pointing at nothing.
+        import json
+
+        with open(f"{path}/_mii_store.json", "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
 
 
 def _store_n_buckets(path: str) -> int:
@@ -454,56 +462,61 @@ def delete_from_index_store(
     affected bucket ids.
     """
     from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
         recover_partition_swaps,
         swap_partition_dirs,
     )
 
-    recover_partition_swaps(path, "bucket")
-    if not _store_bucket_dirs(path):
-        # every doc already taken down — the store is a valid EMPTY
-        # index (sidecar still pins the bucket arity for future ADDs)
-        # and any delete is a no-op
-        return []
-    if isinstance(doc_ids, DataFrame):
-        dead = doc_ids.select(F.col("doc_id").cast("bigint").alias("doc_id"))
-    else:
-        dead = spark.createDataFrame(
-            [(int(d),) for d in doc_ids], "doc_id bigint"
+    with mutation_lease(path):
+        recover_partition_swaps(path, "bucket")
+        if not _store_bucket_dirs(path):
+            # every doc already taken down — the store is a valid
+            # EMPTY index (sidecar still pins the bucket arity for
+            # future ADDs) and any delete is a no-op
+            return []
+        if isinstance(doc_ids, DataFrame):
+            dead = doc_ids.select(
+                F.col("doc_id").cast("bigint").alias("doc_id")
+            )
+        else:
+            dead = spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id bigint"
+            )
+        store = spark.read.parquet(path)
+        affected = sorted(
+            r["bucket"]
+            for r in store.select(
+                "bucket", F.explode("postings").alias("doc_id")
+            )
+            .join(F.broadcast(dead), "doc_id")
+            .select("bucket")
+            .distinct()
+            .collect()
         )
-    store = spark.read.parquet(path)
-    affected = sorted(
-        r["bucket"]
-        for r in store.select(
-            "bucket", F.explode("postings").alias("doc_id")
+        if not affected:
+            return []
+        pairs = (
+            store.where(F.col("bucket").isin(affected))
+            .select("bucket", "term", F.explode("postings").alias("doc_id"))
+            .join(F.broadcast(dead), "doc_id", "left_anti")
         )
-        .join(F.broadcast(dead), "doc_id")
-        .select("bucket")
-        .distinct()
-        .collect()
-    )
-    if not affected:
-        return []
-    pairs = (
-        store.where(F.col("bucket").isin(affected))
-        .select("bucket", "term", F.explode("postings").alias("doc_id"))
-        .join(F.broadcast(dead), "doc_id", "left_anti")
-    )
-    remaining = (
-        pairs.groupBy("bucket", "term")
-        .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
-            F.count("*").cast("bigint").alias("df"),
+        remaining = (
+            pairs.groupBy("bucket", "term")
+            .agg(
+                F.sort_array(F.collect_list("doc_id")).alias("postings"),
+                F.count("*").cast("bigint").alias("df"),
+            )
+            .select("term", "postings", "df", "bucket")
+            # pack each rewritten bucket into ONE file (the
+            # compact_ivf_cells discipline): without this, every
+            # rewrite scatters a bucket across up to
+            # shuffle-partition-count files, and probe scans pay the
+            # open() count forever
+            .repartition(len(affected), "bucket")
+            .sortWithinPartitions("term")
         )
-        .select("term", "postings", "df", "bucket")
-        # pack each rewritten bucket into ONE file (the
-        # compact_ivf_cells discipline): without this, every rewrite
-        # scatters a bucket across up to shuffle-partition-count
-        # files, and probe scans pay the open() count forever
-        .repartition(len(affected), "bucket")
-        .sortWithinPartitions("term")
-    )
-    swap_partition_dirs(path, remaining, "bucket", affected)
-    return affected
+        swap_partition_dirs(path, remaining, "bucket", affected)
+        return affected
 
 
 def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
@@ -524,38 +537,44 @@ def merge_into_index_store(spark, path: str, delta: DataFrame) -> list[int]:
     crash-safe commit. Returns the affected bucket ids.
     """
     from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
         recover_partition_swaps,
         swap_partition_dirs,
     )
 
-    recover_partition_swaps(path, "bucket")
-    n_buckets = _store_n_buckets(path)
-    tagged = delta.withColumn("bucket", index_bucket_col("term", n_buckets))
-    affected = sorted(
-        r["bucket"]
-        for r in tagged.select("bucket").distinct().collect()
-    )
-    if not affected:
-        return []
-    if _store_bucket_dirs(path):
-        base = (
-            spark.read.parquet(path)
-            .where(F.col("bucket").isin(affected))
-            .select("term", "postings", "df")
+    with mutation_lease(path):
+        recover_partition_swaps(path, "bucket")
+        n_buckets = _store_n_buckets(path)
+        tagged = delta.withColumn(
+            "bucket", index_bucket_col("term", n_buckets)
         )
-    else:
-        # fully-taken-down store: merge the delta against an empty
-        # base so re-ingest rebuilds the BUCKETED layout in place
-        base = spark.createDataFrame([], _INDEX_SCHEMA)
-    merged = (
-        merge_index(base, delta)
-        .withColumn("bucket", index_bucket_col("term", n_buckets))
-        # one file per rewritten bucket (see delete_from_index_store)
-        .repartition(len(affected), "bucket")
-        .sortWithinPartitions("term")
-    )
-    swap_partition_dirs(path, merged, "bucket", affected)
-    return affected
+        affected = sorted(
+            r["bucket"]
+            for r in tagged.select("bucket").distinct().collect()
+        )
+        if not affected:
+            return []
+        if _store_bucket_dirs(path):
+            base = (
+                spark.read.parquet(path)
+                .where(F.col("bucket").isin(affected))
+                .select("term", "postings", "df")
+            )
+        else:
+            # fully-taken-down store: merge the delta against an
+            # empty base so re-ingest rebuilds the BUCKETED layout
+            # in place
+            base = spark.createDataFrame([], _INDEX_SCHEMA)
+        merged = (
+            merge_index(base, delta)
+            .withColumn("bucket", index_bucket_col("term", n_buckets))
+            # one file per rewritten bucket (see
+            # delete_from_index_store)
+            .repartition(len(affected), "bucket")
+            .sortWithinPartitions("term")
+        )
+        swap_partition_dirs(path, merged, "bucket", affected)
+        return affected
 
 
 def term_lookup_store(spark, path: str, terms: "list[str]") -> DataFrame:

@@ -460,7 +460,14 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
     the scan, audit-asserted) — the storage-level realization of
     "candidate work ~ n_probe/n_cells" that an in-memory cell
     column can only promise."""
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
+    )
+
+    # seeding is a mutation too: overwriting a store a live
+    # maintenance fold is mid-swap on loses the fold's batch
+    with mutation_lease(path):
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
@@ -509,31 +516,33 @@ def delete_from_ivf_cells(
     import shutil
 
     from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
         recover_partition_swaps,
     )
 
-    recover_partition_swaps(path, "cell")
-    if isinstance(vec_ids, DataFrame):
-        dead = vec_ids.select(F.col(id_col).alias("vec_id"))
-    else:
-        dead = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], "vec_id bigint"
+    with mutation_lease(path):
+        recover_partition_swaps(path, "cell")
+        if isinstance(vec_ids, DataFrame):
+            dead = vec_ids.select(F.col(id_col).alias("vec_id"))
+        else:
+            dead = spark.createDataFrame(
+                [(int(v),) for v in vec_ids], "vec_id bigint"
+            )
+        cells = spark.read.parquet(path)
+        affected = sorted(
+            r["cell"]
+            for r in cells.join(F.broadcast(dead), "vec_id")
+            .select("cell")
+            .distinct()
+            .collect()
         )
-    cells = spark.read.parquet(path)
-    affected = sorted(
-        r["cell"]
-        for r in cells.join(F.broadcast(dead), "vec_id")
-        .select("cell")
-        .distinct()
-        .collect()
-    )
-    if not affected:
-        return []
-    remaining = cells.where(F.col("cell").isin(affected)).join(
-        F.broadcast(dead), "vec_id", "left_anti"
-    )
-    _swap_cell_dirs(path, remaining, affected)
-    return affected
+        if not affected:
+            return []
+        remaining = cells.where(F.col("cell").isin(affected)).join(
+            F.broadcast(dead), "vec_id", "left_anti"
+        )
+        _swap_cell_dirs(path, remaining, affected)
+        return affected
 
 
 def compact_ivf_cells(
@@ -560,36 +569,40 @@ def compact_ivf_cells(
     import shutil
 
     from mapreduce_inverted_index_spark.operators.store import (
+        mutation_lease,
         recover_partition_swaps,
     )
 
-    recover_partition_swaps(path, "cell")
-    affected = []
-    for d in os.listdir(path):
-        if d.startswith("cell="):
-            n = sum(
-                1 for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")
-            )
-            if n > max_files_per_cell:
-                affected.append(int(d.split("=", 1)[1]))
-    if not affected:
-        return []
-    cells = spark.read.parquet(path)
-    # hash-repartition on cell: each cell's rows land in ONE task
-    # (possibly shared with other cells that hash to the same task,
-    # leaving some tasks empty), and partitionBy then splits a task's
-    # output per cell value — so every rewritten cell dir gets exactly
-    # one file regardless of collisions; no global coalesce. If true
-    # per-cell rewrite parallelism ever matters, salt the repartition
-    # key — the one-file-per-cell outcome is partitionBy's, not the
-    # hash layout's.
-    packed = (
-        cells.where(F.col("cell").isin(affected))
-        .repartition(len(affected), "cell")
-        .sortWithinPartitions("vec_id")
-    )
-    _swap_cell_dirs(path, packed, affected)
-    return sorted(affected)
+    with mutation_lease(path):
+        recover_partition_swaps(path, "cell")
+        affected = []
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                n = sum(
+                    1
+                    for f in os.listdir(f"{path}/{d}")
+                    if f.endswith(".parquet")
+                )
+                if n > max_files_per_cell:
+                    affected.append(int(d.split("=", 1)[1]))
+        if not affected:
+            return []
+        cells = spark.read.parquet(path)
+        # hash-repartition on cell: each cell's rows land in ONE task
+        # (possibly shared with other cells that hash to the same
+        # task, leaving some tasks empty), and partitionBy then
+        # splits a task's output per cell value — so every rewritten
+        # cell dir gets exactly one file regardless of collisions; no
+        # global coalesce. If true per-cell rewrite parallelism ever
+        # matters, salt the repartition key — the one-file-per-cell
+        # outcome is partitionBy's, not the hash layout's.
+        packed = (
+            cells.where(F.col("cell").isin(affected))
+            .repartition(len(affected), "cell")
+            .sortWithinPartitions("vec_id")
+        )
+        _swap_cell_dirs(path, packed, affected)
+        return sorted(affected)
 
 
 def ivf_pruned_scan_topk(

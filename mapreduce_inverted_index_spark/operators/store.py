@@ -10,18 +10,120 @@ rewrite on a bare filesystem.
 
 At 100 TB the same bodies run against a transactional table format
 (Iceberg/Delta partition-level REPLACE); the swap is the
-filesystem-only stand-in for that commit.
+filesystem-only stand-in for that commit, and :func:`mutation_lease`
+is the stand-in for that format's writer-concurrency control — every
+mutator and maintenance fold holds it, so the entry-time crash
+recovery (:func:`recover_partition_swaps` and its flat twin) can
+safely assume any orphan it finds belongs to a DEAD writer.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["swap_partition_dirs", "recover_partition_swaps"]
+__all__ = [
+    "swap_partition_dirs",
+    "recover_partition_swaps",
+    "mutation_lease",
+]
+
+# store paths whose lease THIS process currently holds — makes the
+# lease re-entrant (a maintenance fold holds it around the whole
+# batch; the leaf mutator it calls re-enters instead of deadlocking)
+_HELD_LEASES: "set[str]" = set()
+
+# bound at import so the crash-sweep tests (which monkeypatch
+# os.rename to die at every COMMIT rename in turn) don't count the
+# lease's staged rename as a commit point: a death there leaves only
+# a dead-pid lease, healed on the next entry — no data moved, nothing
+# to sweep — and intercepting it would shift every sweep offset
+_fs_rename = os.rename
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _lease_holder(lease: str) -> "int | None":
+    try:
+        with open(f"{lease}/pid") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+@contextlib.contextmanager
+def mutation_lease(path: str):
+    """Single-writer guard for store mutations. Every mutator's first
+    act is entry-time crash recovery (``recover_partition_swaps`` /
+    ``ingest.recover_flat_swaps``), which treats any sibling tmp dir
+    as an orphan of a DEAD writer and rolls it back. That is only
+    sound if writers never overlap: a second live writer's recovery
+    would roll back the first writer's IN-FLIGHT swap while its
+    checkpoint goes on to commit — a lost batch with no error, the
+    exact failure class the swaps exist to prevent. This lease makes
+    the single-writer discipline executable: concurrent mutation
+    fails loud instead of corrupting.
+
+    Mechanics: a ``<path>.mutation-lease`` sibling dir holding the
+    writer's pid, created fully-formed via staging-dir + atomic
+    rename (a half-created lease is never visible). If the lease
+    exists and its pid is a LIVE process, raise; if the pid is dead
+    (a writer that crashed inside its lease), heal the lease and
+    proceed — the entry recovery inside the new lease heals the
+    data. Re-entrant within a process, so a maintenance fold can
+    hold it around recovery + fold while the leaf mutator re-enters.
+
+    Pid liveness is same-host only — the honest scope for this
+    filesystem store, which is the local stand-in for a
+    transactional table format whose commit protocol (Iceberg/Delta
+    optimistic concurrency) replaces this lease at 100 TB.
+    """
+    key = os.path.abspath(path.rstrip("/"))
+    if key in _HELD_LEASES:
+        yield
+        return
+    lease = path.rstrip("/") + ".mutation-lease"
+    for _ in range(2):
+        staging = f"{lease}.stage-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging)
+        with open(f"{staging}/pid", "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            _fs_rename(staging, lease)
+            break
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            holder = _lease_holder(lease)
+            if holder is not None and _pid_alive(holder):
+                raise RuntimeError(
+                    f"{path}: store is being mutated by live process "
+                    f"{holder}; a second concurrent writer's entry-time "
+                    "recovery would roll back its in-flight swap. Run "
+                    "one maintenance loop per store (production: a "
+                    "transactional table format's commit protocol)."
+                )
+            # stale lease from a crashed writer: heal it and retry
+            shutil.rmtree(lease, ignore_errors=True)
+    else:
+        raise RuntimeError(f"{path}: could not acquire mutation lease")
+    _HELD_LEASES.add(key)
+    try:
+        yield
+    finally:
+        _HELD_LEASES.discard(key)
+        shutil.rmtree(lease, ignore_errors=True)
 
 
 def swap_partition_dirs(

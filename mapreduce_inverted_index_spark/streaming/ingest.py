@@ -23,6 +23,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_inverted_index_spark.operators.store import mutation_lease
+
 __all__ = [
     "stream_text_corpus",
     "ingest_available_now",
@@ -293,19 +295,24 @@ def maintain_index_available_now(
         if not batch_df.take(1):
             return
         sess = batch_df.sparkSession
-        recover_flat_swaps(index_dir)  # heal any crashed prior commit
-        delta = build_index(streamed_doc_ids(batch_df))
-        # layout authority is the sidecar, not bucket= dirs: a store
-        # whose every doc was taken down has zero bucket dirs but must
-        # stay bucketed (merge_into_index_store rebuilds in place)
-        if os.path.isdir(index_dir) and is_index_store(index_dir):
-            merge_into_index_store(sess, index_dir, delta)
-            return
-        if os.path.isdir(index_dir):
-            merged = merge_index(sess.read.parquet(index_dir), delta)
-        else:
-            merged = delta
-        _swap_flat_dir(merged, index_dir, f"add-{batch_id}")
+        # single-writer guard: a concurrent writer's entry recovery
+        # would roll back THIS fold's in-flight swap (store.
+        # mutation_lease docstring); the leaf mutator re-enters
+        with mutation_lease(index_dir):
+            recover_flat_swaps(index_dir)  # heal crashed prior commit
+            delta = build_index(streamed_doc_ids(batch_df))
+            # layout authority is the sidecar, not bucket= dirs: a
+            # store whose every doc was taken down has zero bucket
+            # dirs but must stay bucketed (merge_into_index_store
+            # rebuilds in place)
+            if os.path.isdir(index_dir) and is_index_store(index_dir):
+                merge_into_index_store(sess, index_dir, delta)
+                return
+            if os.path.isdir(index_dir):
+                merged = merge_index(sess.read.parquet(index_dir), delta)
+            else:
+                merged = delta
+            _swap_flat_dir(merged, index_dir, f"add-{batch_id}")
 
     q = (
         stream_text_corpus(spark, corpus_path)
@@ -396,6 +403,15 @@ def maintain_semantic_cells_available_now(
         if not batch_df.take(1):
             return
         sess = batch_df.sparkSession
+        # lease on the CELL store — the state shared with the takedown
+        # twin (maintain_cell_takedowns_available_now / compact):
+        # overlapping with either would let its entry recovery roll
+        # back this fold's appends mid-batch. cents/dups are written
+        # only by this loop and ride inside the same lease.
+        with mutation_lease(cells_dir):
+            _semantic_fold_body(sess, batch_df, batch_id)
+
+    def _semantic_fold_body(sess, batch_df, batch_id) -> None:
         if os.path.isdir(cents_dir):
             cents = sess.read.parquet(cents_dir)
         else:
@@ -478,22 +494,29 @@ def _takedown_loop(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        # a prior pass that crashed mid-commit left the state intact
-        # in a sibling dir; heal it before the existence check (a
-        # state-dir missing because of such a crash must NOT fail
-        # loud forever — only a never-built state should)
-        recover_flat_swaps(state_dir)
-        if not os.path.isdir(state_dir):
-            raise FileNotFoundError(
-                f"takedown fold: no {state_kind} at {state_dir}; build "
-                "it first, then re-run (the uncommitted batch replays). "
-                "If a prior run crashed mid-commit, the fully written "
-                f"state sits intact next to this path in a "
-                f"'{state_dir}.retired-*' or '{state_dir}.tmp-*' dir — "
-                "recover_flat_swaps / recover_partition_swaps heals it "
-                "on the next maintenance pass"
-            )
-        fold(batch_df, batch_id)
+        # single-writer guard: concurrent with the matching ADD loop
+        # (or a second takedown), the other writer's entry recovery
+        # would roll back this fold's in-flight swap — fail loud
+        # instead (store.mutation_lease docstring); leaf mutators
+        # re-enter the lease
+        with mutation_lease(state_dir):
+            # a prior pass that crashed mid-commit left the state
+            # intact in a sibling dir; heal it before the existence
+            # check (a state-dir missing because of such a crash must
+            # NOT fail loud forever — only a never-built state should)
+            recover_flat_swaps(state_dir)
+            if not os.path.isdir(state_dir):
+                raise FileNotFoundError(
+                    f"takedown fold: no {state_kind} at {state_dir}; "
+                    "build it first, then re-run (the uncommitted "
+                    "batch replays). If a prior run crashed "
+                    "mid-commit, the fully written state sits intact "
+                    f"next to this path in a '{state_dir}.retired-*' "
+                    f"or '{state_dir}.tmp-*' dir — recover_flat_swaps "
+                    "/ recover_partition_swaps heals it on the next "
+                    "maintenance pass"
+                )
+            fold(batch_df, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_fold)

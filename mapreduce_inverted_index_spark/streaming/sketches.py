@@ -97,26 +97,34 @@ def maintain_frequent_terms_available_now(
         # to a mid-commit crash, and the replay would then silently
         # merge into EMPTY state — the swap + entry recovery makes
         # that window a clean rollback-and-replay instead
+        from mapreduce_inverted_index_spark.operators.store import (
+            mutation_lease,
+        )
         from mapreduce_inverted_index_spark.streaming.ingest import (
             _swap_flat_dir,
             recover_flat_swaps,
         )
 
-        recover_flat_swaps(state_dir)
-        counts = (
-            batch_df.select(
-                F.explode(terms("text", keep_duplicates=True)).alias("term")
+        # single-writer guard: a concurrent fold's entry recovery
+        # would roll back this fold's in-flight swap
+        with mutation_lease(state_dir):
+            recover_flat_swaps(state_dir)
+            counts = (
+                batch_df.select(
+                    F.explode(
+                        terms("text", keep_duplicates=True)
+                    ).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count("*").alias("n"))
             )
-            .groupBy("term")
-            .agg(F.count("*").alias("n"))
-        )
-        if os.path.isdir(state_dir):
-            merged = mg_merge_summaries(sess.read.parquet(state_dir), counts, k)
-        else:
-            merged = mg_merge_summaries(
-                counts.limit(0), counts, k
-            )
-        _swap_flat_dir(merged, state_dir, f"mg-{batch_id}")
+            if os.path.isdir(state_dir):
+                merged = mg_merge_summaries(
+                    sess.read.parquet(state_dir), counts, k
+                )
+            else:
+                merged = mg_merge_summaries(counts.limit(0), counts, k)
+            _swap_flat_dir(merged, state_dir, f"mg-{batch_id}")
 
     q = (
         docs_stream(spark, sf_dir, glob)

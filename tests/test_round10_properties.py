@@ -22,7 +22,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 _SETTINGS = dict(
-    max_examples=4,  # each example runs two AvailableNow passes
+    # each example runs two AvailableNow passes; MII_HYP_EXAMPLES lets a
+    # soak run widen the search without touching the default CI cost
+    max_examples=int(os.environ.get("MII_HYP_EXAMPLES", "4")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

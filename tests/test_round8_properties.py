@@ -6,6 +6,7 @@ quantile error bound under arbitrary positive-integer distributions.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -15,7 +16,8 @@ from pyspark.sql import functions as F
 from tests.test_tokenizer_parity import _py_bpe_train
 
 _SETTINGS = dict(
-    max_examples=8,
+    # MII_HYP_EXAMPLES widens the search for soak runs (CI default 8)
+    max_examples=int(os.environ.get("MII_HYP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

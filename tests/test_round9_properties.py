@@ -15,7 +15,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 _SETTINGS = dict(
-    max_examples=6,
+    # MII_HYP_EXAMPLES widens the search for soak runs (CI default 6)
+    max_examples=int(os.environ.get("MII_HYP_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -146,6 +146,15 @@ def swap_partition_dirs(
     Untouched partition directories are never opened, moved, or
     rewritten — they keep their exact files (pytest-pinned by file
     listing in both stores' test suites).
+
+    Scope note (readers): WRITERS are serialized by
+    :func:`mutation_lease` and crashes roll back via
+    :func:`recover_partition_swaps`, but a concurrent READER has no
+    snapshot isolation on a bare filesystem — a probe that lists the
+    store during the rename window can miss an affected partition.
+    Run probes and maintenance on the same schedule boundary here;
+    at 100 TB the transactional format this swap stands in for gives
+    readers snapshot isolation for free.
     """
     tmp = path.rstrip("/") + f".tmp-swap-{uuid.uuid4().hex[:8]}"
     remaining.write.mode("overwrite").partitionBy(part_col).parquet(tmp)

@@ -293,6 +293,32 @@ def lsh_bucket_topk(
     )
 
 
+def _argmax_cell(vec_col, cents_rows) -> Column:
+    """Map-only nearest-cell assignment against a COLLECTED codebook
+    (``[(cell, centroid floats), ...]``, ≤ n_cells entries — a
+    bounded planning read, same discipline as the BPE argmax): one
+    struct per centroid, ``array_max`` picks the lexicographic max
+    of ``(cos, -cell)`` — exactly ``max_by(cell, struct(cos,
+    -cell))`` — and each (vector, centroid) cosine is the same
+    :func:`cosine_similarity` expression tree the broadcast-join
+    route evaluates, so the two routes are float-identical
+    (forced-route pytest). The corpus is never joined, exploded, or
+    aggregated to be assigned: at 100 TB this is a projection inside
+    whole-stage codegen, zero exchanges."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs = [
+        F.struct(
+            cosine_similarity(
+                v, F.array(*[F.lit(float(x)) for x in c])
+            ).alias("cos"),
+            F.lit(-int(cell)).alias("negc"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, c in cents_rows
+    ]
+    return F.array_max(F.array(*structs))["cell"]
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -316,18 +342,19 @@ def ivf_centroids(
     constant, so the driver loop holds only tiny codebook plans,
     never data. Empty cells drop out of the codebook.
 
-    ``checkpoint=True`` (default) eagerly ``localCheckpoint``s the
-    ≤ n_cells-row codebook each round, truncating lineage so one
-    evaluation re-scans the corpus O(iters) not O(iters²) times —
-    but it runs iters+1 jobs at BUILD time (laziness lost) and
-    stores non-fault-tolerant executor blocks. Cluster callers that
-    need laziness or executor-loss tolerance pass ``checkpoint=
-    False`` and take the lineage cost, or wrap the per-round
-    codebook in a reliable ``checkpoint()``/write themselves.
+    ``checkpoint=True`` (default) COLLECTS the ≤ n_cells-row codebook
+    each round (a bounded planning read, the BPE-argmax discipline)
+    and assigns via :func:`_argmax_cell` — a map-only projection
+    against centroid literals, so the corpus is never joined or
+    aggregated to be assigned and per-round lineage stays constant
+    (no localCheckpoint blocks needed). It runs iters+1 tiny jobs at
+    BUILD time (laziness lost). Cluster callers that need a fully
+    lazy, fault-tolerant-lineage plan pass ``checkpoint=False`` and
+    take the legacy route: per round, crossJoin against the
+    BROADCAST codebook plus a corpus-sized max_by aggregate —
+    float-identical output (forced-route pytest), linear both ways,
+    but one extra corpus aggregate per round.
     """
-    _maybe_ckpt = (
-        (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
-    )
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     seeds = (
         e.select(
@@ -341,19 +368,25 @@ def ivf_centroids(
     )
     # the unpartitioned window orders the AGGREGATED seed table: one
     # partition of ≤ n_cells rows, constant-size at any corpus scale
-    cents = _maybe_ckpt(
-        seeds.select(
-            (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
-            F.col("v").cast("array<double>").alias("centroid"),
-        )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
+        F.col("v").cast("array<double>").alias("centroid"),
     )
     for _ in range(iters):
-        assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
-            F.max_by(
-                "cell", F.struct(cosine_similarity("v", "centroid"), -F.col("cell"))
-            ).alias("cell")
-        )
-        cents = _maybe_ckpt(
+        if checkpoint:
+            rows = [
+                (r["cell"], r["centroid"])
+                for r in cents.select("cell", "centroid").collect()
+            ]
+            assigned = e.withColumn("cell", _argmax_cell("v", rows))
+        else:
+            assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
+                F.max_by(
+                    "cell",
+                    F.struct(cosine_similarity("v", "centroid"), -F.col("cell")),
+                ).alias("cell")
+            )
+        new_cents = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("m"))
@@ -365,6 +398,10 @@ def ivf_centroids(
                 ).alias("centroid")
             )
         )
+        # literal route: the next round collects anyway and the plan
+        # is shallow (one scan + two aggs), so no checkpoint blocks;
+        # legacy route: lazy by contract, lineage cost accepted
+        cents = new_cents
     return cents
 
 
@@ -380,17 +417,23 @@ def ivf_assign(
     so probes become partition-pruned scans. ``extra_cols`` carries
     candidate metadata (e.g. the label a hard-negative miner filters
     on) into the cell layout so probes never join back to the source
-    table."""
+    table.
+
+    Assignment is :func:`_argmax_cell` against the collected
+    codebook — a map-only projection (the old shape crossJoined the
+    broadcast codebook then re-aggregated the whole corpus keyed on
+    the VECTOR array to pick the max; at 500k vectors the x100
+    decade probe clocked that aggregate as the dominant cost of the
+    cell-store seed). The collect is ≤ n_cells rows.
+    """
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), *extra_cols
     )
-    return e.crossJoin(F.broadcast(cents)).groupBy(
-        "vec_id", "vec", *extra_cols
-    ).agg(
-        F.max_by(
-            "cell", F.struct(cosine_similarity("vec", "centroid"), -F.col("cell"))
-        ).alias("cell")
-    )
+    rows = [
+        (r["cell"], r["centroid"])
+        for r in cents.select("cell", "centroid").collect()
+    ]
+    return e.withColumn("cell", _argmax_cell("vec", rows))
 
 
 def ivf_topk(

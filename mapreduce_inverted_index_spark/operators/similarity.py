@@ -140,31 +140,31 @@ def ivf_multi_assign(
     Multi-assignment is how cell-blocked pair generation recovers the
     recall a single cell loses at cluster boundaries (two vectors
     cosine-τ apart can straddle a Voronoi edge; with r cells each,
-    they share one with high probability). Same broadcast-codebook
-    shape as :func:`ivf_assign`: the corpus never shuffles to be
-    scored, and the top-r cut is a ``sort_array + slice`` inside the
-    per-vector aggregate (map-side partials, no window shuffle).
-    Ties prefer the lower cell id, matching ``ivf_assign``.
+    they share one with high probability). Same collected-codebook
+    shape as :func:`ivf_assign` (which the x100 decade probe
+    motivated — see :func:`_argmax_cell`): the top-r cut is a
+    ``sort_array + slice`` over a literal per-centroid struct array,
+    a pure projection + explode — the corpus is never joined or
+    aggregated to be scored. Ties prefer the lower cell id, matching
+    ``ivf_assign``; per-pair cosines are the same expression tree as
+    the old broadcast-join route, so output is float-identical.
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "vec", "cell",
-        cosine_similarity("vec", "centroid").alias("cos_c"),
-    )
-    top = scored.groupBy("vec_id", "vec").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("cos_c").alias("c"), (-F.col("cell")).alias("nc"))
-                ),
-                asc=False,
-            ),
-            1,
-            r,
-        ).alias("_top")
-    )
-    return top.select(
-        "vec_id", "vec", F.explode("_top").alias("_t")
+    structs = [
+        F.struct(
+            cosine_similarity(
+                F.col("vec"), F.array(*[F.lit(float(x)) for x in c])
+            ).alias("c"),
+            F.lit(-int(cell)).alias("nc"),
+        )
+        for cell, c in (
+            (row["cell"], row["centroid"])
+            for row in cents.select("cell", "centroid").collect()
+        )
+    ]
+    top = F.slice(F.sort_array(F.array(*structs), asc=False), 1, r)
+    return e.select(
+        "vec_id", "vec", F.explode(top).alias("_t")
     ).select("vec_id", "vec", (-F.col("_t.nc")).alias("cell"))
 
 

@@ -81,6 +81,54 @@ def test_assignment_matches_broadcast_maxby_route(spark):
     assert got == want
 
 
+def test_multi_assignment_matches_broadcast_route(spark):
+    """ivf_multi_assign (literal projection + explode) reproduces the
+    legacy crossJoin + collect_list/sort/slice aggregate exactly —
+    same (vec_id, cell) multiset, same tie preference."""
+    from mapreduce_inverted_index_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_multi_assign,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, n_cells=8, iters=2)
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_multi_assign(emb, cents, r=3).collect()
+    )
+    legacy = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "vec", "cell",
+            cosine_similarity("vec", "centroid").alias("cos_c"),
+        )
+        .groupBy("vec_id", "vec")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cos_c").alias("c"),
+                            (-F.col("cell")).alias("nc"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                3,
+            ).alias("_top")
+        )
+        .select("vec_id", F.explode("_top").alias("_t"))
+        .select("vec_id", (-F.col("_t.nc")).alias("cell"))
+    )
+    want = sorted((r["vec_id"], r["cell"]) for r in legacy.collect())
+    assert got == want
+
+
 def test_assignment_plan_is_exchange_free(spark):
     """The production assignment is a scan-side projection: zero
     Exchange, zero Join in the physical plan (at 100 TB the corpus

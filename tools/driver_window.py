@@ -50,12 +50,35 @@ def _is_green(row: dict) -> bool:
     )
 
 
+def _correctness_files(repo_root: str = REPO_ROOT) -> "list[str]":
+    """COMMITTED ``CORRECTNESS_r*.json`` files only (VERDICT r10 ask
+    #1). The driver drops each round's file AFTER the builder's last
+    commit, so deriving from the working tree made the window literal
+    stale-by-construction at every round boundary; deriving from
+    ``git ls-files`` keeps the literal and the test pinned to the
+    same evidence set until the new file is committed — at which
+    point the regen and the commit ride together. Falls back to the
+    working-tree glob only when git itself is unavailable."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_root, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        return sorted(
+            f"{repo_root}/{line}" for line in out.splitlines() if line
+        )
+    except Exception:
+        return sorted(glob.glob(f"{repo_root}/CORRECTNESS_r*.json"))
+
+
 def latest_green_rounds(repo_root: str = REPO_ROOT) -> dict:
-    """{query name -> latest green round int} over every
+    """{query name -> latest green round int} over every COMMITTED
     CORRECTNESS_r*.json; queries with driver rows but no green row
     map to 0 (re-check before any stale green)."""
     latest: dict = {}
-    for path in sorted(glob.glob(f"{repo_root}/CORRECTNESS_r*.json")):
+    for path in _correctness_files(repo_root):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as f:
             rows = json.load(f)
@@ -131,11 +154,13 @@ def write_registry(literal: str) -> str:
 
 
 def warn_untracked_rounds(repo_root: str = REPO_ROOT) -> "list[str]":
-    """Round-boundary ergonomics (VERDICT r9 ask #7): a
-    ``CORRECTNESS_r*.json`` that git does not yet track changes this
-    tool's output the moment it lands, so the regen must ride the
-    same commit. Returns (and prints a warning for) any such files,
-    so the round-start ritual is self-documenting."""
+    """Round-boundary ergonomics (VERDICT r9 ask #7, narrowed by r10
+    ask #1): an uncommitted ``CORRECTNESS_r*.json`` is now IGNORED by
+    this tool (it derives from ``git ls-files``), so the literal can
+    no longer go stale-by-construction — but the new round's evidence
+    only enters the window once the file is committed and the regen
+    rides the same commit. Returns (and prints a reminder for) any
+    such files, so the round-start ritual is self-documenting."""
     import subprocess
 
     try:
@@ -153,10 +178,9 @@ def warn_untracked_rounds(repo_root: str = REPO_ROOT) -> "list[str]":
     ]
     for f in stale:
         print(
-            f"WARNING: {f} is not committed — the window literal "
-            "derives from it; commit it together with this regen "
-            "(else test_driver_window_is_mechanical goes red at the "
-            "next round boundary)",
+            f"NOTE: {f} is not committed — this tool ignores "
+            "uncommitted rounds; commit it and re-run --write so its "
+            "evidence enters the window",
             file=sys.stderr,
         )
     return stale

@@ -209,6 +209,31 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # Host-drift calibration (VERDICT r10 ask #3): a pinned-size,
+    # CPU-bound, whole-stage-codegen'd aggregate over GENERATED data —
+    # no fixtures, no shuffle, no Python — so its seconds move only
+    # with host conditions (load, frequency, JIT luck), never with
+    # engine changes. Cross-epoch BENCH_r{N} totals normalize by the
+    # ratio of calibration_sec instead of being bisected after the
+    # fact. min-of-3 after one JIT warmup, same estimator as queries.
+    def _calibration_job() -> None:
+        # h % 100_000 keeps the ANSI-mode sum far from bigint
+        # overflow (50M x 1e5 ~ 5e12 << 2^63)
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "pmod(xxhash64(id), 100000) AS h"
+        ).selectExpr(
+            "sum(h) AS s", "avg(h) AS a", "count(*) AS c"
+        ).collect()
+
+    _calibration_job()  # warmup (codegen + JIT)
+    calibration = min(
+        (lambda t0: (_calibration_job(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
+    calibration = round(calibration, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries.get(name)
@@ -234,6 +259,17 @@ def main() -> None:
     # to a sidecar file (plus an early, sacrificial stdout line for
     # human eyes); the FINAL line is a compact summary that carries
     # only the frozen r1 14-query dict and the totals (< 1 KB).
+    # Scale-class split (VERDICT r10 ask #2): contract-class queries
+    # exist to CHECK production plans against brute-force anchors —
+    # their cost is the anchor, not the plan, so they pollute the one
+    # headline number the driver tracks round-over-round. Report the
+    # production-only and contract-only totals alongside the combined
+    # value (kept for continuity).
+    by_class: dict[str, float] = {}
+    for name, secs in timings.items():
+        cls = queries[name].scale_class
+        by_class[cls] = round(by_class.get(cls, 0.0) + secs, 3)
+
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -242,6 +278,9 @@ def main() -> None:
         "sf": sf,
         "eval": "noop-full",
         "passes": PASSES,
+        "calibration_sec": calibration,
+        "headline_production_total": by_class.get("production", 0.0),
+        "contract_total": by_class.get("contract", 0.0),
         # Per-query count-eval timings so round-over-round
         # regressions are attributable per query.
         "count_eval_compat": compat,
@@ -262,6 +301,12 @@ def main() -> None:
         "eval": "noop-full",
         "passes": PASSES,
         "n_queries": len(timings),
+        # host-drift normalizer + scale-class split: the production
+        # total is the round-over-round comparison number; contract
+        # queries' cost is their brute-force anchor, tracked apart
+        "calibration_sec": calibration,
+        "headline_production_total": by_class.get("production", 0.0),
+        "contract_total": by_class.get("contract", 0.0),
         # Frozen r1 14-query set under the r1 count() methodology:
         # the ONLY apples-to-apples cross-round ratio number.
         "count_eval_compat_total": detail["count_eval_compat_total"],

@@ -349,11 +349,18 @@ def write_index_store(
     """
     from mapreduce_inverted_index_spark.operators.store import (
         mutation_lease,
+        purge_swap_orphans,
     )
 
     # seeding is a mutation too: overwriting a store a live
     # maintenance fold is mid-swap on loses the fold's batch
     with mutation_lease(path):
+        # a tmp-swap orphan from a writer that died mid-swap would
+        # survive the overwrite, and the NEXT mutator's entry
+        # recovery would roll its pre-crash retired copies in over
+        # the fresh seed — purge (not recover: the overwrite makes
+        # the pre-crash state irrelevant) before writing
+        purge_swap_orphans(path)
         (
             index.withColumn("bucket", index_bucket_col("term", n_buckets))
             # one file per bucket, term-sorted within it: probe scans

@@ -148,12 +148,24 @@ def ivf_multi_assign(
     aggregated to be scored. Ties prefer the lower cell id, matching
     ``ivf_assign``; per-pair cosines are the same expression tree as
     the old broadcast-join route, so output is float-identical.
+
+    Edge semantics of the collected-codebook route (differ from the
+    retired broadcast-join form): the codebook is collect()ed EAGERLY
+    at plan-build time (callers holding a lazy ``cents`` pay its
+    compute here, not at the first action); duplicate input rows pass
+    through per-row (nothing groups the corpus); an EMPTY codebook
+    short-circuits to an empty result — the legacy join's behavior —
+    instead of building a degenerate literal.
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     rows = [
         (row["cell"], row["centroid"])
         for row in cents.select("cell", "centroid").collect()
     ]
+    if not rows:
+        return e.where(F.lit(False)).withColumn(
+            "cell", F.lit(None).cast("int")
+        )
     # sorting the 3-field (cos, negc, cell) structs desc orders
     # exactly like the legacy (cos, negc) sort — negc is unique, so
     # the third field never decides
@@ -304,6 +316,11 @@ def _cell_score_structs(vec_col, cents_rows) -> Column:
     vectors x 64 cells. Each (vector, centroid) cosine is the same
     :func:`cosine_similarity` expression tree in all three routes,
     so outputs are float-identical (forced-route pytest)."""
+    if not cents_rows:
+        raise ValueError(
+            "empty codebook: callers short-circuit to an empty result "
+            "(the legacy join's behavior) before building the literal"
+        )
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     idx = F.lit([int(cell) for cell, _ in cents_rows])
     mat = F.lit([[float(x) for x in c] for _, c in cents_rows])
@@ -363,6 +380,14 @@ def ivf_centroids(
     BROADCAST codebook plus a corpus-sized max_by aggregate —
     float-identical output (forced-route pytest), linear both ways,
     but one extra corpus aggregate per round.
+
+    Edge semantics of the checkpoint route (differ from the legacy
+    route): the per-round collect makes codebook compute EAGER at
+    build time, and duplicate ``(id, vec)`` input rows each weight
+    the centroid means per-row (the legacy route's ``groupBy(vid,
+    v)`` collapsed exact duplicates before averaging). An empty
+    corpus short-circuits: the loop stops and the empty ``(cell,
+    centroid)`` codebook returns, as the legacy route produced.
     """
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     seeds = (
@@ -387,6 +412,8 @@ def ivf_centroids(
                 (r["cell"], r["centroid"])
                 for r in cents.select("cell", "centroid").collect()
             ]
+            if not rows:  # empty corpus -> empty codebook, done
+                break
             assigned = e.withColumn("cell", _argmax_cell("v", rows))
         else:
             assigned = e.crossJoin(F.broadcast(cents)).groupBy("vid", "v").agg(
@@ -442,6 +469,15 @@ def ivf_assign(
     the VECTOR array to pick the max; at 500k vectors the x100
     decade probe clocked that aggregate as the dominant cost of the
     cell-store seed). The collect is ≤ n_cells rows.
+
+    Edge semantics of the collected-codebook route (differ from the
+    retired crossJoin+re-aggregate form): the codebook is collect()ed
+    EAGERLY at plan-build time (a lazy ``cents`` is computed here,
+    not at the first downstream action); duplicate ``(id, vec)``
+    input rows each get their own output row (the old corpus
+    re-aggregate collapsed them — assignment is now a pure
+    projection, which is the point); an EMPTY codebook
+    short-circuits to an empty result, matching the old join.
     """
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), *extra_cols
@@ -450,6 +486,10 @@ def ivf_assign(
         (r["cell"], r["centroid"])
         for r in cents.select("cell", "centroid").collect()
     ]
+    if not rows:
+        return e.where(F.lit(False)).withColumn(
+            "cell", F.lit(None).cast("int")
+        )
     return e.withColumn("cell", _argmax_cell("vec", rows))
 
 
@@ -522,11 +562,16 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
     column can only promise."""
     from mapreduce_inverted_index_spark.operators.store import (
         mutation_lease,
+        purge_swap_orphans,
     )
 
     # seeding is a mutation too: overwriting a store a live
     # maintenance fold is mid-swap on loses the fold's batch
     with mutation_lease(path):
+        # purge (not recover) mid-swap orphans first: one that
+        # survived the overwrite would let the NEXT mutator's entry
+        # recovery resurrect pre-crash cells over the fresh seed
+        purge_swap_orphans(path)
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 

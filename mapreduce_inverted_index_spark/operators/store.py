@@ -22,6 +22,7 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
@@ -29,13 +30,19 @@ from pyspark.sql import DataFrame
 __all__ = [
     "swap_partition_dirs",
     "recover_partition_swaps",
+    "purge_swap_orphans",
     "mutation_lease",
 ]
 
-# store paths whose lease THIS process currently holds — makes the
-# lease re-entrant (a maintenance fold holds it around the whole
-# batch; the leaf mutator it calls re-enters instead of deadlocking)
-_HELD_LEASES: "set[str]" = set()
+# store paths whose lease THIS process currently holds, keyed to the
+# OWNING THREAD and its re-entry depth — makes the lease re-entrant
+# per thread (a maintenance fold holds it around the whole batch; the
+# leaf mutator it calls re-enters instead of deadlocking) while a
+# SECOND thread of the same process fails loud instead of silently
+# sharing the lease (two streaming queries in one driver are exactly
+# the concurrent-writer setup the lease exists to block)
+_HELD_LEASES: "dict[str, list]" = {}  # key -> [thread ident, depth]
+_HELD_LOCK = threading.Lock()
 
 # bound at import so the crash-sweep tests (which monkeypatch
 # os.rename to die at every COMMIT rename in turn) don't count the
@@ -89,41 +96,129 @@ def mutation_lease(path: str):
     filesystem store, which is the local stand-in for a
     transactional table format whose commit protocol (Iceberg/Delta
     optimistic concurrency) replaces this lease at 100 TB.
+
+    Re-entrancy is scoped to the OWNING THREAD, not the process: a
+    second thread of the same process raises the same loud error a
+    second process gets (it used to silently share the lease — two
+    streaming maintenance loops in one driver would bypass the
+    guard entirely, and the first to exit would drop the lease out
+    from under the other).
     """
     key = os.path.abspath(path.rstrip("/"))
-    if key in _HELD_LEASES:
-        yield
+    me = threading.get_ident()
+    with _HELD_LOCK:
+        held = _HELD_LEASES.get(key)
+        if held is not None:
+            if held[0] == me:
+                held[1] += 1
+                reentered = True
+            else:
+                raise RuntimeError(
+                    f"{path}: store is being mutated by thread "
+                    f"{held[0]} of THIS process; a second concurrent "
+                    "writer's entry-time recovery would roll back its "
+                    "in-flight swap. Run one maintenance loop per "
+                    "store (production: a transactional table "
+                    "format's commit protocol)."
+                )
+        else:
+            _HELD_LEASES[key] = [me, 1]
+            reentered = False
+    if reentered:
+        try:
+            yield
+        finally:
+            with _HELD_LOCK:
+                _HELD_LEASES[key][1] -= 1
         return
     lease = path.rstrip("/") + ".mutation-lease"
-    for _ in range(2):
-        staging = f"{lease}.stage-{uuid.uuid4().hex[:8]}"
-        os.makedirs(staging)
-        with open(f"{staging}/pid", "w") as f:
-            f.write(str(os.getpid()))
-        try:
-            _fs_rename(staging, lease)
-            break
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-            holder = _lease_holder(lease)
-            if holder is not None and _pid_alive(holder):
-                raise RuntimeError(
-                    f"{path}: store is being mutated by live process "
-                    f"{holder}; a second concurrent writer's entry-time "
-                    "recovery would roll back its in-flight swap. Run "
-                    "one maintenance loop per store (production: a "
-                    "transactional table format's commit protocol)."
-                )
-            # stale lease from a crashed writer: heal it and retry
-            shutil.rmtree(lease, ignore_errors=True)
-    else:
-        raise RuntimeError(f"{path}: could not acquire mutation lease")
-    _HELD_LEASES.add(key)
+    try:
+        _sweep_lease_orphans(lease)
+        for _ in range(3):
+            staging = f"{lease}.stage-{uuid.uuid4().hex[:8]}"
+            os.makedirs(staging)
+            with open(f"{staging}/pid", "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                _fs_rename(staging, lease)
+                break
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+                holder = _lease_holder(lease)
+                if holder is not None and _pid_alive(holder):
+                    raise RuntimeError(
+                        f"{path}: store is being mutated by live "
+                        f"process {holder}; a second concurrent "
+                        "writer's entry-time recovery would roll back "
+                        "its in-flight swap. Run one maintenance loop "
+                        "per store (production: a transactional table "
+                        "format's commit protocol)."
+                    )
+                # Stale lease from a crashed writer: heal it ATOMICALLY
+                # by renaming it aside to a unique tombstone — only one
+                # healer's rename succeeds; rmtree here would race a
+                # faster healer that already healed AND re-acquired,
+                # deleting its fresh live lease. The rename is still
+                # content-blind, so verify the tombstone holds the dead
+                # incarnation we judged stale; if we grabbed a LIVE
+                # writer's fresh lease instead, put it back and defer.
+                tomb = f"{lease}.tombstone-{uuid.uuid4().hex[:8]}"
+                try:
+                    _fs_rename(lease, tomb)
+                except OSError:
+                    continue  # another healer won the rename; retry
+                stolen = _lease_holder(tomb)
+                if stolen is not None and _pid_alive(stolen):
+                    try:
+                        _fs_rename(tomb, lease)
+                    except OSError:
+                        pass  # a third writer landed; tomb stays as
+                        # evidence (swept once its pid dies)
+                    raise RuntimeError(
+                        f"{path}: store is being mutated by live "
+                        f"process {stolen} (lease re-acquired during "
+                        "heal); deferring."
+                    )
+                shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"{path}: could not acquire mutation lease"
+            )
+    except BaseException:
+        with _HELD_LOCK:
+            _HELD_LEASES.pop(key, None)
+        raise
     try:
         yield
     finally:
-        _HELD_LEASES.discard(key)
-        shutil.rmtree(lease, ignore_errors=True)
+        with _HELD_LOCK:
+            _HELD_LEASES.pop(key, None)
+        # release only OUR incarnation: if our lease was stolen by a
+        # doubly-raced healer and another writer re-acquired, the dir
+        # at this path belongs to them — leave it
+        if _lease_holder(lease) == os.getpid():
+            shutil.rmtree(lease, ignore_errors=True)
+
+
+def _sweep_lease_orphans(lease: str) -> None:
+    """Remove crash junk next to the lease path: ``.stage-*`` dirs a
+    writer orphaned between ``makedirs`` and the lease rename (any
+    live writer whose staging we remove self-heals — its rename fails
+    and its retry loop re-stages), and ``.tombstone-*`` dirs whose
+    recorded pid is dead (a live-pid tombstone is the stolen-lease
+    evidence case and must survive until that writer exits)."""
+    parent = os.path.dirname(lease) or "."
+    base = os.path.basename(lease)
+    if not os.path.isdir(parent):
+        return
+    for d in os.listdir(parent):
+        full = f"{parent}/{d}"
+        if d.startswith(f"{base}.stage-"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith(f"{base}.tombstone-"):
+            pid = _lease_holder(full)
+            if pid is None or not _pid_alive(pid):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def swap_partition_dirs(
@@ -166,6 +261,29 @@ def swap_partition_dirs(
         if os.path.isdir(new):  # absent when the partition lost every row
             os.rename(new, old)
     shutil.rmtree(tmp)
+
+
+def purge_swap_orphans(path: str) -> "list[str]":
+    """Reseed-time crash-artifact purge: delete every orphaned
+    ``<path>.tmp-swap-*`` sibling WITHOUT rolling it back. An
+    overwrite reseed (``write_index_store`` / ``write_ivf_cells``)
+    replaces the store wholesale, so the pre-crash state a
+    :func:`recover_partition_swaps` rollback would restore is
+    irrelevant — but an orphan that SURVIVES the reseed is a time
+    bomb: the next mutator's entry recovery would move the pre-crash
+    retired copies in OVER the freshly-seeded partitions, silently
+    resurrecting stale data. Called inside the seeding lease, before
+    the overwrite. Returns the purged sibling names."""
+    base = os.path.basename(path.rstrip("/"))
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    purged = []
+    if not os.path.isdir(parent):
+        return purged
+    for d in sorted(os.listdir(parent)):
+        if d.startswith(f"{base}.tmp-swap-"):
+            shutil.rmtree(f"{parent}/{d}", ignore_errors=True)
+            purged.append(d)
+    return purged
 
 
 def recover_partition_swaps(path: str, part_col: str) -> "list[str]":

@@ -350,6 +350,7 @@ def write_index_store(
     from mapreduce_inverted_index_spark.operators.store import (
         mutation_lease,
         purge_swap_orphans,
+        refresh_manifest,
     )
 
     # seeding is a mutation too: overwriting a store a live
@@ -383,6 +384,9 @@ def write_index_store(
 
         with open(f"{path}/_mii_store.json", "w") as f:
             json.dump({"n_buckets": n_buckets}, f)
+        # reader-visible commit of the seeded snapshot (the overwrite
+        # dropped any prior manifest along with the old layout)
+        refresh_manifest(path, "bucket")
 
 
 def _store_n_buckets(path: str) -> int:
@@ -440,7 +444,27 @@ def read_index_store(spark, path: str) -> DataFrame:
     ``(term, postings, df)`` — the bucket partition column is storage
     layout, not index content. A store whose every doc has been taken
     down (sidecar present, zero bucket dirs) is an EMPTY index, not an
-    error."""
+    error.
+
+    Resolves through the reader manifest
+    (``store.resolve_manifest_files``) when present: one committed
+    snapshot's explicit file list, so a scan concurrent with a
+    maintenance swap never sees a mixed directory listing (it
+    converges to the post-swap snapshot or fails loud). Manifest-less
+    (pre-manifest) stores fall back to directory reading."""
+    from mapreduce_inverted_index_spark.operators.store import (
+        resolve_manifest_files,
+    )
+
+    files = resolve_manifest_files(path, "bucket")
+    if files is not None:
+        if not files:  # committed-empty snapshot
+            return spark.createDataFrame([], _INDEX_SCHEMA)
+        return (
+            spark.read.option("basePath", path)
+            .parquet(*files)
+            .select("term", "postings", "df")
+        )
     if not _store_bucket_dirs(path):
         return spark.createDataFrame([], _INDEX_SCHEMA)
     return spark.read.parquet(path).select("term", "postings", "df")
@@ -595,17 +619,32 @@ def term_lookup_store(spark, path: str, terms: "list[str]") -> DataFrame:
     cell list.
 
     Output: ``term, postings ARRAY<BIGINT>, df``.
+
+    Like :func:`read_index_store`, resolves one committed snapshot
+    through the reader manifest when present (mid-swap probes never
+    see a mixed listing); the bucket predicate still reaches the
+    explicit-file-list scan as ``PartitionFilters`` (pytest-audited),
+    so pruning is unchanged.
     """
-    if not _store_bucket_dirs(path):
+    from mapreduce_inverted_index_spark.operators.store import (
+        resolve_manifest_files,
+    )
+
+    files = resolve_manifest_files(path, "bucket")
+    if files == [] or (files is None and not _store_bucket_dirs(path)):
         return spark.createDataFrame([], _INDEX_SCHEMA)
     n_buckets = _store_n_buckets(path)
     probe = spark.createDataFrame(
         [(t,) for t in terms], "term string"
     ).select(index_bucket_col("term", n_buckets).alias("bucket"))
     buckets = sorted(r["bucket"] for r in probe.distinct().collect())
+    src = (
+        spark.read.option("basePath", path).parquet(*files)
+        if files
+        else spark.read.parquet(path)
+    )
     return (
-        spark.read.parquet(path)
-        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        src.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "postings", "df")
     )
 

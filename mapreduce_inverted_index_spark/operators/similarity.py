@@ -563,6 +563,7 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
     from mapreduce_inverted_index_spark.operators.store import (
         mutation_lease,
         purge_swap_orphans,
+        refresh_manifest,
     )
 
     # seeding is a mutation too: overwriting a store a live
@@ -573,6 +574,8 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
         # recovery resurrect pre-crash cells over the fresh seed
         purge_swap_orphans(path)
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        # reader-visible commit of the seeded snapshot
+        refresh_manifest(path, "cell")
 
 
 def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
@@ -590,6 +593,26 @@ def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
 
     swap_partition_dirs(path, remaining, "cell", affected)
 
+
+
+def _read_cell_store(spark, path: str) -> DataFrame:
+    """Cell-store PROBE read: resolve one committed snapshot through
+    the reader manifest when present (a probe concurrent with a
+    maintenance swap never sees a mixed listing — it converges or
+    fails loud, see ``store.resolve_manifest_files``), falling back
+    to directory reading for manifest-less layouts. The explicit file
+    list keeps partition inference, so cell predicates still reach
+    the scan as ``PartitionFilters`` (pytest-audited). Mutators
+    (delete/compact) do NOT come here: they read inside the lease,
+    after entry recovery, where listing is already race-free."""
+    from mapreduce_inverted_index_spark.operators.store import (
+        resolve_manifest_files,
+    )
+
+    files = resolve_manifest_files(path, "cell")
+    if files:
+        return spark.read.option("basePath", path).parquet(*files)
+    return spark.read.parquet(path)
 
 
 def delete_from_ivf_cells(
@@ -742,7 +765,7 @@ def ivf_pruned_scan_topk(
         .select("query_id", "query_vec", "cell")
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    scanned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scanned = _read_cell_store(spark, path).where(F.col("cell").isin(cells))
     scored = (
         scanned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1036,7 +1059,7 @@ def hard_negatives_ivf(
         .localCheckpoint(eager=True)
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    scanned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scanned = _read_cell_store(spark, path).where(F.col("cell").isin(cells))
     scored = (
         scanned.join(F.broadcast(probes), "cell")
         .where(F.col(label_col) != F.col("query_label"))

@@ -32,6 +32,9 @@ __all__ = [
     "recover_partition_swaps",
     "purge_swap_orphans",
     "mutation_lease",
+    "refresh_manifest",
+    "resolve_manifest_files",
+    "MANIFEST_NAME",
 ]
 
 # store paths whose lease THIS process currently holds, keyed to the
@@ -244,12 +247,16 @@ def swap_partition_dirs(
 
     Scope note (readers): WRITERS are serialized by
     :func:`mutation_lease` and crashes roll back via
-    :func:`recover_partition_swaps`, but a concurrent READER has no
-    snapshot isolation on a bare filesystem — a probe that lists the
-    store during the rename window can miss an affected partition.
-    Run probes and maintenance on the same schedule boundary here;
-    at 100 TB the transactional format this swap stands in for gives
-    readers snapshot isolation for free.
+    :func:`recover_partition_swaps`; READERS resolve one committed
+    snapshot through the manifest this function refreshes after its
+    renames (:func:`refresh_manifest` / :func:`resolve_manifest_files`
+    — a probe concurrent with the rename window converges to the
+    post-swap snapshot or fails loud, never a mixed listing). What
+    remains out of scope on a bare filesystem is multi-mutation
+    isolation for long-running readers (a job still reading files a
+    LATER mutation retired fails loud on the missing file); at 100 TB
+    the transactional format this swap stands in for keeps retired
+    files until snapshot expiry.
     """
     tmp = path.rstrip("/") + f".tmp-swap-{uuid.uuid4().hex[:8]}"
     remaining.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
@@ -260,7 +267,113 @@ def swap_partition_dirs(
             os.rename(old, f"{tmp}/retired-{part_col}={v}")
         if os.path.isdir(new):  # absent when the partition lost every row
             os.rename(new, old)
+    # reader-visible commit: refresh the manifest BEFORE dropping the
+    # tmp — a crash in between leaves an orphan, whose entry-time
+    # rollback re-refreshes, so manifest and data never diverge
+    refresh_manifest(path, part_col)
     shutil.rmtree(tmp)
+
+
+MANIFEST_NAME = "_mii_manifest.json"
+
+
+def refresh_manifest(path: str, part_col: str) -> dict:
+    """Write the store's READER manifest: one atomic JSON file naming
+    every live data file per partition, committed via tmp-file +
+    rename. Called by every WRITER inside its lease, strictly AFTER
+    its partition renames land — so the manifest always describes a
+    COMMITTED state, and the single rename is the reader-visible
+    commit point.
+
+    Why: the partition-dir swap is crash-safe for writers, but a
+    reader that LISTS the store during the rename window sees a mixed
+    view — some partitions pre-swap, some post, some absent. Readers
+    that resolve through the manifest (:func:`resolve_manifest_files`)
+    never list, so they see exactly one committed snapshot or fail
+    loud — never a mix. This is the bare-filesystem stand-in for a
+    transactional format's snapshot pointer (an Iceberg metadata.json
+    at 100 TB), same as the lease stands in for its commit protocol.
+
+    Listing here is safe: the caller holds the mutation lease, so no
+    swap is in flight.
+    """
+    import json
+
+    parts: dict = {}
+    if os.path.isdir(path):
+        for d in sorted(os.listdir(path)):
+            if not d.startswith(f"{part_col}="):
+                continue
+            files = sorted(
+                fn
+                for fn in os.listdir(f"{path}/{d}")
+                if not fn.startswith(("_", "."))
+            )
+            if files:
+                parts[d.split("=", 1)[1]] = files
+    manifest = {
+        "version": uuid.uuid4().hex,
+        "part_col": part_col,
+        "parts": parts,
+    }
+    tmp = f"{path}/.{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    _fs_rename(tmp, f"{path}/{MANIFEST_NAME}")
+    return manifest
+
+
+def resolve_manifest_files(
+    path: str,
+    part_col: str,
+    retries: int = 40,
+    wait_sec: float = 0.05,
+) -> "list[str] | None":
+    """Reader-side atomic snapshot resolution: return the absolute
+    data-file paths the manifest names, verified present — one
+    committed snapshot, never a mixed listing. Returns ``None`` for a
+    manifest-less store (pre-manifest layout: the caller falls back
+    to directory reading, accepting the documented listing race) and
+    ``[]`` for a committed-empty store (every partition taken down).
+
+    If a named file is missing, a swap is in flight (the writer
+    renamed dirs but has not refreshed the manifest yet) or a writer
+    died mid-swap: re-read the manifest and re-check, up to
+    ``retries``. A completing swap converges (its manifest refresh
+    lands and the new snapshot verifies); a crashed one keeps the
+    stale manifest until the next mutation's entry recovery rolls the
+    data back and refreshes — until then this fails LOUD instead of
+    returning a partial view.
+
+    Scope: one consistent snapshot at resolution time. The returned
+    paths feed a lazy DataFrame; a mutation committing between
+    resolution and the job's file reads surfaces as missing-file
+    errors (fail loud). Long-running readers overlapping many
+    mutations are the transactional format's job.
+    """
+    import json
+    import time
+
+    for _ in range(retries):
+        try:
+            with open(f"{path}/{MANIFEST_NAME}") as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            return None
+        files = [
+            f"{path}/{part_col}={k}/{fn}"
+            for k, fns in sorted(manifest["parts"].items())
+            for fn in fns
+        ]
+        if all(os.path.isfile(p) for p in files):
+            return files
+        time.sleep(wait_sec)
+    raise RuntimeError(
+        f"{path}: the reader manifest names files that stayed missing "
+        f"through {retries} checks — a writer is mid-swap (retry once "
+        "it commits) or died mid-swap (any mutator's entry recovery "
+        "heals the store and refreshes the manifest)"
+    )
 
 
 def purge_swap_orphans(path: str) -> "list[str]":
@@ -329,4 +442,10 @@ def recover_partition_swaps(path: str, part_col: str) -> "list[str]":
             os.rename(f"{tmp}/{entry}", live)
         shutil.rmtree(tmp)
         recovered.append(d)
+    if recovered and os.path.isfile(f"{path}/{MANIFEST_NAME}"):
+        # the rollback may have undone a state the manifest already
+        # described (crash between the manifest refresh and the tmp
+        # cleanup) — re-derive it from the healed listing so readers
+        # converge instead of failing on retired file names
+        refresh_manifest(path, part_col)
     return recovered

@@ -1,0 +1,74 @@
+"""Derive an sf1 fixture set from the driver's sf0.1 tables (VERDICT
+r10 ask #5): one more decade of scale for the production-catalog
+sweep, without touching the read-only /root/testdata.
+
+Derivation = 10 key-offset copies of each SCALING table concatenated
+(pyarrow, schema preserved bit-for-bit), with the TPC-H fixed
+dimensions (region, nation) kept single-copy — the same shape real
+TPC-H scaling has. Every foreign key offsets together with its
+primary key (orders.o_custkey with customer.c_custkey, etc.), so join
+cardinalities scale linearly like real growth; timestamps are left
+unchanged, so time-window densities scale 10x (the interesting case
+for window/sweep-line operators). Text/embedding payloads replicate
+verbatim — dedup/ANN queries therefore see 10-way exact-duplicate
+groups, which the correctness gate is indifferent to (the DuckDB
+oracle runs on the SAME derived data) and which stress the candidate
+generators harder than organic data would.
+
+Output: /root/repo/testdata_sf1/<table>.parquet — single files, so
+both spark.read.parquet and DuckDB's direct-file views work
+unchanged. Deterministic (pure arithmetic on the seeded sf0.1
+fixtures); gitignored, regenerate on demand:
+
+    python tools/make_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("MII_SF_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("MII_SF1_DIR", "/root/repo/testdata_sf1")
+COPIES = 10
+OFFSET = 10_000_000  # far above any sf0.1 key
+
+FIXED = ("region", "nation")
+KEY_COLS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in FIXED:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(tbl, f"{DST}/{t}.parquet")
+        print(f"{t}: {tbl.num_rows} rows (fixed dimension, single copy)")
+    for t, keys in KEY_COLS.items():
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        chunks = []
+        for c in range(COPIES):
+            t2 = tbl
+            for col in keys:
+                i = t2.schema.get_field_index(col)
+                shifted = pc.add(t2.column(i), pa.scalar(c * OFFSET, type=pa.int64()))
+                t2 = t2.set_column(i, t2.schema.field(i), shifted.cast(t2.schema.field(i).type))
+            chunks.append(t2)
+        out = pa.concat_tables(chunks)
+        pq.write_table(out, f"{DST}/{t}.parquet")
+        print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,11 +9,22 @@ TPC-H scaling has. Every foreign key offsets together with its
 primary key (orders.o_custkey with customer.c_custkey, etc.), so join
 cardinalities scale linearly like real growth; timestamps are left
 unchanged, so time-window densities scale 10x (the interesting case
-for window/sweep-line operators). Text/embedding payloads replicate
-verbatim — dedup/ANN queries therefore see 10-way exact-duplicate
-groups, which the correctness gate is indifferent to (the DuckDB
-oracle runs on the SAME derived data) and which stress the candidate
-generators harder than organic data would.
+for window/sweep-line operators).
+
+Document text gets a DETERMINISTIC per-copy word permutation (md5 of
+(copy, position) as the sort key; copy 0 stays verbatim). Verbatim
+replication would make every doc a 10-way near-duplicate clique —
+shingles identical across copies — which blows the dedup families'
+candidate sets up ~45x beyond anything organic growth produces (a
+first sweep attempt spent 20+ min inside dedup_keep_best alone). The
+permutation preserves each doc's token MULTISET (language-ID, quality
+ratios, token counts, vocab and unigram LM stats all see organic 10x
+growth) while rewriting its n-gram/shingle space, so MinHash/SimHash
+see distinct documents, as real growth would. The correctness gate is
+indifferent either way — the DuckDB oracle runs on the SAME derived
+parquet. Embedding vectors replicate verbatim (ANN top-k ties break
+on vec_id deterministically; near-dup pair spaces stay bounded by
+block chunking).
 
 Output: /root/repo/testdata_sf1/<table>.parquet — single files, so
 both spark.read.parquet and DuckDB's direct-file views work
@@ -49,6 +60,21 @@ KEY_COLS = {
 }
 
 
+def _permute_text(text: "str | None", copy: int) -> "str | None":
+    """Deterministic word shuffle: sort positions by md5((copy, i)).
+    Token multiset preserved exactly; n-gram space rewritten."""
+    import hashlib
+
+    if text is None or copy == 0:
+        return text
+    words = text.split()
+    order = sorted(
+        range(len(words)),
+        key=lambda i: hashlib.md5(f"{copy}:{i}".encode()).digest(),
+    )
+    return " ".join(words[i] for i in order)
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     for t in FIXED:
@@ -64,6 +90,13 @@ def main() -> None:
                 i = t2.schema.get_field_index(col)
                 shifted = pc.add(t2.column(i), pa.scalar(c * OFFSET, type=pa.int64()))
                 t2 = t2.set_column(i, t2.schema.field(i), shifted.cast(t2.schema.field(i).type))
+            if t == "documents" and c > 0:
+                i = t2.schema.get_field_index("text")
+                permuted = pa.array(
+                    [_permute_text(v.as_py(), c) for v in t2.column(i)],
+                    type=t2.schema.field(i).type,
+                )
+                t2 = t2.set_column(i, t2.schema.field(i), permuted)
             chunks.append(t2)
         out = pa.concat_tables(chunks)
         pq.write_table(out, f"{DST}/{t}.parquet")

@@ -93,6 +93,15 @@ def _swap_flat_dir(df: DataFrame, live_dir: str, tag: str) -> None:
     on disk (live, ``.retired-*``, or ``.tmp-*`` — the recovery
     order the takedown loop's fail-loud message names). The
     partition-level twin is ``operators.store.swap_partition_dirs``.
+
+    Readers need no manifest here, unlike the partitioned stores
+    (``store.refresh_manifest``): the whole store is ONE directory
+    swapped by whole-dir renames, so a reader's listing resolves
+    entirely against a single dir incarnation — it sees the complete
+    old state, the complete new state, or fails loud (dir missing in
+    the two-rename window; old files unlinked under a scan that
+    listed pre-swap). A MIXED view would need per-partition renames,
+    which flat stores don't have.
     """
     import uuid
 

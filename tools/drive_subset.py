@@ -1,7 +1,12 @@
 """Run the driver-style differential for a named subset of catalog
 queries (default: the current _DRIVER_PRIORITY window) at a given SF.
 
-Usage: python tools/drive_subset.py [sf_dir] [name ...]
+Usage: python tools/drive_subset.py [--rows-only] [sf_dir] [name ...]
+
+--rows-only skips the DuckDB oracle and records the Spark row count
+only — for sweeps at scales where a query's NAIVE oracle is
+super-linear (e.g. the recursive label-propagation components CTE on
+a dense duplicate graph) while the engine side is not.
 """
 import sys
 
@@ -14,8 +19,10 @@ from mapreduce_inverted_index_spark.plans.registry import (
 )
 from mapreduce_inverted_index_spark.session import get_spark
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-names = sys.argv[2:] or list(_DRIVER_PRIORITY)
+argv = [a for a in sys.argv[1:] if a != "--rows-only"]
+ROWS_ONLY = "--rows-only" in sys.argv
+SF = argv[0] if argv else "/root/testdata/sf0.01"
+names = argv[1:] or list(_DRIVER_PRIORITY)
 
 spark = get_spark(app_name="drive-subset")
 cat = all_queries()
@@ -34,7 +41,7 @@ for name in names:
         continue
     try:
         sdf = q.fn(spark, SF).toPandas()
-        if q.oracle is None:
+        if q.oracle is None or ROWS_ONLY:
             print(f"  {name}: rows-only, {len(sdf)} rows", flush=True)
             ok += 1
             continue

@@ -163,9 +163,32 @@ def bounded_block_join(
     unbounded join — this bounds per-task time, not total work, which
     is inherent to exact all-pairs output. ``None`` keeps the plain
     single-key join (no counts pass, no replication).
+
+    The join inputs are REPARTITIONED by the join key with an
+    explicit partition count, which AQE's post-shuffle coalescing
+    respects (user-specified width) where it would otherwise merge
+    them: the pair join's map output is tiny (one row per input doc)
+    while its reduce side amplifies quadratically, so size-based
+    coalescing reads the shuffle as "a few MB -> 1 partition" and
+    serializes the entire Σ|block|² explosion onto one task. The sf1
+    decade sweep measured exactly that: 20 blocks x C(2500,2) pairs
+    ground single-threaded for 30+ min; pinned width spreads it
+    across the block/chunk key space. General rule this encodes:
+    never let size-based shuffle planning see only the INPUT of a
+    work-amplifying operator.
     """
+    import os
+
+    n_part = int(
+        a.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     if max_block_rows is None:
-        return a.join(b, [blk]).where(F.col(id_a) < F.col(id_b))
+        return (
+            a.repartition(n_part, blk)
+            .join(b.repartition(n_part, blk), [blk])
+            .where(F.col(id_a) < F.col(id_b))
+        )
     counts = a.groupBy(blk).agg(
         F.greatest(
             F.ceil(F.count("*") / F.lit(max_block_rows)).cast("int"), F.lit(1)
@@ -190,7 +213,8 @@ def bounded_block_join(
         .drop("_k")
     )
     return (
-        a_rep.join(b_rep, [blk, "_ca", "_cb"])
+        a_rep.repartition(n_part, blk, "_ca", "_cb")
+        .join(b_rep.repartition(n_part, blk, "_ca", "_cb"), [blk, "_ca", "_cb"])
         .where(F.col(id_a) < F.col(id_b))
         .drop("_ca", "_cb")
     )

@@ -270,6 +270,22 @@ def main() -> None:
         cls = queries[name].scale_class
         by_class[cls] = round(by_class.get(cls, 0.0) + secs, 3)
 
+    # Calibration-NORMALIZED production total (VERDICT r11 ask #7):
+    # raw seconds x (pinned reference calibration / this run's
+    # calibration), so BENCH_r{N} vs BENCH_r{N-1} is a one-field
+    # comparison instead of an interleaved A/B. The reference value
+    # is the BENCH_r11 driver run's calibration_sec on this host
+    # class; a faster/slower host scales both the queries and the
+    # calibration job, and the ratio cancels the host term. Raw
+    # totals stay primary — the normalized field is the drift lens.
+    REF_CALIBRATION_SEC = 0.217  # pinned: BENCH_r11 driver run
+    norm_factor = (
+        round(REF_CALIBRATION_SEC / calibration, 4) if calibration else 1.0
+    )
+    production_total_norm = round(
+        by_class.get("production", 0.0) * norm_factor, 3
+    )
+
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -280,6 +296,8 @@ def main() -> None:
         "passes": PASSES,
         "calibration_sec": calibration,
         "headline_production_total": by_class.get("production", 0.0),
+        "headline_production_total_normalized": production_total_norm,
+        "calibration_ref_sec": REF_CALIBRATION_SEC,
         "contract_total": by_class.get("contract", 0.0),
         # Per-query count-eval timings so round-over-round
         # regressions are attributable per query.
@@ -306,6 +324,7 @@ def main() -> None:
         # queries' cost is their brute-force anchor, tracked apart
         "calibration_sec": calibration,
         "headline_production_total": by_class.get("production", 0.0),
+        "headline_production_total_normalized": production_total_norm,
         "contract_total": by_class.get("contract", 0.0),
         # Frozen r1 14-query set under the r1 count() methodology:
         # the ONLY apples-to-apples cross-round ratio number.

@@ -177,11 +177,8 @@ def bounded_block_join(
     never let size-based shuffle planning see only the INPUT of a
     work-amplifying operator.
     """
-    import os
-
     n_part = int(
         a.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        or os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     if max_block_rows is None:
         return (

@@ -37,6 +37,7 @@ __all__ = [
     "passage_doc_freq",
     "boilerplate_profile",
     "chunk_documents",
+    "duplicate_spans",
 ]
 
 
@@ -125,6 +126,100 @@ def chunk_documents(
         "start_tok",
         F.size(window).cast("int").alias("n_tokens"),
         F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-granularity dedup (the Lee-et-al duplicate-span
+    tier, one granularity finer than :func:`doc_passages`): emit the
+    maximal token spans of length >= ``k`` whose every ``k``-token
+    window also appears in >= ``min_docs`` distinct documents — the
+    spans a surgical-removal pass cuts, with offsets, instead of
+    dropping whole documents or fixed passage slots.
+
+    Output: ``doc_id BIGINT, start_tok BIGINT (1-based), end_tok
+    BIGINT (inclusive), n_tokens INT`` — one row per maximal span.
+
+    Mechanics (never all-pairs, never a suffix array):
+
+    1. **Rolling windows**: every position's ``k``-window, hashed to
+       md5 on the map side — shuffle rows are (32-char hash, doc_id,
+       pos), text never leaves the scan (the :func:`doc_passages`
+       discipline, at stride 1 instead of stride k).
+    2. **Duplicate window set**: ``groupBy(hash)`` with map-side
+       combine on distinct docs; only hashes crossing ``min_docs``
+       survive. At 100 TB this set is the cross-document residue —
+       orders of magnitude below the window count.
+    3. **Flag + merge**: hash-join positions against the duplicate
+       set (join key is the hash — bucketable, skew-salvable by AQE),
+       then merge consecutive flagged positions per document into
+       maximal spans via gaps-and-islands (``pos - row_number()``),
+       windowed PER DOCUMENT — no global sort, partition population
+       bounded by document length.
+
+    A run of m >= k shared tokens yields m-k+1 consecutive flagged
+    positions, which merge to exactly the [start, start+m-1] span;
+    non-overlapping duplicates stay separate rows. k-gram caveat
+    (inherent to every rolling-hash formulation, incl. the one the
+    Lee et al. paper ships for scale): each window must be shared
+    with SOME other document, not all with the same one.
+
+    Reference parity: the reference has no dedup tier at all
+    (``mapper/src/processor.py`` tokenizes straight into the index);
+    this completes the brief's LLM-dedup family — exact-doc, passage,
+    MinHash, SimHash, semantic, and now span-exact.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    # CollapseProject discipline (see doc_passages): materialize toks
+    # through the generator, slice after — never re-tokenize per pos
+    wins = d.where(F.size("toks") >= k).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias(
+            "wh"
+        ),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    flagged = wins.join(dup, "wh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("end_tok"),
+        )
+        .select(
+            "doc_id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        )
     )
 
 

@@ -32,6 +32,8 @@ partition-pruned scan.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -574,8 +576,9 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
         # recovery resurrect pre-crash cells over the fresh seed
         purge_swap_orphans(path)
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-        # reader-visible commit of the seeded snapshot
-        refresh_manifest(path, "cell")
+        # reader-visible commit of the seeded snapshot; the schema
+        # rides along so a later committed-empty state stays readable
+        refresh_manifest(path, "cell", schema_json=assigned.schema.json())
 
 
 def _swap_cell_dirs(path: str, remaining, affected: "list[int]") -> None:
@@ -604,15 +607,34 @@ def _read_cell_store(spark, path: str) -> DataFrame:
     list keeps partition inference, so cell predicates still reach
     the scan as ``PartitionFilters`` (pytest-audited). Mutators
     (delete/compact) do NOT come here: they read inside the lease,
-    after entry recovery, where listing is already race-free."""
+    after entry recovery, where listing is already race-free.
+
+    A COMMITTED-EMPTY snapshot (every cell taken down; the manifest
+    names zero files) is an EMPTY store, not an error: it reads as
+    an empty DataFrame of the manifest-carried schema — falling
+    through to a directory read would both crash on schema
+    inference and reopen the listing race the manifest closes
+    (ADVICE r11 #2)."""
+    from pyspark.sql.types import StructType
+
     from mapreduce_inverted_index_spark.operators.store import (
         resolve_manifest_files,
+        resolve_manifest_schema,
     )
 
     files = resolve_manifest_files(path, "cell")
+    if files is None:  # manifest-less (pre-manifest) layout
+        return spark.read.parquet(path)
     if files:
         return spark.read.option("basePath", path).parquet(*files)
-    return spark.read.parquet(path)
+    schema_json = resolve_manifest_schema(path)
+    if schema_json is None:
+        raise RuntimeError(
+            f"{path}: committed-empty cell store whose manifest "
+            "carries no schema (written before schemas rode along) — "
+            "reseed via write_ivf_cells to record one"
+        )
+    return spark.createDataFrame([], StructType.fromJson(_json.loads(schema_json)))
 
 
 def delete_from_ivf_cells(

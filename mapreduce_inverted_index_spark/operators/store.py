@@ -34,6 +34,7 @@ __all__ = [
     "mutation_lease",
     "refresh_manifest",
     "resolve_manifest_files",
+    "resolve_manifest_schema",
     "MANIFEST_NAME",
 ]
 
@@ -277,7 +278,9 @@ def swap_partition_dirs(
 MANIFEST_NAME = "_mii_manifest.json"
 
 
-def refresh_manifest(path: str, part_col: str) -> dict:
+def refresh_manifest(
+    path: str, part_col: str, schema_json: "str | None" = None
+) -> dict:
     """Write the store's READER manifest: one atomic JSON file naming
     every live data file per partition, committed via tmp-file +
     rename. Called by every WRITER inside its lease, strictly AFTER
@@ -296,9 +299,24 @@ def refresh_manifest(path: str, part_col: str) -> dict:
 
     Listing here is safe: the caller holds the mutation lease, so no
     swap is in flight.
+
+    ``schema_json`` (a Spark ``StructType.json()`` string) rides in
+    the manifest so a COMMITTED-EMPTY store — every partition taken
+    down — stays readable as an empty DataFrame of the right shape
+    instead of an unreadable directory (ADVICE r11 #2). Writers that
+    hold the DataFrame pass it; refreshes that don't (swap commits,
+    entry recovery) carry the prior manifest's schema forward, so
+    the schema survives any mutation sequence after the seed
+    recorded it.
     """
     import json
 
+    if schema_json is None:
+        try:
+            with open(f"{path}/{MANIFEST_NAME}") as f:
+                schema_json = json.load(f).get("schema")
+        except (OSError, ValueError):
+            schema_json = None
     parts: dict = {}
     if os.path.isdir(path):
         for d in sorted(os.listdir(path)):
@@ -316,6 +334,8 @@ def refresh_manifest(path: str, part_col: str) -> dict:
         "part_col": part_col,
         "parts": parts,
     }
+    if schema_json is not None:
+        manifest["schema"] = schema_json
     tmp = f"{path}/.{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -374,6 +394,21 @@ def resolve_manifest_files(
         "it commits) or died mid-swap (any mutator's entry recovery "
         "heals the store and refreshes the manifest)"
     )
+
+
+def resolve_manifest_schema(path: str) -> "str | None":
+    """The ``StructType.json()`` string the manifest carries, or
+    ``None`` for a manifest-less store / a manifest written before
+    schemas rode along. Readers use it to materialize a
+    COMMITTED-EMPTY store as an empty DataFrame of the committed
+    shape (the file-level snapshot has nothing left to infer from)."""
+    import json
+
+    try:
+        with open(f"{path}/{MANIFEST_NAME}") as f:
+            return json.load(f).get("schema")
+    except (OSError, ValueError):
+        return None
 
 
 def purge_swap_orphans(path: str) -> "list[str]":

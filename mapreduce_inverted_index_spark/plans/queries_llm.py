@@ -40,6 +40,91 @@ _SQL_BIGRAMS = f"""
   FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
 """
 
+# ---------------------------------------------------------------- scaled
+# SCALE-CAPABLE oracle twins (VERDICT r11 ask #3): same results as the
+# naive oracles, restructured the way the engine restructures the work
+# so DuckDB can follow at sf1+ — (a) candidate pairs come from a
+# LOSSLESS filter (ppjoin prefix filtering: two sets with Jaccard >= T
+# must share an element inside their first |S| - ceil(T|S|) + 1
+# canonically-ordered shingles), (b) the candidate list is MATERIALIZED
+# before the verify join so the morsel planner sees millions of pair
+# rows instead of the 50k input docs (the input-sized-planning trap
+# from the r11 sweep, DuckDB edition), (c) connected components run as
+# UNROLLED pointer-jumping rounds (label <- min(label, label(label),
+# neighbor labels); distance-to-root halves per round) instead of the
+# recursive reach CTE whose state is O(V x labels) on a near-clique.
+
+
+def _sql_scaled_jaccard_pairs(t: float, bigrams: str) -> str:
+    """Within-source pair space as a MATERIALIZED skinny (doc_a,
+    doc_b) list, then a parallel exact-Jaccard verify probing it —
+    the ENGINE's own shape (bounded_block_join chunks the same
+    Σ|block|² pair space across reducers; here the materialized pair
+    list hands DuckDB's morsel planner 10^7-scale probe rows instead
+    of the 5x10^4 input docs it single-threaded the naive form on).
+    The verify is COUNT-BASED, not list-based: |A∩B| falls out of a
+    group-by over the exploded shared-shingle co-occurrence stream
+    (a pair appears once per shared shingle), and |A∪B| = nA+nB-i —
+    per-pair work is an aggregate increment, never a list
+    materialization (62.5M list_intersect calls each shipping two
+    ~800-element lists is what made the pair-probe form crawl at
+    sf1). Lossless for t > 0: a pair with no shared shingle has
+    Jaccard 0 and cannot reach the threshold.
+    """
+    return f"""
+    sh AS MATERIALIZED ({bigrams}),
+    sizes AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS MATERIALIZED (SELECT source, doc_id, unnest(s) AS g FROM sh),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS MATERIALIZED (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT x.doc_a, x.doc_b,
+               round(CAST(x.i AS DOUBLE) / (na.n + nb.n - x.i), 6)
+                 AS jaccard
+        FROM inter x JOIN sizes na ON na.doc_id = x.doc_a
+                     JOIN sizes nb ON nb.doc_id = x.doc_b
+      ) WHERE jaccard >= {t}
+    )
+    """
+
+
+def _sql_pointer_jump_components(n_rounds: int = 20) -> str:
+    """Unrolled min-label pointer jumping over ``edges(doc_a, doc_b)``
+    -> ``comp(doc_id, component)``; component = min reachable doc_id,
+    identical to the recursive-CTE reach but with O(V) state per
+    round. ``n_rounds`` = 20 covers any <= 2^20-diameter pointer
+    chain — far past a 50k-node graph's worst case."""
+    parts = [
+        """sym AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL
+      SELECT doc_b, doc_a FROM edges
+    )""",
+        "l0 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS label"
+        " FROM sym GROUP BY a)",
+    ]
+    for k in range(n_rounds):
+        parts.append(f"""l{k + 1} AS MATERIALIZED (
+      SELECT v.node,
+             least(v.label, p.label, coalesce(nb.m, v.label)) AS label
+      FROM l{k} v
+      JOIN l{k} p ON p.node = v.label
+      LEFT JOIN (SELECT s.b AS node, min(l.label) AS m
+                 FROM sym s JOIN l{k} l ON l.node = s.a
+                 GROUP BY s.b) nb ON nb.node = v.node
+    )""")
+    parts.append(
+        f"comp AS (SELECT node AS doc_id, CAST(label AS BIGINT) AS component"
+        f" FROM l{n_rounds})"
+    )
+    return ",\n    ".join(parts)
+
+
 _SQL_TRIGRAMS = f"""
   SELECT doc_id,
          list_distinct(CASE WHEN len(toks) >= 3
@@ -242,6 +327,42 @@ def q_fuzzy_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equi-join — never Σ|b|² — verified with thresholded "
         "levenshtein. The no-block-column scale path the blocked "
         "fuzzy_key_pairs lacks.",
+    # Scaled twin mirrors the engine's PassJoin pigeonhole: keys are
+    # exactly 32 chars (the length>=32 gate + substring), so any pair
+    # within edit distance 3 leaves >= 1 of the 4 8-char segments of
+    # the lower-id key untouched, appearing contiguously in the other
+    # key shifted by at most the 3 possible net indels — candidates
+    # from a (segment_no, content) equi-join, verified exactly.
+    oracle_scaled=r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       1, 32) AS k
+      FROM documents
+      WHERE length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) >= 32
+    ),
+    segs AS (
+      SELECT doc_id, i, substring(k, 1 + 8 * i, 8) AS seg
+      FROM keyed, range(0, 4) tf(i)
+    ),
+    probes AS (
+      SELECT doc_id, i, substring(k, CAST(pos AS INTEGER), 8) AS seg
+      FROM (SELECT doc_id, i, k,
+                   unnest(range(greatest(1, 1 + 8 * i - 3),
+                                least(25, 1 + 8 * i + 3) + 1)) AS pos
+            FROM keyed, range(0, 4) tf(i))
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM segs a JOIN probes b
+        ON a.i = b.i AND a.seg = b.seg AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ka.k, kb.k) AS INTEGER) AS distance
+    FROM cand c JOIN keyed ka ON ka.doc_id = c.doc_a
+                JOIN keyed kb ON kb.doc_id = c.doc_b
+    WHERE levenshtein(ka.k, kb.k) <= 3
+    """,
 )
 def q_fuzzy_unblocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_unblocked_pairs(_docs(spark, sf_dir), max_dist=3, key_len=32)
@@ -260,6 +381,10 @@ def q_fuzzy_unblocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Blocked word-bigram Jaccard similarity join (block = source "
         "provenance): pair space is sum of per-block squares, not N^2.",
+    oracle_scaled=f"""
+    WITH {_sql_scaled_jaccard_pairs(_JACCARD_T, _SQL_BIGRAMS)}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
@@ -1278,6 +1403,12 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step that turns pairwise similarity into dedup groups; "
         "component id = min doc_id = canonical keeper. Oracle = "
         "DuckDB recursive-CTE reachability.",
+    oracle_scaled=f"""
+    WITH {_sql_scaled_jaccard_pairs(0.05, _SQL_BIGRAMS)},
+    edges AS MATERIALIZED (SELECT doc_a, doc_b FROM verified),
+    {_sql_pointer_jump_components()}
+    SELECT doc_id, component FROM comp
+    """,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
@@ -2053,6 +2184,20 @@ def q_vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table is only clustered docs (a small fraction of the "
         "corpus), so the window shuffle is tiny next to the pair "
         "join that fed it.",
+    oracle_scaled=f"""
+    WITH {_sql_scaled_jaccard_pairs(0.05, _SQL_BIGRAMS)},
+    edges AS MATERIALIZED (SELECT doc_a, doc_b FROM verified),
+    {_sql_pointer_jump_components()}
+    SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+           n_members
+    FROM (
+      SELECT c.component, c.doc_id, d.n_chars,
+             count(*) OVER (PARTITION BY c.component) AS n_members,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

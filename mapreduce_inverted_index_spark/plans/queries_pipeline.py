@@ -110,6 +110,50 @@ def q_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.boilerplate_profile(_docs(spark, sf_dir), k=8, min_docs=2)
 
 
+# DuckDB twin of duplicate_spans' rolling windows: EVERY position's
+# 8-token window (stride 1 — vs _SQL_PASSAGES' stride 8), md5-hashed.
+# range() end-exclusive: range(1, len-6) == positions 1..len-7, the
+# starts of full 8-windows; matches sequence(1, size - 7) on the
+# Spark side.
+_SQL_ROLLWIN = f"""
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(toks[pos:pos+7], ' ')) AS wh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 8)
+"""
+
+
+@register(
+    "duplicate_spans_docs",
+    oracle=f"""
+    WITH w AS ({_SQL_ROLLWIN}),
+         dup AS (SELECT wh FROM w
+                 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+         f AS (SELECT doc_id, pos FROM w
+               WHERE wh IN (SELECT wh FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS grp
+                 FROM f)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+           CAST(max(pos) - min(pos) + 8 AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc="Exact substring dedup (Lee-et-al duplicate-span removal): "
+        "maximal token spans whose every 8-token rolling window "
+        "appears in >= 2 distinct documents — (doc_id, start, end) "
+        "offsets for surgical span removal, one granularity finer "
+        "than the passage tier. Rolling hashes bucketed by hash, "
+        "never all-pairs; span merge is per-document "
+        "gaps-and-islands, no global sort.",
+)
+def q_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.duplicate_spans(_docs(spark, sf_dir), k=8, min_docs=2)
+
+
 # ------------------------------------------------------------------ graph
 
 @register(

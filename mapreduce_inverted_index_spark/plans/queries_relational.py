@@ -758,6 +758,25 @@ def q_range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin. Oracle "
         "is the naive inequality join. "
         "Operator: asof.keyless_band_self_join.",
+    # Scaled twin = the ENGINE's time-grid banding in SQL: bin at the
+    # band width, explode one side to {bin-1, bin, bin+1}, equi-join
+    # on bin (a 10s gap can never span two bin boundaries), re-check
+    # the exact band. Each qualifying pair matches on exactly one of
+    # the probe's three bins, so no dedup pass is needed.
+    oracle_scaled="""
+    WITH e AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(floor(epoch(ts)) / 10) AS BIGINT) AS bin
+      FROM events
+    ),
+    probe AS (
+      SELECT event_id, sec, unnest([bin - 1, bin, bin + 1]) AS bin FROM e
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           abs(b.sec - a.sec) AS gap_seconds
+    FROM e a JOIN probe b ON a.bin = b.bin AND a.event_id < b.event_id
+    WHERE abs(b.sec - a.sec) <= 10
+    """,
 )
 def q_keyless_band_pairs_events(
     spark: SparkSession, sf_dir: str

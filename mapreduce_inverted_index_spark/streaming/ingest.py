@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_inverted_index_spark.operators import store
 from mapreduce_inverted_index_spark.operators.store import mutation_lease
 
 __all__ = [
@@ -220,6 +221,19 @@ def _publish_batch_files(
                 f"{target_dir}/{d}/batch-{batch_id}.parquet",
             )
     shutil.rmtree(tmp)
+    # If a prior mutation (delete/compact) left a READER MANIFEST on
+    # this store, the append above is invisible to manifest-resolved
+    # probes until the manifest names the new batch files — and
+    # nothing fails loud, because every file the stale manifest names
+    # still exists. Refresh it here, inside the fold's mutation lease
+    # (ADVICE r11 #1: silently-stale probe reads). Partition-less
+    # sinks (dups) never carry a manifest; listing is lease-safe.
+    if part_col is not None and os.path.isfile(
+        f"{target_dir}/{store.MANIFEST_NAME}"
+    ):
+        store.refresh_manifest(
+            target_dir, part_col, schema_json=df.schema.json()
+        )
 
 
 def maintain_chunks_available_now(

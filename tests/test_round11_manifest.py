@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import os
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -189,25 +190,43 @@ def test_concurrent_reader_sees_only_old_or_new(spark, tmp_path):
         while not stop.is_set():
             try:
                 seen.append(frozenset(_rows(read_index_store(spark, path))))
-            except Exception:
+            except Exception as e:
                 # loud mid-swap errors are an allowed outcome: the
                 # resolve-retry RuntimeError, or Spark's own
                 # missing-file error when a commit lands between
-                # resolution and the collect — never a silent mix
-                pass
+                # resolution and the collect — never a silent mix.
+                # Recorded (not swallowed) so the assertions below
+                # can verify they are the LOUD kinds (ADVICE r11 #5).
+                errs.append(f"{type(e).__name__}: {e}")
 
     t = threading.Thread(target=reader)
     t.start()
     try:
         delete_from_index_store(spark, path, [0, 1, 2])
+        after = _rows(read_index_store(spark, path))
+        # keep the reader running until it has demonstrably observed
+        # the POST-swap snapshot — without this, stopping right after
+        # the delete lets a run that only ever saw pre-swap reads (or
+        # only errors) pass vacuously
+        deadline = time.monotonic() + 60
+        while (
+            frozenset(after) not in seen and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
     finally:
         stop.set()
         t.join(timeout=60)
-    after = _rows(read_index_store(spark, path))
     allowed = {frozenset(before), frozenset(after)}
     mixed = [s for s in set(seen) if s not in allowed]
     assert not mixed, f"mixed snapshots observed: {len(mixed)}"
-    assert frozenset(after) in set(seen) or seen  # reader made progress
+    assert frozenset(after) in set(seen), "post-swap snapshot never observed"
+    for e in errs:  # every error must be one of the loud, allowed kinds
+        assert (
+            "mid-swap" in e
+            or "FileNotFound" in e
+            or "does not exist" in e
+            or "PATH_NOT_FOUND" in e
+        ), f"unexpected reader error: {e}"
 
 
 def test_crash_after_manifest_refresh_heals_on_next_mutation(

@@ -1,0 +1,84 @@
+"""Round-12 operators: exact substring dedup (duplicate-span removal).
+
+The last missing member of the LLM dedup family (VERDICT r11 "What's
+missing" #4): exact-doc, passage, MinHash, SimHash, and semantic tiers
+existed; this adds spans-with-offsets for surgical removal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _spans(spark, rows, k=4, min_docs=2):
+    from mapreduce_inverted_index_spark.operators.passages import (
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, k=k, min_docs=min_docs)
+            .select("doc_id", "start_tok", "end_tok", "n_tokens")
+            .collect(),
+        )
+    )
+
+
+def test_planted_cross_document_span(spark):
+    """A 6-token run planted in two documents at different offsets is
+    recovered as one maximal span per document, with exact 1-based
+    offsets — not as the individual k-windows."""
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"one two {shared} three four"),          # span at pos 3..8
+        (2, f"{shared} nine ten eleven twelve"),      # span at pos 1..6
+        (3, "totally unrelated words here only once"),
+    ]
+    out = _spans(spark, rows, k=4)
+    assert out == [(1, 3, 8, 6), (2, 1, 6, 6)]
+
+
+def test_non_overlapping_duplicates_stay_separate_spans(spark):
+    """Two distinct shared runs inside one document emit two rows,
+    not one merged region."""
+    a = "red orange yellow green"
+    b = "planet comet meteor nebula"
+    rows = [
+        (1, f"{a} filler0 filler1 filler2 {b}"),
+        (2, f"{a} other words entirely different {b}"),
+    ]
+    out = _spans(spark, rows, k=4)
+    # doc 1: a at 1..4, b at 8..11; doc 2: a at 1..4, b at 9..12
+    assert out == [(1, 1, 4, 4), (1, 8, 11, 4), (2, 1, 4, 4), (2, 9, 12, 4)]
+
+
+def test_run_shorter_than_k_is_not_flagged(spark):
+    """Shared runs shorter than k produce no k-window match — below
+    the span threshold means zero rows, the Lee-et-al contract."""
+    rows = [
+        (1, "alpha bravo charlie unique1 unique2 unique3"),
+        (2, "alpha bravo charlie other4 other5 other6"),
+    ]
+    assert _spans(spark, rows, k=4) == []
+
+
+def test_within_doc_repeat_alone_does_not_flag(spark):
+    """min_docs counts DISTINCT documents: a phrase repeated twice in
+    one document but nowhere else is not a cross-corpus duplicate."""
+    rows = [
+        (1, "echo fox golf hotel filler echo fox golf hotel"),
+        (2, "completely different text with no overlap at all"),
+    ]
+    assert _spans(spark, rows, k=4) == []
+
+
+def test_extension_tokens_merge_into_maximal_span(spark):
+    """A 10-token shared run yields 7 consecutive flagged 4-windows
+    that must merge into exactly one maximal [start, start+9] span."""
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    rows = [(1, f"pad1 {run} pad2"), (2, f"{run}")]
+    out = _spans(spark, rows, k=4)
+    assert out == [(1, 2, 11, 10), (2, 1, 10, 10)]

@@ -55,20 +55,29 @@ def _correctness_files(repo_root: str = REPO_ROOT) -> "list[str]":
     #1). The driver drops each round's file AFTER the builder's last
     commit, so deriving from the working tree made the window literal
     stale-by-construction at every round boundary; deriving from
-    ``git ls-files`` keeps the literal and the test pinned to the
+    ``git ls-tree HEAD`` keeps the literal and the test pinned to the
     same evidence set until the new file is committed — at which
-    point the regen and the commit ride together. Falls back to the
+    point the regen and the commit ride together. ``ls-tree`` (not
+    ``ls-files``) so a staged-but-uncommitted file cannot slip into
+    the window either (ADVICE r11 #3). Falls back to the
     working-tree glob only when git itself is unavailable."""
+    import fnmatch
     import subprocess
 
     try:
+        # ls-tree pathspecs don't glob (and reject :(glob) magic), so
+        # list HEAD's root entries and filter here
         out = subprocess.run(
-            ["git", "-C", repo_root, "ls-files", "CORRECTNESS_r*.json"],
+            ["git", "-C", repo_root, "ls-tree", "--name-only", "HEAD"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout
-        return sorted(
-            f"{repo_root}/{line}" for line in out.splitlines() if line
-        )
+        names = [
+            line for line in out.splitlines()
+            if fnmatch.fnmatch(line, "CORRECTNESS_r*.json")
+        ]
+        if not names:
+            raise RuntimeError("no committed CORRECTNESS files in HEAD")
+        return sorted(f"{repo_root}/{n}" for n in names)
     except Exception:
         return sorted(glob.glob(f"{repo_root}/CORRECTNESS_r*.json"))
 

@@ -226,6 +226,16 @@ AUDITS = [
         ["SortMergeJoin", "CartesianProduct"],
     ),
     (
+        # substring dedup: rolling-window hashes aggregate with
+        # map-side partials; the duplicate-window set joins back by
+        # HASH (broadcast at fixture scale, SMJ acceptable at 100 TB
+        # — either way never all-pairs); span merge is a
+        # per-document Window (partitioned — no global sort)
+        "duplicate_spans_docs",
+        ["HashAggregate", "partial_", "Window"],
+        ["CartesianProduct"],
+    ),
+    (
         # shard manifest: scan-side md5 assignment + one aggregate —
         # no join of any kind in the plan
         "shard_manifest_docs",

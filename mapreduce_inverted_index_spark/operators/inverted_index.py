@@ -453,18 +453,14 @@ def read_index_store(spark, path: str) -> DataFrame:
     converges to the post-swap snapshot or fails loud). Manifest-less
     (pre-manifest) stores fall back to directory reading."""
     from mapreduce_inverted_index_spark.operators.store import (
-        resolve_manifest_files,
+        open_snapshot,
     )
 
-    files = resolve_manifest_files(path, "bucket")
-    if files is not None:
-        if not files:  # committed-empty snapshot
-            return spark.createDataFrame([], _INDEX_SCHEMA)
-        return (
-            spark.read.option("basePath", path)
-            .parquet(*files)
-            .select("term", "postings", "df")
-        )
+    kind, df = open_snapshot(spark, path, "bucket")
+    if kind == "empty":  # committed-empty snapshot
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    if kind == "df":
+        return df.select("term", "postings", "df")
     if not _store_bucket_dirs(path):
         return spark.createDataFrame([], _INDEX_SCHEMA)
     return spark.read.parquet(path).select("term", "postings", "df")
@@ -627,22 +623,20 @@ def term_lookup_store(spark, path: str, terms: "list[str]") -> DataFrame:
     so pruning is unchanged.
     """
     from mapreduce_inverted_index_spark.operators.store import (
-        resolve_manifest_files,
+        open_snapshot,
     )
 
-    files = resolve_manifest_files(path, "bucket")
-    if files == [] or (files is None and not _store_bucket_dirs(path)):
+    kind, snap = open_snapshot(spark, path, "bucket")
+    if kind == "empty" or (
+        kind == "manifestless" and not _store_bucket_dirs(path)
+    ):
         return spark.createDataFrame([], _INDEX_SCHEMA)
     n_buckets = _store_n_buckets(path)
     probe = spark.createDataFrame(
         [(t,) for t in terms], "term string"
     ).select(index_bucket_col("term", n_buckets).alias("bucket"))
     buckets = sorted(r["bucket"] for r in probe.distinct().collect())
-    src = (
-        spark.read.option("basePath", path).parquet(*files)
-        if files
-        else spark.read.parquet(path)
-    )
+    src = snap if kind == "df" else spark.read.parquet(path)
     return (
         src.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "postings", "df")

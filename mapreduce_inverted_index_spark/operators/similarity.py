@@ -618,15 +618,15 @@ def _read_cell_store(spark, path: str) -> DataFrame:
     from pyspark.sql.types import StructType
 
     from mapreduce_inverted_index_spark.operators.store import (
-        resolve_manifest_files,
+        open_snapshot,
         resolve_manifest_schema,
     )
 
-    files = resolve_manifest_files(path, "cell")
-    if files is None:  # manifest-less (pre-manifest) layout
+    kind, df = open_snapshot(spark, path, "cell")
+    if kind == "manifestless":  # pre-manifest layout
         return spark.read.parquet(path)
-    if files:
-        return spark.read.option("basePath", path).parquet(*files)
+    if kind == "df":
+        return df
     schema_json = resolve_manifest_schema(path)
     if schema_json is None:
         raise RuntimeError(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -128,6 +129,54 @@ def test_committed_empty_cell_store_reads_as_empty(spark, tmp_path):
         F.col("embedding").alias("query_vec"),
     ).limit(2)
     assert ivf_pruned_scan_topk(spark, path, cents, queries, k=3).count() == 0
+
+
+def test_open_snapshot_verifies_the_materialized_file_index(
+    spark, tmp_path, monkeypatch
+):
+    """The silent-partial window the r12 decade race probe caught:
+    Spark's PARALLEL leaf-file listing silently drops paths deleted
+    between the driver existence check and the executor stat, so a
+    manifest-resolved read racing a swap could aggregate a partial
+    snapshot with no error (measured: 3,904 resolved -> 1,728
+    inputFiles -> 45%% of the store, silently). ``open_snapshot``
+    re-verifies ``df.inputFiles()`` against the resolved list; this
+    test pins both faces: a complete index passes through, and a
+    partial one retries then fails LOUD (simulated by forcing the
+    resolve to claim more files than the index will hold)."""
+    from mapreduce_inverted_index_spark.operators import store as store_mod
+    from mapreduce_inverted_index_spark.operators.similarity import (
+        delete_from_ivf_cells,
+    )
+
+    path = str(tmp_path / "cells")
+    emb, _ = _seed_cells(spark, path)
+    kind, df = store_mod.open_snapshot(spark, path, "cell")
+    assert kind == "df"
+    total = df.count()
+    assert total == emb.count()
+
+    # force a resolve that names one file the FileIndex will not hold
+    # (a real listing race drops existing-at-resolve-time files; here
+    # we fake the same mismatch by resolving a list with a duplicate
+    # counted once) — open_snapshot must NOT hand back a DataFrame
+    real = store_mod.resolve_manifest_files
+
+    def over_resolving(p, part_col, *a, **k):
+        files = real(p, part_col, *a, **k)
+        return files + files[:1] if files else files
+
+    monkeypatch.setattr(store_mod, "resolve_manifest_files", over_resolving)
+    with pytest.raises(RuntimeError, match="committed snapshot"):
+        store_mod.open_snapshot(spark, path, "cell", retries=3,
+                                wait_sec=0.01)
+    monkeypatch.undo()
+
+    # and the committed-empty path still reports kind="empty"
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    delete_from_ivf_cells(spark, path, all_ids)
+    kind, df = store_mod.open_snapshot(spark, path, "cell")
+    assert kind == "empty" and df is None
 
 
 def test_manifest_schema_carries_forward_across_swaps(spark, tmp_path):

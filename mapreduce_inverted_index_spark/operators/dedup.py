@@ -226,28 +226,81 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
     max_block_rows: int | None = 10_000,
+    method: str = "index",
 ) -> DataFrame:
     """Blocked n-gram Jaccard similarity join.
 
-    The self-join runs only within ``block_col`` groups, so the pair
-    space is Σ_b |b|² instead of N² — the difference between feasible
-    and impossible at 100 TB. Output: ``doc_a, doc_b, jaccard``.
+    The candidate space is confined to ``block_col`` groups, so the
+    pair space is Σ_b |b|² instead of N² — the difference between
+    feasible and impossible at 100 TB. Output: ``doc_a, doc_b,
+    jaccard``; both methods return IDENTICAL rows (pytest-pinned):
+
+    * ``method="index"`` (default): inverted-index co-occurrence
+      form — explode shingles, equi-join on (block, shingle), count
+      shared shingles per pair, then |A∪B| = nA + nB − i. Per-pair
+      cost is an AGGREGATE INCREMENT; total work ∝ the shared-shingle
+      stream Σ_g c_g², not Σ_b |b|² × |shingles| array intersects.
+      The r12 sf1 timing sweep measured the pair form at 36× for 10×
+      data on dedup-shaped blocks (62M pairs × ~800-element
+      intersects); this form collapses that to the co-occurrence
+      aggregation. Requires ``threshold > 0`` (zero-overlap pairs
+      never materialize).
+    * ``method="pairs"``: bounded block-pair join with array
+      intersects. ``max_block_rows`` bounds per-task time when one
+      block is hot (oversized blocks split into hash-chunk sub-joins
+      via :func:`bounded_block_join`, results unchanged). The
+      skew-robust anchor: a shingle shared by an entire block makes
+      the index form's join key hot, while the pair form's task time
+      stays bounded no matter how shingles distribute.
 
     ``shingles``: optional prebuilt ``(doc_id, <block_col>, shingles)``
     table (e.g. persisted once and shared across several dedup passes);
     built from ``docs`` when omitted.
-
-    ``max_block_rows`` bounds per-task time when one block is hot (a
-    dominant provenance would otherwise re-create the quadratic
-    straggler): oversized blocks split into hash-chunk sub-joins via
-    :func:`bounded_block_join`, results unchanged. Work is still
-    Σ_b |b|² — for truly unblockable corpora use the MinHash/LSH path.
     """
     sh = (
         shingles
         if shingles is not None
         else word_shingles(docs, n, text_col, id_col, extra_cols=(block_col,))
     )
+    if method == "index":
+        if threshold <= 0:
+            raise ValueError(
+                "method='index' requires threshold > 0 (zero-overlap "
+                "pairs never materialize); use method='pairs'"
+            )
+        sizes = sh.select(
+            F.col("doc_id").alias("_d"), F.size("shingles").alias("_n")
+        )
+        ex = sh.select(
+            F.col(block_col).alias("blk"),
+            F.col("doc_id").alias("doc_id"),
+            F.explode("shingles").alias("g"),
+        )
+        inter = (
+            ex.select("blk", F.col("doc_id").alias("doc_a"), "g")
+            .join(
+                ex.select("blk", F.col("doc_id").alias("doc_b"), "g"),
+                ["blk", "g"],
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("_i"))
+        )
+        na = sizes.select(F.col("_d").alias("doc_a"), F.col("_n").alias("_na"))
+        nb = sizes.select(F.col("_d").alias("doc_b"), F.col("_n").alias("_nb"))
+        jacc = F.round(
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")),
+            6,
+        )
+        return (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select("doc_a", "doc_b", jacc.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+    if method != "pairs":
+        raise ValueError(f"unknown method {method!r}")
     a = sh.select(
         F.col(block_col).alias("blk"),
         F.col("doc_id").alias("doc_a"),

@@ -75,6 +75,47 @@ def test_within_doc_repeat_alone_does_not_flag(spark):
     assert _spans(spark, rows, k=4) == []
 
 
+def test_ngram_jaccard_index_form_equals_pair_form(spark):
+    """The r12 sf1 timing sweep flagged the pair form at 36x for 10x
+    data; the new default inverted-index co-occurrence form must
+    return the identical (pair, score) rows — both on near-dup
+    clusters and across a threshold boundary."""
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    texts = [
+        (i, "hot", f"the quick brown fox jumps over dog number {i % 3}")
+        for i in range(12)
+    ] + [
+        (100 + i, "cold", f"completely different words {i % 2} here")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        texts, "doc_id bigint, source string, text string"
+    )
+    for t in (0.2, 0.5):
+        idx = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=t, method="index").collect()))
+        prs = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=t, method="pairs").collect()))
+        assert idx == prs and len(idx) > 0
+
+
+def test_ngram_jaccard_index_form_rejects_zero_threshold(spark):
+    import pytest as _pytest
+
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id bigint, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        ngram_jaccard_pairs(docs, threshold=0.0, method="index")
+
+
 def test_extension_tokens_merge_into_maximal_span(spark):
     """A 10-token shared run yields 7 consecutive flagged 4-windows
     that must merge into exactly one maximal [start, start+9] span."""

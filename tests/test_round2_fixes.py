@@ -130,8 +130,10 @@ def test_ngram_jaccard_bounded_matches_unbounded(spark):
         for i in range(12)
     ] + [(100 + i, "cold", "completely different words here") for i in range(4)]
     docs = spark.createDataFrame(texts, "doc_id bigint, source string, text string")
-    unb = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=None)
-    bnd = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=3)
+    unb = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=None,
+                              method="pairs")
+    bnd = ngram_jaccard_pairs(docs, threshold=0.2, max_block_rows=3,
+                              method="pairs")
     ru = sorted(map(tuple, unb.collect()))
     rb = sorted(map(tuple, bnd.collect()))
     assert ru == rb

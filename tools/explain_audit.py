@@ -82,10 +82,13 @@ AUDITS = [
         ["SortAggregate", "CartesianProduct"],
     ),
     (
-        # hot-block bound: the pair join must carry the chunk keys
-        # (task-time bound active) and never degrade to a cross join
+        # inverted-index co-occurrence form (r12): shared-shingle
+        # counts aggregate with map-side partials; no pair-array
+        # shipping, never a cross join. (The bounded pair form's
+        # chunk-key audit lives on bounded_block_join's other
+        # callers, e.g. user_cooccurrence_edges.)
         "ngram_jaccard_pairs",
-        ["_ca"],
+        ["HashAggregate", "partial_count"],
         ["CartesianProduct"],
     ),
     (

@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     shingles: DataFrame | None = None,
     max_block_rows: int | None = 10_000,
     method: str = "index",
+    max_shingle_df: int | None = 1_000,
 ) -> DataFrame:
     """Blocked n-gram Jaccard similarity join.
 
@@ -245,13 +246,30 @@ def ngram_jaccard_pairs(
       intersects); this form collapses that to the co-occurrence
       aggregation. Requires ``threshold > 0`` (zero-overlap pairs
       never materialize).
+
+      Skew guard: a shingle shared by c docs of one block puts c²
+      rows on a single (block, shingle) join key — a near-universal
+      shingle turns the co-occurrence join into one straggler task.
+      ``max_shingle_df`` caps that key: shingles whose per-block df
+      exceeds the cap mark their documents HOT, hot documents are
+      routed through the bounded pair path (paired against their
+      whole block), and the co-occurrence join runs on the remaining
+      cold-doc stream, where every (block, shingle) key's fanout is
+      ≤ cap² by construction. A cold–cold pair shares only cold
+      shingles (a cold doc contains none of the hot ones), so the
+      split is LOSSLESS: cold pairs from co-occurrence + hot-touching
+      pairs from exact array intersects = the pair form's output, row
+      for row (pytest-pinned). ``max_block_rows`` bounds the routed
+      sub-joins' task size, same as in ``method="pairs"``. In the
+      degenerate all-docs-hot case this degrades to exactly the pair
+      form — the right plan in that regime. ``None`` disables the
+      guard (pure co-occurrence, unbounded key).
     * ``method="pairs"``: bounded block-pair join with array
       intersects. ``max_block_rows`` bounds per-task time when one
       block is hot (oversized blocks split into hash-chunk sub-joins
-      via :func:`bounded_block_join`, results unchanged). The
-      skew-robust anchor: a shingle shared by an entire block makes
-      the index form's join key hot, while the pair form's task time
-      stays bounded no matter how shingles distribute.
+      via :func:`bounded_block_join`, results unchanged). Task time
+      stays bounded no matter how shingles distribute — the anchor
+      the index form routes its hot documents through.
 
     ``shingles``: optional prebuilt ``(doc_id, <block_col>, shingles)``
     table (e.g. persisted once and shared across several dedup passes);
@@ -276,6 +294,20 @@ def ngram_jaccard_pairs(
             F.col("doc_id").alias("doc_id"),
             F.explode("shingles").alias("g"),
         )
+        hot_docs = None
+        if max_shingle_df is not None:
+            hot_g = (
+                ex.groupBy("blk", "g")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") > max_shingle_df)
+                .select("blk", "g")
+            )
+            hot_docs = (
+                ex.join(hot_g, ["blk", "g"])
+                .select("blk", "doc_id")
+                .distinct()
+            )
+            ex = ex.join(hot_docs, ["blk", "doc_id"], "left_anti")
         inter = (
             ex.select("blk", F.col("doc_id").alias("doc_a"), "g")
             .join(
@@ -293,12 +325,47 @@ def ngram_jaccard_pairs(
             / (F.col("_na") + F.col("_nb") - F.col("_i")),
             6,
         )
-        return (
+        cold_pairs = (
             inter.join(na, "doc_a")
             .join(nb, "doc_b")
             .select("doc_a", "doc_b", jacc.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
         )
+        if hot_docs is None:
+            return cold_pairs
+        # Hot routing: every pair touching a hot doc gets the exact
+        # array-intersect treatment. Two one-sided joins cover the
+        # unordered pair space exactly once — (hot, anything) with the
+        # hot id smaller, plus (cold, hot) with the cold id smaller —
+        # so hot–hot pairs appear only in the first and cold–cold
+        # pairs (already counted by the co-occurrence form) in
+        # neither.
+        sh_blk = sh.select(
+            F.col(block_col).alias("blk"), F.col("doc_id"), "shingles"
+        )
+        hot_sh = sh_blk.join(hot_docs, ["blk", "doc_id"])
+        cold_sh = sh_blk.join(hot_docs, ["blk", "doc_id"], "left_anti")
+
+        def _side(d: DataFrame, suf: str) -> DataFrame:
+            return d.select(
+                "blk",
+                F.col("doc_id").alias(f"doc_{suf}"),
+                F.col("shingles").alias(f"sh_{suf}"),
+            )
+
+        hot_pairs = bounded_block_join(
+            _side(hot_sh, "a"), _side(sh_blk, "b"),
+            "blk", "doc_a", "doc_b", max_block_rows,
+        ).unionByName(
+            bounded_block_join(
+                _side(cold_sh, "a"), _side(hot_sh, "b"),
+                "blk", "doc_a", "doc_b", max_block_rows,
+            )
+        )
+        hot_res = hot_pairs.select(
+            "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
+        ).where(F.col("jaccard") >= threshold)
+        return cold_pairs.unionByName(hot_res)
     if method != "pairs":
         raise ValueError(f"unknown method {method!r}")
     a = sh.select(

@@ -43,10 +43,11 @@ _SQL_BIGRAMS = f"""
 # ---------------------------------------------------------------- scaled
 # SCALE-CAPABLE oracle twins (VERDICT r11 ask #3): same results as the
 # naive oracles, restructured the way the engine restructures the work
-# so DuckDB can follow at sf1+ — (a) candidate pairs come from a
-# LOSSLESS filter (ppjoin prefix filtering: two sets with Jaccard >= T
-# must share an element inside their first |S| - ceil(T|S|) + 1
-# canonically-ordered shingles), (b) the candidate list is MATERIALIZED
+# so DuckDB can follow at sf1+ — (a) exact-Jaccard pairs come from an
+# inverted-index co-occurrence join (|A∩B| counted over the exploded
+# shared-shingle stream, |A∪B| = nA+nB−i — lossless for t > 0 since a
+# zero-overlap pair never materializes; only the FUZZY twin uses a
+# pigeonhole band filter), (b) the candidate list is MATERIALIZED
 # before the verify join so the morsel planner sees millions of pair
 # rows instead of the 50k input docs (the input-sized-planning trap
 # from the r11 sweep, DuckDB edition), (c) connected components run as

@@ -221,16 +221,22 @@ def _publish_batch_files(
                 f"{target_dir}/{d}/batch-{batch_id}.parquet",
             )
     shutil.rmtree(tmp)
-    # If a prior mutation (delete/compact) left a READER MANIFEST on
-    # this store, the append above is invisible to manifest-resolved
-    # probes until the manifest names the new batch files — and
-    # nothing fails loud, because every file the stale manifest names
-    # still exists. Refresh it here, inside the fold's mutation lease
-    # (ADVICE r11 #1: silently-stale probe reads). Partition-less
-    # sinks (dups) never carry a manifest; listing is lease-safe.
-    if part_col is not None and os.path.isfile(
-        f"{target_dir}/{store.MANIFEST_NAME}"
-    ):
+    # Commit the append to manifest-resolved probe readers: refresh —
+    # or CREATE, for a store born from this loop's first batch — the
+    # reader manifest, inside the fold's mutation lease. Two reader
+    # races close here: (a) a manifest left by a prior delete/compact
+    # goes silently STALE on append (every file it names still exists,
+    # nothing fails loud — ADVICE r11 #1); (b) a stream-born store
+    # with no manifest is read by directory listing, and a multi-
+    # partition append is many renames — a concurrent listing can see
+    # SOME partitions' new batch file but not others, a state no
+    # commit ever produced (the r13 append storm's target). Creating
+    # the manifest on first publish gives every partitioned store
+    # one-swap visibility from birth: readers see the whole batch or
+    # none of it. Partition-less sinks (dups) are consumed by the
+    # fold itself inside the lease, where listing is race-free; they
+    # stay manifest-less.
+    if part_col is not None:
         store.refresh_manifest(
             target_dir, part_col, schema_json=df.schema.json()
         )

@@ -165,7 +165,27 @@ def tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="none",
         )
     )
-    return _run_to_table(out, mode="append")
+    # transformWithState keeps each declared state variable in its own
+    # column family, which only RocksDBStateStoreProvider supports (the
+    # default HDFS-backed provider fails the query with
+    # STATE_STORE_MULTIPLE_COLUMN_FAMILIES_NOT_SUPPORTED). The provider
+    # is resolved when the query STARTS, so set it for the duration of
+    # the one AvailableNow run and restore the session's previous value
+    # — other streaming queries keep their default provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_table(out, mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
 
 _TRANS_OUT = StructType(

@@ -102,6 +102,61 @@ def test_ngram_jaccard_index_form_equals_pair_form(spark):
         assert idx == prs and len(idx) > 0
 
 
+def test_ngram_jaccard_hot_shingle_routing(spark):
+    """VERDICT r12 ask #4: plant a near-universal shingle and prove
+    the index form's df-cap (a) actually fires — the physical plan
+    grows the hot-routing Union — and (b) stays lossless: output
+    pinned equal to method="pairs" and to the uncapped index form,
+    including the hot-hot and hot-cold pairs whose shared shingles
+    were anti-joined out of the co-occurrence stream."""
+    from mapreduce_inverted_index_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # One block: docs 0-5 all share "alpha beta gamma delta" (those
+    # bigrams have df=6 — the planted hot key: 36 rows on one
+    # (blk, shingle) pair at cap=5, c^2 growth with the cluster);
+    # docs 10-13 share "epsilon zeta eta" (df=4, cold at cap=5);
+    # doc 13 also overlaps the hot cluster via "delta omega" (df=2,
+    # cold) so a hot-cold pair must survive the low threshold.
+    rows = [
+        (i, "s", f"alpha beta gamma delta omega tail{i} x{i % 2}")
+        for i in range(6)
+    ] + [
+        (10 + i, "s", f"epsilon zeta eta delta omega tail{10 + i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.1, method="index", max_shingle_df=5
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, "df-cap did not route any hot docs"
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.1, method="index", max_shingle_df=None
+    )
+    assert "Union" not in (
+        uncapped._jdf.queryExecution().executedPlan().toString()
+    )
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.1, method="pairs").collect())
+    )
+    got_capped = sorted(map(tuple, capped.collect()))
+    got_uncapped = sorted(map(tuple, uncapped.collect()))
+    assert got_capped == want == got_uncapped
+    # the hot-cold cross pair is present (routing emitted it)
+    ids = {(a, b) for a, b, _ in got_capped}
+    assert any(a < 6 <= 9 < b for a, b in ids)
+    # degenerate cap: everything hot -> pure pair-path, still equal
+    all_hot = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.1, method="index", max_shingle_df=1
+    ).collect()))
+    assert all_hot == want
+
+
 def test_ngram_jaccard_index_form_rejects_zero_threshold(spark):
     import pytest as _pytest
 

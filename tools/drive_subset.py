@@ -1,7 +1,11 @@
 """Run the driver-style differential for a named subset of catalog
 queries (default: the current _DRIVER_PRIORITY window) at a given SF.
 
-Usage: python tools/drive_subset.py [--rows-only] [--scaled] [sf_dir] [name ...]
+Usage: python tools/drive_subset.py [--rows-only] [--scaled]
+           [--json OUT] [sf_dir] [name ...]
+
+--json OUT writes the per-query result dict to OUT as JSON (the
+per-round sweep artifacts, e.g. SF1_SWEEP_r*.json).
 
 --rows-only skips the DuckDB oracle and records the Spark row count
 only — for sweeps at scales where a query's NAIVE oracle is
@@ -30,6 +34,8 @@ SCALED = "--scaled" in sys.argv
 JSON_OUT = None
 if "--json" in argv:
     i = argv.index("--json")
+    if i + 1 >= len(argv):
+        sys.exit("--json requires an output path argument")
     JSON_OUT = argv[i + 1]
     del argv[i:i + 2]
 SF = argv[0] if argv else "/root/testdata/sf0.01"

@@ -75,10 +75,13 @@ def _correctness_files(repo_root: str = REPO_ROOT) -> "list[str]":
             line for line in out.splitlines()
             if fnmatch.fnmatch(line, "CORRECTNESS_r*.json")
         ]
-        if not names:
-            raise RuntimeError("no committed CORRECTNESS files in HEAD")
+        # empty HEAD = genuinely no committed evidence: return [],
+        # do NOT glob the working tree (that would re-admit staged/
+        # uncommitted files, the leak ADVICE r11 #3 closed)
         return sorted(f"{repo_root}/{n}" for n in names)
-    except Exception:
+    except (subprocess.SubprocessError, OSError):
+        # git itself unavailable (not installed / not a repo / hung):
+        # the working-tree glob is the only evidence source left
         return sorted(glob.glob(f"{repo_root}/CORRECTNESS_r*.json"))
 
 

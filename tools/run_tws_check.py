@@ -10,6 +10,20 @@ artifact with:
 
     python tools/run_tws_check.py
 
+In THIS container there is one offline route (how TWS_CHECK.json was
+recorded in round 13): the google-cloud-sdk image layer vendors a
+pure-Python protobuf 6.32.0 at
+``/usr/lib/google-cloud-sdk/platform/google_appengine``. pyspark
+4.1.2's gencode is 6.33.0 — one minor ahead — so the runtime's own
+documented escape hatch is needed:
+
+    TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true \
+    PYTHONPATH=/usr/lib/google-cloud-sdk/platform/google_appengine \
+    python tools/run_tws_check.py
+
+The artifact records the runtime path and whether the bypass was set,
+so a reader can tell a vendored-runtime green from a wheel green.
+
 which runs the gated operator end-to-end against the sf0.001 fixtures,
 checks it equals the batch aggregate (the same assertion the gated
 pytest makes), and writes TWS_CHECK.json at the repo root:
@@ -62,8 +76,14 @@ def main() -> int:
         want[k] = (cents + int(math.floor(r.value * 100.0 + 0.5)), n + 1)
     want = {k: (round(c / 100.0, 2), n) for k, (c, n) in want.items()}
     match = got == want
+    pb = __import__("google.protobuf", fromlist=["__version__"])
     artifact = {
-        "protobuf": __import__("google.protobuf", fromlist=["__version__"]).__version__,
+        "protobuf": pb.__version__,
+        "protobuf_path": os.path.dirname(pb.__file__),
+        "version_check_bypassed": (
+            os.getenv("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "")
+        ).lower()
+        == "true",
         "sf_dir": SF,
         "rows": len(got),
         "match": match,

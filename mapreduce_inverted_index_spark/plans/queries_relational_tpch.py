@@ -820,3 +820,372 @@ def q_smb_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ================================================== partsupp re-grounding
+# VERDICT r12 ask #7 / SURVEY §7.4: the fixtures carry no partsupp
+# table, so Q2/Q11/Q16/Q20 above run re-grounded on lineitem. The four
+# queries below restore the REAL partsupp grounding by deriving the
+# table deterministically from part × supplier with a dbgen-style
+# supplier-assignment formula (4 suppliers per part,
+# suppkey_i = (pk + pk/S + i·(S/4)) mod S, integer division). dbgen's
+# own pk-DEPENDENT stride collides at fixture scale (S=10 → stride 5
+# → two of the four suppliers coincide), so the pk term moves into
+# the BASE: the i-steps {0, S/4, 2S/4, 3S/4} stay strictly below S,
+# giving 4 distinct suppliers at EVERY S ≥ 4 while supplier sets
+# still vary across parts. Adapted to the fixtures' 0-based keys. availqty and
+# supplycost replace dbgen's RNG with pure integer arithmetic on the
+# two keys, so the ENGINE and the ORACLE derive bit-identical tables
+# from the same part/supplier parquet — the correctness gate stays
+# exact-value without a new fixture file. Costs stay in integer CENTS
+# end-to-end; a single final /100.0 produces the reported double, so
+# no float comparison ever sits on a filter or join boundary.
+# At 100 TB the derivation is a map-only zip over the part scan
+# (4× fan-out, no shuffle); a real deployment would read a materialized
+# partsupp instead, and every plan below is unchanged by that swap.
+
+_SQL_PARTSUPP = """
+    ps0 AS (
+      SELECT p_partkey AS ps_partkey,
+             ((p_partkey + 1) + ((p_partkey + 1) // sn.n)
+              + gen.i * (sn.n // 4)) % sn.n
+               AS ps_suppkey
+      FROM part,
+           (SELECT count(*) AS n FROM supplier) sn,
+           (VALUES (0), (1), (2), (3)) AS gen(i)
+    ),
+    partsupp AS MATERIALIZED (
+      SELECT ps_partkey, ps_suppkey,
+             ((ps_partkey + 1) * (ps_suppkey + 1)) % 9999 + 1
+               AS ps_availqty,
+             ((ps_partkey + 1) * 7 + (ps_suppkey + 1) * 11) % 99900 + 100
+               AS ps_supplycost_cents
+      FROM ps0
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-side twin of ``_SQL_PARTSUPP`` (see banner above):
+    ``ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents``.
+    The supplier count is a one-row planning read on a dim table."""
+    n_s = _t(spark, sf_dir, "supplier").count()
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .withColumn("_i", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (
+                    F.col("p_partkey")
+                    + 1
+                    + F.expr(f"(p_partkey + 1) div {n_s}")
+                    + F.col("_i") * F.lit(n_s // 4)
+                )
+                % F.lit(n_s)
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                ((F.col("ps_partkey") + 1) * (F.col("ps_suppkey") + 1))
+                % 9999
+                + 1
+            ).alias("ps_availqty"),
+            (
+                (
+                    (F.col("ps_partkey") + 1) * 7
+                    + (F.col("ps_suppkey") + 1) * 11
+                )
+                % 99900
+                + 100
+            ).alias("ps_supplycost_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------- Q2 (partsupp)
+
+@register(
+    "min_cost_supplier_partsupp",
+    oracle=f"""
+    WITH {_SQL_PARTSUPP},
+    eur_sup AS MATERIALIZED (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    ps_eur AS MATERIALIZED (
+      SELECT ps.* FROM partsupp ps
+      JOIN eur_sup e ON e.s_suppkey = ps.ps_suppkey),
+    mins AS (
+      SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS mc
+      FROM ps_eur GROUP BY 1)
+    SELECT e.s_acctbal, e.s_name, e.n_name, x.ps_partkey AS p_partkey,
+           CAST(x.ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM ps_eur x
+    JOIN mins m ON m.mk = x.ps_partkey AND x.ps_supplycost_cents = m.mc
+    JOIN part p ON p.p_partkey = x.ps_partkey
+    JOIN eur_sup e ON e.s_suppkey = x.ps_suppkey
+    WHERE p.p_size = 10 AND p.p_type = 'SMALL'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 on the REAL partsupp grounding (derived table, see "
+        "module banner): for each size-10 SMALL part, the EUROPE "
+        "supplier(s) offering it at the region-minimum supply cost. "
+        "The correlated scalar MIN decorrelates to a per-partkey agg "
+        "over the region-filtered partsupp, joined back on (partkey, "
+        "cents) — integer equality, no float flicker. The region "
+        "supplier dim broadcasts into the partsupp semi-join; the "
+        "part filter broadcasts into the verify join. Top-100 on a "
+        "total order (acctbal DESC, unique s_name, partkey).",
+)
+def q_min_cost_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eur_sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps_eur = _partsupp(spark, sf_dir).join(
+        F.broadcast(eur_sup.select(F.col("s_suppkey").alias("_ek"))),
+        F.col("ps_suppkey") == F.col("_ek"),
+        "left_semi",
+    )
+    mins = ps_eur.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 10) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    return (
+        ps_eur.join(
+            mins,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .join(F.broadcast(prt), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("ps_supplycost_cents").cast("double") / F.lit(100.0))
+            .alias("ps_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# -------------------------------------------------------- Q11 (partsupp)
+
+@register(
+    "stock_value_share_partsupp",
+    oracle=f"""
+    WITH {_SQL_PARTSUPP},
+    ps_n AS MATERIALIZED (
+      SELECT ps_partkey,
+             CAST(ps_supplycost_cents AS BIGINT) * ps_availqty AS vc
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7')
+    SELECT ps_partkey,
+           CAST(CAST(SUM(vc) AS BIGINT) AS DOUBLE) / 100.0 AS stock_value
+    FROM ps_n
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(vc) AS BIGINT) * 1000
+           > (SELECT CAST(SUM(vc) AS BIGINT) FROM ps_n)
+    """,
+    doc="TPC-H Q11 on the REAL partsupp grounding: parts whose "
+        "NATION_7 stock value (supplycost × availqty) exceeds 0.1% "
+        "of the nation's total. The scalar total decorrelates to one "
+        "broadcast aggregate; the threshold compares exact integer "
+        "cents×qty (value·1000 > total, bigint both engines — "
+        "products cap at ~1e9 per row and ~1e13 summed, far inside "
+        "int64) so the 0.1% boundary cannot float-flicker. The "
+        "nation-filtered supplier set broadcasts into the derived "
+        "partsupp scan.",
+)
+def q_stock_value_share_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps_n = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(sup_n),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost_cents").cast("bigint")
+                * F.col("ps_availqty")
+            ).alias("vc"),
+        )
+        .persist()  # feeds the per-part agg and the global total
+    )
+    per_part = ps_n.groupBy("ps_partkey").agg(F.sum("vc").alias("_v"))
+    total = ps_n.agg(F.sum("vc").alias("_t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_v") * 1000 > F.col("_t"))
+        .select(
+            "ps_partkey",
+            (F.col("_v").cast("double") / F.lit(100.0)).alias("stock_value"),
+        )
+    )
+
+
+# -------------------------------------------------------- Q16 (partsupp)
+
+@register(
+    "supplier_cnt_partsupp",
+    oracle=f"""
+    WITH {_SQL_PARTSUPP}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 on the REAL partsupp grounding: distinct suppliers "
+        "OFFERING each (brand, type, size) bucket — offering, not "
+        "shipping, the semantic the lineitem re-grounding above "
+        "(supplier_cnt_by_part_attrs) could only approximate. "
+        "Negative-balance suppliers stand in for the spec's "
+        "complaints denylist (the fixtures carry no s_comment). The "
+        "NOT IN decorrelates to a broadcast LEFT ANTI join before "
+        "the countDistinct; NOT IN's NULL trap doesn't arise "
+        "(s_suppkey is a non-null key).",
+)
+def q_supplier_cnt_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    denylist = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(denylist),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(prt), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -------------------------------------------------------- Q20 (partsupp)
+
+@register(
+    "excess_availability_partsupp",
+    oracle=f"""
+    WITH {_SQL_PARTSUPP},
+    qty96 AS MATERIALIZED (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN qty96 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE p_name LIKE 'small%' AND ps_availqty * 2 > sq)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 on the REAL partsupp grounding: NATION_7 "
+        "suppliers holding a 'small%'-part stock exceeding half of "
+        "what they shipped of it in 1996 — availqty vs shipped "
+        "quantity, the availability semantic the lineitem "
+        "re-grounding (excess_shipped_part_suppliers) had to re-cast "
+        "as majority-shipper. Spec semantics kept: the scalar "
+        "subquery over an empty shipment set is NULL, so pairs with "
+        "no 1996 shipments do NOT qualify (inner join to the "
+        "per-(part,supplier) 1996 aggregate). Quantities compare as "
+        "exact bigints (availqty·2 > sq). The year-filtered lineitem "
+        "aggregates ONCE; part and nation dims broadcast.",
+)
+def q_excess_availability_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qty96 = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(small_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            qty96,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("sq"))
+        .select("ps_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -73,6 +73,47 @@ def test_stream_born_cell_store_carries_manifest(spark, tmp_path):
     assert not os.path.isfile(f"{state}/dups/{MANIFEST_NAME}")
 
 
+def test_derived_partsupp_properties(spark):
+    """The deterministic partsupp derivation (queries_relational_tpch
+    module banner): 4 DISTINCT suppliers per part, every supplier
+    covered, keys inside [0, S), availqty in [1, 9999], supplycost
+    cents in [100, 99999] — the dbgen-formula guarantees the four
+    partsupp-grounded TPC-H queries lean on."""
+    from mapreduce_inverted_index_spark.plans.queries_relational_tpch import (
+        _partsupp,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ps = _partsupp(spark, sf).persist()
+    n_part = spark.read.parquet(f"{sf}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    row = ps.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("ps_partkey", "ps_suppkey").alias("nd"),
+        F.countDistinct("ps_suppkey").alias("ns"),
+        F.min("ps_suppkey").alias("mn"),
+        F.max("ps_suppkey").alias("mx"),
+        F.min("ps_availqty").alias("qmn"),
+        F.max("ps_availqty").alias("qmx"),
+        F.min("ps_supplycost_cents").alias("cmn"),
+        F.max("ps_supplycost_cents").alias("cmx"),
+    ).collect()[0]
+    assert row["n"] == 4 * n_part
+    assert row["nd"] == row["n"], "duplicate (part, supplier) pair"
+    assert row["ns"] == min(n_supp, 4 * n_part)
+    assert 0 <= row["mn"] and row["mx"] < n_supp
+    assert 1 <= row["qmn"] and row["qmx"] <= 9999
+    assert 100 <= row["cmn"] and row["cmx"] <= 99999
+    per_part = (
+        ps.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("k"))
+        .agg(F.min("k").alias("kmin"))
+        .collect()[0]
+    )
+    assert per_part["kmin"] == 4, "a part with < 4 distinct suppliers"
+    ps.unpersist()
+
+
 def test_tws_provider_conf_restored(spark):
     """tws_user_type_totals pins the RocksDB state-store provider for
     its own query (transformWithState keeps each state variable in a

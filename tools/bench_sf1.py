@@ -34,10 +34,15 @@ from bench import HEADLINE  # noqa: E402  (frozen bench set)
 from mapreduce_inverted_index_spark.plans.registry import all_queries  # noqa: E402
 from mapreduce_inverted_index_spark.session import get_spark  # noqa: E402
 
-SF01 = "/root/testdata/sf0.1"
+SF01 = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
 RATIO_FLAG = 15.0
 PASSES = 2
+# Optional overrides for spot-probes (e.g. the r13 decade-2 run:
+# SPARK_GRAFT_SF_BASE=testdata_sf1 SPARK_GRAFT_SF1_DIR=testdata_sf10
+# MII_BENCH_ONLY=a,b,c MII_BENCH_OUT=SF10_TAIL_r13.json)
+ONLY = tuple(x for x in os.environ.get("MII_BENCH_ONLY", "").split(",") if x)
+OUT_NAME = os.environ.get("MII_BENCH_OUT", "SF1_BENCH_r13.json")
 
 # Heaviest production queries NOT already in HEADLINE — the sf1
 # sweep's big-output tail (2.37M-edge graph derivation, the 1.5M-row
@@ -111,7 +116,7 @@ def main() -> None:
         3,
     )
 
-    names = list(dict.fromkeys(tuple(HEADLINE) + SUPPLEMENT))
+    names = list(ONLY) or list(dict.fromkeys(tuple(HEADLINE) + SUPPLEMENT))
     run(queries["inverted_index"].fn(spark, SF01))  # warmup
 
     out: dict = {}
@@ -149,7 +154,7 @@ def main() -> None:
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SF1_BENCH_r12.json",
+        OUT_NAME,
     )
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -32,11 +32,25 @@ unchanged. Deterministic (pure arithmetic on the seeded sf0.1
 fixtures); gitignored, regenerate on demand:
 
     python tools/make_sf1.py
+
+``--decade2`` derives a SECOND decade (sf10) for just the
+output-quadratic tail's input tables (documents, events — VERDICT
+r12 ask #5: one more decade over the five worst sf1 ratios to
+confirm the claimed output-bound growth): 10 key-offset copies of
+the sf1 tables into /root/repo/testdata_sf10. The decade-2 text
+permutation is per-(copy, ROW) (numpy PCG64, platform-stable), not
+per-copy like decade 1 — composing the same per-copy permutation
+family twice would make sf10 copy k of sf1 copy 0 collide verbatim
+with sf10 copy 0 of sf1 copy k (sigma_k . id == id . sigma_k),
+planting ~10-way exact-dup cliques organic growth doesn't have.
+
+    python tools/make_sf1.py --decade2
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,33 +89,74 @@ def _permute_text(text: "str | None", copy: int) -> "str | None":
     return " ".join(words[i] for i in order)
 
 
-def main() -> None:
-    os.makedirs(DST, exist_ok=True)
-    for t in FIXED:
-        tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        pq.write_table(tbl, f"{DST}/{t}.parquet")
+def _permute_text_rowwise(text: "str | None", copy: int, row: int) -> "str | None":
+    """Decade-2 shuffle: per-(copy, row) numpy permutation (PCG64 is
+    deterministic and platform-stable). Same multiset-preserving /
+    shingle-rewriting property as :func:`_permute_text`, but no two
+    (decade-1 copy, decade-2 copy) compositions can coincide."""
+    import numpy as np
+
+    if text is None or copy == 0:
+        return text
+    words = text.split()
+    order = np.random.default_rng([2, copy, row]).permutation(len(words))
+    return " ".join(words[i] for i in order)
+
+
+def main(
+    src: str = SRC,
+    dst: str = DST,
+    offset: int = OFFSET,
+    tables: "dict | None" = None,
+    fixed: tuple = FIXED,
+    decade2: bool = False,
+) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in fixed:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl, f"{dst}/{t}.parquet")
         print(f"{t}: {tbl.num_rows} rows (fixed dimension, single copy)")
-    for t, keys in KEY_COLS.items():
-        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+    for t, keys in (tables or KEY_COLS).items():
+        tbl = pq.read_table(f"{src}/{t}.parquet")
         chunks = []
         for c in range(COPIES):
             t2 = tbl
             for col in keys:
                 i = t2.schema.get_field_index(col)
-                shifted = pc.add(t2.column(i), pa.scalar(c * OFFSET, type=pa.int64()))
+                shifted = pc.add(t2.column(i), pa.scalar(c * offset, type=pa.int64()))
                 t2 = t2.set_column(i, t2.schema.field(i), shifted.cast(t2.schema.field(i).type))
             if t == "documents" and c > 0:
                 i = t2.schema.get_field_index("text")
-                permuted = pa.array(
-                    [_permute_text(v.as_py(), c) for v in t2.column(i)],
-                    type=t2.schema.field(i).type,
-                )
+                if decade2:
+                    vals = [
+                        _permute_text_rowwise(v, c, r)
+                        for r, v in enumerate(t2.column(i).to_pylist())
+                    ]
+                    permuted = pa.array(vals, type=t2.schema.field(i).type)
+                else:
+                    permuted = pa.array(
+                        [_permute_text(v.as_py(), c) for v in t2.column(i)],
+                        type=t2.schema.field(i).type,
+                    )
                 t2 = t2.set_column(i, t2.schema.field(i), permuted)
             chunks.append(t2)
         out = pa.concat_tables(chunks)
-        pq.write_table(out, f"{DST}/{t}.parquet")
+        pq.write_table(out, f"{dst}/{t}.parquet")
         print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
 
 
 if __name__ == "__main__":
-    main()
+    if "--decade2" in sys.argv:
+        main(
+            src=os.environ.get("MII_SF1_DIR", "/root/repo/testdata_sf1"),
+            dst=os.environ.get("MII_SF10_DIR", "/root/repo/testdata_sf10"),
+            offset=100_000_000,  # clears sf1's 9 x 10M key shifts
+            tables={
+                "documents": KEY_COLS["documents"],
+                "events": KEY_COLS["events"],
+            },
+            fixed=(),
+            decade2=True,
+        )
+    else:
+        main()

@@ -270,14 +270,16 @@ def main() -> None:
         cls = queries[name].scale_class
         by_class[cls] = round(by_class.get(cls, 0.0) + secs, 3)
 
-    # Calibration-NORMALIZED production total (VERDICT r11 ask #7):
-    # raw seconds x (pinned reference calibration / this run's
-    # calibration), so BENCH_r{N} vs BENCH_r{N-1} is a one-field
-    # comparison instead of an interleaved A/B. The reference value
-    # is the BENCH_r11 driver run's calibration_sec on this host
-    # class; a faster/slower host scales both the queries and the
-    # calibration job, and the ratio cancels the host term. Raw
-    # totals stay primary — the normalized field is the drift lens.
+    # Calibration-NORMALIZED production total (VERDICT r11 ask #7) —
+    # DEMOTED to a coarse diagnostic by the round-13 interleaved A/B
+    # (SCALING.md): the calibration job tracks when-in-session it
+    # runs, not just host speed (it drifted +36% across an idle-host
+    # A/B while query medians moved ~1%, and an order-flipped pair
+    # erased its apparent tree dependence), so this ratio AMPLIFIES
+    # calibration noise into the headline — it read r12 at +18% vs
+    # r11 where four interleaved pairs measured ~+1%. Raw totals are
+    # primary; any round-over-round claim beyond ~±10% needs an
+    # interleaved A/B of the two committed trees, nothing less.
     REF_CALIBRATION_SEC = 0.217  # pinned: BENCH_r11 driver run
     norm_factor = (
         round(REF_CALIBRATION_SEC / calibration, 4) if calibration else 1.0

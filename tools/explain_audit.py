@@ -923,6 +923,39 @@ AUDITS = [
         ["SortMergeJoin [user_id", "Bucketed: true"],
         ["hashpartitioning(user_id"],
     ),
+    (
+        # Q2 on the derived partsupp (r13): region supplier dim and
+        # part filter broadcast; min-cost verify joins on integer
+        # cents; top-100 is a bounded heap; partsupp derivation is a
+        # map-only explode over the part scan (no shuffle before the
+        # min agg)
+        "min_cost_supplier_partsupp",
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "Generate explode"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    (
+        # Q11 on the derived partsupp: the nation-filtered cents×qty
+        # rows persist across the per-part and global-total branches;
+        # the only cross join is the broadcast 1-row total
+        "stock_value_share_partsupp",
+        ["BroadcastNestedLoopJoin", "InMemoryTableScan", "partial_sum"],
+        ["SortMergeJoin"],
+    ),
+    (
+        # Q16 on the derived partsupp: denylist anti-join broadcasts
+        # and runs BEFORE the distinct aggregation
+        "supplier_cnt_partsupp",
+        ["BroadcastHashJoin", "LeftAnti", "partial_count(distinct"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    (
+        # Q20 on the derived partsupp: the 1996 lineitem aggregate is
+        # the only fact shuffle (partial_sum map-side); part/nation
+        # dims broadcast; availqty*2 > sq compares exact bigints
+        "excess_availability_partsupp",
+        ["BroadcastHashJoin", "partial_sum", "PushedFilters: [IsNotNull(l_shipdate)"],
+        ["CartesianProduct"],
+    ),
 ]
 
 # Non-catalog plan audits: (name, builder(spark) -> DataFrame, must,

@@ -250,26 +250,31 @@ def ngram_jaccard_pairs(
       Skew guard: a shingle shared by c docs of one block puts c²
       rows on a single (block, shingle) join key — a near-universal
       shingle turns the co-occurrence join into one straggler task.
-      ``max_shingle_df`` caps that key: shingles whose per-block df
-      exceeds the cap mark their documents HOT, hot documents are
-      routed through the bounded pair path (paired against their
-      whole block), and the co-occurrence join runs on the remaining
-      cold-doc stream, where every (block, shingle) key's fanout is
-      ≤ cap² by construction. A cold–cold pair shares only cold
-      shingles (a cold doc contains none of the hot ones), so the
-      split is LOSSLESS: cold pairs from co-occurrence + hot-touching
-      pairs from exact array intersects = the pair form's output, row
-      for row (pytest-pinned). ``max_block_rows`` bounds the routed
-      sub-joins' task size, same as in ``method="pairs"``. In the
-      degenerate all-docs-hot case this degrades to exactly the pair
-      form — the right plan in that regime. ``None`` disables the
-      guard (pure co-occurrence, unbounded key).
+      ``max_shingle_df`` bounds the TASK, not the work: shingles
+      whose per-block df exceeds the cap run their self-join CHUNKED
+      — each posting pins a hash chunk of ceil(df/cap) on one side
+      and enumerates chunks on the other (the
+      :func:`bounded_block_join` construction applied to the
+      (block, shingle) key), so every qualifying co-occurrence row
+      still materializes exactly once, per-task fanout is ≤ cap²,
+      and TOTAL work is unchanged. Σ_g c_g² is intrinsic to exact
+      intersection counting — a first r13 cut that routed hot
+      shingles' DOCS through the pair path bounded tasks but
+      multiplied total work ~800× on corpora where most shingles are
+      legitimately dense (this fixture's ~96-bigram block vocabulary
+      puts every shingle in ~half its block; the pair path is the
+      36×-flagged plan, not an escape hatch). Chunking is the only
+      lossless answer that keeps both bounds. ``None`` disables the
+      guard (pure single-key join); ``max_block_rows`` applies to
+      ``method="pairs"`` only — the index form's per-task knob is
+      ``max_shingle_df``.
     * ``method="pairs"``: bounded block-pair join with array
       intersects. ``max_block_rows`` bounds per-task time when one
       block is hot (oversized blocks split into hash-chunk sub-joins
-      via :func:`bounded_block_join`, results unchanged). Task time
-      stays bounded no matter how shingles distribute — the anchor
-      the index form routes its hot documents through.
+      via :func:`bounded_block_join`, results unchanged). Per-PAIR
+      cost is a full array intersect, so this form only wins when
+      blocks are small or shingle overlap is too sparse to pay the
+      exploded-stream shuffle.
 
     ``shingles``: optional prebuilt ``(doc_id, <block_col>, shingles)``
     table (e.g. persisted once and shared across several dedup passes);
@@ -294,30 +299,90 @@ def ngram_jaccard_pairs(
             F.col("doc_id").alias("doc_id"),
             F.explode("shingles").alias("g"),
         )
-        hot_docs = None
-        if max_shingle_df is not None:
-            hot_g = (
-                ex.groupBy("blk", "g")
-                .agg(F.count("*").alias("_df"))
-                .where(F.col("_df") > max_shingle_df)
-                .select("blk", "g")
+        if max_shingle_df is None:
+            co = (
+                ex.select("blk", F.col("doc_id").alias("doc_a"), "g")
+                .join(
+                    ex.select("blk", F.col("doc_id").alias("doc_b"), "g"),
+                    ["blk", "g"],
+                )
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
             )
-            hot_docs = (
-                ex.join(hot_g, ["blk", "g"])
-                .select("blk", "doc_id")
-                .distinct()
+        else:
+            # Split the exploded stream at the df cap. Cold keys run
+            # the plain single-key self-join; hot keys run the SAME
+            # join chunked k = ceil(df/cap) ways — each posting pins
+            # its own hash chunk on one side and enumerates the
+            # other's, so every qualifying (a, b, g) row matches in
+            # exactly one (chunk_a, chunk_b) cell and per-task fanout
+            # is <= cap^2. The explicit repartition width pins the
+            # chunk spread against AQE's input-sized coalescing (the
+            # bounded_block_join lesson).
+            dfc = ex.groupBy("blk", "g").agg(F.count("*").alias("_df"))
+            hot_g = dfc.where(F.col("_df") > max_shingle_df)
+            ex_cold = ex.join(
+                hot_g.select("blk", "g"), ["blk", "g"], "left_anti"
             )
-            ex = ex.join(hot_docs, ["blk", "doc_id"], "left_anti")
-        inter = (
-            ex.select("blk", F.col("doc_id").alias("doc_a"), "g")
-            .join(
-                ex.select("blk", F.col("doc_id").alias("doc_b"), "g"),
+            ex_hot = ex.join(
+                hot_g.select(
+                    "blk",
+                    "g",
+                    F.ceil(F.col("_df") / F.lit(max_shingle_df))
+                    .cast("int")
+                    .alias("_k"),
+                ),
                 ["blk", "g"],
             )
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("_i"))
-        )
+            co_cold = (
+                ex_cold.select("blk", F.col("doc_id").alias("doc_a"), "g")
+                .join(
+                    ex_cold.select(
+                        "blk", F.col("doc_id").alias("doc_b"), "g"
+                    ),
+                    ["blk", "g"],
+                )
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
+            a_hot = ex_hot.select(
+                "blk",
+                "g",
+                F.col("doc_id").alias("doc_a"),
+                F.pmod(F.xxhash64("doc_id"), F.col("_k"))
+                .cast("int")
+                .alias("_ca"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_k") - 1)
+                ).alias("_cb"),
+            )
+            b_hot = ex_hot.select(
+                "blk",
+                "g",
+                F.col("doc_id").alias("doc_b"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_k") - 1)
+                ).alias("_ca"),
+                F.pmod(F.xxhash64("doc_id"), F.col("_k"))
+                .cast("int")
+                .alias("_cb"),
+            )
+            n_part = int(
+                ex.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
+            co_hot = (
+                a_hot.repartition(n_part, "blk", "g", "_ca", "_cb")
+                .join(
+                    b_hot.repartition(n_part, "blk", "g", "_ca", "_cb"),
+                    ["blk", "g", "_ca", "_cb"],
+                )
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
+            co = co_cold.unionByName(co_hot)
+        inter = co.groupBy("doc_a", "doc_b").agg(F.count("*").alias("_i"))
         na = sizes.select(F.col("_d").alias("doc_a"), F.col("_n").alias("_na"))
         nb = sizes.select(F.col("_d").alias("doc_b"), F.col("_n").alias("_nb"))
         jacc = F.round(
@@ -325,47 +390,12 @@ def ngram_jaccard_pairs(
             / (F.col("_na") + F.col("_nb") - F.col("_i")),
             6,
         )
-        cold_pairs = (
+        return (
             inter.join(na, "doc_a")
             .join(nb, "doc_b")
             .select("doc_a", "doc_b", jacc.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
         )
-        if hot_docs is None:
-            return cold_pairs
-        # Hot routing: every pair touching a hot doc gets the exact
-        # array-intersect treatment. Two one-sided joins cover the
-        # unordered pair space exactly once — (hot, anything) with the
-        # hot id smaller, plus (cold, hot) with the cold id smaller —
-        # so hot–hot pairs appear only in the first and cold–cold
-        # pairs (already counted by the co-occurrence form) in
-        # neither.
-        sh_blk = sh.select(
-            F.col(block_col).alias("blk"), F.col("doc_id"), "shingles"
-        )
-        hot_sh = sh_blk.join(hot_docs, ["blk", "doc_id"])
-        cold_sh = sh_blk.join(hot_docs, ["blk", "doc_id"], "left_anti")
-
-        def _side(d: DataFrame, suf: str) -> DataFrame:
-            return d.select(
-                "blk",
-                F.col("doc_id").alias(f"doc_{suf}"),
-                F.col("shingles").alias(f"sh_{suf}"),
-            )
-
-        hot_pairs = bounded_block_join(
-            _side(hot_sh, "a"), _side(sh_blk, "b"),
-            "blk", "doc_a", "doc_b", max_block_rows,
-        ).unionByName(
-            bounded_block_join(
-                _side(cold_sh, "a"), _side(hot_sh, "b"),
-                "blk", "doc_a", "doc_b", max_block_rows,
-            )
-        )
-        hot_res = hot_pairs.select(
-            "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
-        ).where(F.col("jaccard") >= threshold)
-        return cold_pairs.unionByName(hot_res)
     if method != "pairs":
         raise ValueError(f"unknown method {method!r}")
     a = sh.select(

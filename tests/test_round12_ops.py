@@ -105,10 +105,12 @@ def test_ngram_jaccard_index_form_equals_pair_form(spark):
 def test_ngram_jaccard_hot_shingle_routing(spark):
     """VERDICT r12 ask #4: plant a near-universal shingle and prove
     the index form's df-cap (a) actually fires — the physical plan
-    grows the hot-routing Union — and (b) stays lossless: output
-    pinned equal to method="pairs" and to the uncapped index form,
-    including the hot-hot and hot-cold pairs whose shared shingles
-    were anti-joined out of the co-occurrence stream."""
+    grows the cold/chunked-hot Union — and (b) stays lossless: output
+    pinned equal to method="pairs" and to the uncapped index form.
+    Hot keys run their co-occurrence self-join CHUNKED (per-task
+    fanout <= cap^2, total work unchanged); a pair sharing both hot
+    and cold shingles gets its intersection count summed across the
+    two streams by the single groupBy."""
     from mapreduce_inverted_index_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )

@@ -1001,12 +1001,28 @@ def dup_components(
     converges in ~14 rounds, far under the default cap.
     """
     spark = pairs.sparkSession
-    edges = pairs.select("doc_a", "doc_b")
-    sym = edges.union(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # Both-directions edge list in ONE explode pass, not a two-branch
+    # union: union branches are not exchange-identical, so each one
+    # re-derived the entire upstream pair join (the dominant cost of
+    # the dedup pipeline) before the persist materialized.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_a"),
+                        F.col("doc_b").alias("doc_b"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("_e")
         )
-    ).persist()
+        .select("_e.doc_a", "_e.doc_b")
+        .persist()
+    )
     n_edges = sym.count()
     # Size each round's shuffles to the GRAPH, not the session
     # default: a small pair graph must not pay hundreds of near-empty
@@ -1040,11 +1056,18 @@ def dup_components(
             # and only ever take mins of them), so the lookup always
             # hits; chain depth halves per round.
             lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+            # LAZY truncation: the convergence count below is the
+            # round's only job — it materializes new_labels into the
+            # checkpoint cache while it counts (localCheckpoint
+            # backfills skipped partitions at job end), instead of
+            # paying one eager-checkpoint job plus one count job per
+            # round (r13: the loop is driver-bound at bench scale, so
+            # per-round job count is the cost).
             new_labels = truncate_lineage(
                 prop.join(lut, prop.label == F.col("_ln"), "left")
                 .select("node", F.coalesce("_ll", "label").alias("label")),
                 reliable=reliable_checkpoint,
-                eager=True,
+                eager=False,
             )
             changed = (
                 new_labels.alias("n")

@@ -59,6 +59,17 @@ def cooccurrence_edges(
     one per event; ``max_block_rows`` chunks a hot context (a
     flash-mob minute) into k² bounded sub-joins instead of one
     straggler task.
+
+    The ctx table feeds three branches of the bounded join (both
+    pair sides + the block-size counts pass) and the STATIC plan
+    shows an events scan per branch — deliberately left
+    un-persisted: the branches share the distinct's Exchange
+    subtree, which Spark's exchange reuse computes once at runtime,
+    so the scans never actually replay; persisting ctx (and the
+    triangle query's edges/deg/oriented) was A/B-measured at sf1 in
+    r13 and LOST 1.8-2.2× — cache materialization + storage-memory
+    pressure against the wedge join's execution memory, for
+    recomputation that reuse had already eliminated.
     """
     ctx = (
         events.select(
@@ -80,6 +91,26 @@ def cooccurrence_edges(
     )
 
 
+def _directed_edges(edges: DataFrame) -> DataFrame:
+    """Persisted both-directions edge list ``(src, dst)`` from
+    undirected ``(u, v)`` rows — the per-round join table of the
+    iterative ops. Built with ONE explode pass, not a two-branch
+    union: a union's branches each re-derive the whole upstream
+    edge pipeline (for co-occurrence edges that is the events scan +
+    distinct + blocked self-join, twice) before the persist
+    materializes; the explode doubles rows in the same single pass.
+    """
+    de = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    return de.persist()
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle count by degree orientation. Input: distinct
     undirected ``(u, v)`` edges with ``u < v``; output one row:
@@ -94,10 +125,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     neighbors producing 10¹⁶ wedges) away at 100 TB. The degree
     table is one row per vertex; joining it onto edges is a plain
     shuffle join Catalyst will broadcast when it fits.
+
+    ``edges`` feeds four branches (degrees, the orientation join,
+    the edge count) and ``oriented`` three (both wedge sides + the
+    closing join); the static plan replicates each subtree per
+    branch (r13 audit: 72 events scans / 476 Exchanges for the
+    co-occurrence input), but the replicas canonicalize to the same
+    Exchanges, which Spark computes once at runtime — persisting
+    edges/deg/oriented instead was A/B-measured at sf1 in r13 and
+    LOST 1.8-2.2× (cache materialization + storage-memory pressure
+    against the wedge join), so the reuse-based shape stays. The
+    degree table IS built with one explode pass rather than a
+    two-branch union: union branches are not exchange-identical, so
+    that duplication was real.
     """
     deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
+        edges.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count("*").alias("deg"))
     )
@@ -177,10 +220,7 @@ def bfs_levels(
     are trivially at distance 0 from themselves), matching the
     recursive-CTE oracle's UNION seed row.
     """
-    de = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    de = de.persist()
+    de = _directed_edges(edges)
     # Size the per-round shuffles to the GRAPH, not the session
     # default (the pagerank_fixed_point discipline): max_hops rounds
     # x 2 shuffles each multiply per-task overhead, so a modest graph
@@ -262,10 +302,7 @@ def pagerank_fixed_point(
 
     Output: ``id, rank_nano (BIGINT), rank (DOUBLE = nano / 10⁹)``.
     """
-    de = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    de = de.persist()
+    de = _directed_edges(edges)
     # Size each round's shuffles to the GRAPH, not the session
     # default (same discipline as dedup.dup_components): 5 rounds x
     # 2-3 shuffles each multiply per-task overhead, so a modest graph

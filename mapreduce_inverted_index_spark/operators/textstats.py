@@ -754,11 +754,24 @@ def bpe_train(
        symbol string (the same left-to-right non-overlapping pass
        semantics ``bpe_encode`` replays),
 
-    with per-round eager lineage truncation (the PageRank
-    discipline — localCheckpoint both caches the round's state and
-    cuts the plan; ``reliable_checkpoint=True`` swaps localCheckpoint
-    for fault-tolerant ``checkpoint()`` on multi-hour corpora).
+    with per-round lineage truncation (the PageRank discipline;
+    ``reliable_checkpoint=True`` swaps localCheckpoint for
+    fault-tolerant ``checkpoint()`` on multi-hour corpora).
     Training stops early if no pair remains.
+
+    The truncation is LAZY and placed at the TOP of each round, so
+    one job per round does everything: the argmax pass materializes
+    the pending replace into the checkpoint cache while it
+    aggregates pair counts (localCheckpoint backfills any partition
+    the job's pushdown skipped at job end). The r13 profile of the
+    previous shape — eager checkpoint after the replace, then the
+    next round's argmax re-reading the cache — showed 2 driver jobs
+    per round and a dead final-round replace job (its result feeds
+    nothing: the merge table is already on the driver); at fixture
+    scale the loop was driver-bound (10.5 s wall vs 0.8 s of
+    parallel executor work), so halving the job count halves the
+    query. At corpus scale the fusion also removes one cache-read
+    pass over the distinct-token table per round.
 
     The returned merge table is driver-materialized by construction
     (k rows — it IS the artifact you broadcast to encoders).
@@ -783,9 +796,12 @@ def bpe_train(
             ).alias("s"),
         )
     )
-    current = truncate_lineage(sym, reliable=reliable_checkpoint, eager=True)
+    current = sym
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
+        current = truncate_lineage(
+            current, reliable=reliable_checkpoint, eager=False
+        )
         syms = F.array_remove(
             F.split(F.regexp_replace("s", "^,+|,+$", ""), ",,"), ""
         )
@@ -811,12 +827,8 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((step, a, b, cnt))
-        current = truncate_lineage(
-            current.withColumn(
-                "s", F.replace("s", F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
-            ),
-            reliable=reliable_checkpoint,
-            eager=True,
+        current = current.withColumn(
+            "s", F.replace("s", F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
         )
     return spark.createDataFrame(
         merges,

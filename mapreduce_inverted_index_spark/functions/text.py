@@ -60,6 +60,16 @@ def tokenize(col: Column | str) -> Column:
     return F.array_remove(F.split(normalize_text(col), r"(?U)\s+"), "")
 
 
+# The stopword list as ONE SQL array literal, parsed JVM-side in a
+# single call. Building it as Column ops (``isin(*STOPWORDS)`` /
+# ``F.lit(list)``) marshalled one py4j round-trip per word per terms()
+# call — r13 profiled ~1.2 s of pure plan-construction time per
+# signature build from this line alone (and terms() underlies every
+# tokenize-family query). Words are double-quoted: they are ascii
+# lowercase (some with apostrophes), never with double quotes.
+_STOP_ARRAY_SQL = "array(" + ",".join(f'"{w}"' for w in STOPWORDS) + ")"
+
+
 def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
     """P1-P4 (+ optionally P5): stopword-filtered token array.
 
@@ -70,9 +80,10 @@ def terms(col: Column | str, *, keep_duplicates: bool = False) -> Column:
     text-stats operators.
     """
     toks = tokenize(col)
+    stop_arr = F.expr(_STOP_ARRAY_SQL)
     if keep_duplicates:
-        return F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
-    return F.array_except(toks, F.lit(list(STOPWORDS)).cast("array<string>"))
+        return F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return F.array_except(toks, stop_arr)
 
 
 def python_terms(text: str | None, *, keep_duplicates: bool = False) -> list[str]:

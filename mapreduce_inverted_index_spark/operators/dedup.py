@@ -448,13 +448,20 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
             F.lit(_P31),
         ).alias("x"),
     )
+    # SQL-string construction (one JVM parse per aggregate) instead
+    # of 64 × ~6 py4j Column calls — same expression, same math;
+    # see simhash_signatures for the r13 measurement that motivates
+    # this construction style.
     mins = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P31).alias(f"h{p}")
+        F.expr(f"min(({a}L * x + {b}L) % {_P31}) AS h{p}")
         for p, (a, b) in enumerate(_PERMS)
     ]
     agg = ex.groupBy("doc_id").agg(*mins)
     return agg.select(
-        "doc_id", F.array(*[f"h{p}" for p in range(NUM_PERM)]).alias("sig")
+        "doc_id",
+        F.expr(
+            "array(" + ", ".join(f"h{p}" for p in range(NUM_PERM)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -473,17 +480,22 @@ def band_table(sigs: DataFrame) -> DataFrame:
     batch joins against (see :func:`minhash_incremental_dedup`), not
     something recomputed per run.
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
-                ).alias("key"),
+    # Single SQL-string construction (one JVM parse) — the 16-struct
+    # Column build cost ~150 py4j round-trips per call; see
+    # simhash_signatures for the r13 measurement.
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            "struct({b} AS band, concat_ws(',', {cols}) AS key)".format(
+                b=b,
+                cols=", ".join(
+                    f"sig[{b * ROWS_PER_BAND + r}]"
+                    for r in range(ROWS_PER_BAND)
+                ),
             )
             for b in range(BANDS)
-        ]
+        )
+        + ")"
     )
     return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -698,24 +710,34 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         "doc_id",
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
+    # The 31 aggregates and the 60-term bit fold are generated as SQL
+    # STRINGS and parsed JVM-side in a handful of calls: building them
+    # as nested Column operations cost ~700 py4j round-trips — r13
+    # measured 1.9-6.4 s of pure Python-side plan CONSTRUCTION per
+    # call (the bench clears the shared-signature memo between
+    # passes, so every pass paid it; the executed query itself runs
+    # in ~0.2 s warm). Identical expression tree, same integer math.
     packed_mask = 1 | (1 << half)
     votes = occ.groupBy("doc_id").agg(
-        F.count("*").alias("n_occ"),
+        F.expr("count(*) AS n_occ"),
         *[
-            F.sum(F.expr(f"shiftright(h, {i}) & {packed_mask}")).alias(f"s{i}")
+            F.expr(f"sum(shiftright(h, {i}) & {packed_mask}) AS s{i}")
             for i in range(half)
         ],
     )
-    simhash = None
+    bits = []
     for i in range(half):
-        lo = F.expr(f"s{i} & {field_mask}")  # ones_i
-        hi = F.expr(f"shiftright(s{i}, {half})")  # ones_(i+half)
-        for bit_pos, ones in ((i, lo), (i + half, hi)):
-            bit = F.when(
-                ones * 2 > F.col("n_occ"), F.lit(1 << bit_pos).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            simhash = bit if simhash is None else simhash + bit
-    return votes.select("doc_id", simhash.alias("simhash"))
+        # ones_i lives in the low 30-bit field, ones_(i+half) in the
+        # high field of the packed accumulator s{i}.
+        bits.append(
+            f"IF((s{i} & {field_mask}) * 2 > n_occ, {1 << i}L, 0L)"
+        )
+        bits.append(
+            f"IF(shiftright(s{i}, {half}) * 2 > n_occ, {1 << (i + half)}L, 0L)"
+        )
+    return votes.select(
+        "doc_id", F.expr(" + ".join(bits)).alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(

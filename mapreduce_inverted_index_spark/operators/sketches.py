@@ -103,6 +103,16 @@ def frequent_items(
     ``ceil`` agrees with a SQL oracle's decimal literal even when
     φ·N lands on an integer (double rounding could shift ceil by 1).
 
+    The global N rides OUT OF the candidate pass (each partition's
+    summary carries its non-null row count; N = their sum), so the
+    stream is consumed exactly TWICE — candidates + verify, the MG
+    minimum — where a separate ``items.count()`` made it three full
+    passes (for tokenize-fed callers like ``frequent_bigrams``, a
+    third regex pass over the corpus; r13). The per-partition
+    summary table is persisted — ≤ k+1 rows per partition, the
+    cheapest possible cache — because both the candidate set and N
+    read it.
+
     Candidate schema follows the input column's type (string keys
     yield string candidates, bigint keys bigint), so the verify
     equi-join never casts through string.
@@ -113,7 +123,7 @@ def frequent_items(
     import math
 
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
@@ -124,8 +134,11 @@ def frequent_items(
         # MG count): batch counts come from value_counts and merge
         # via Series.add — vectorized end-to-end, no per-item loop.
         counters = None
+        n_rows = 0
         for pdf in batches:
-            vc = pdf.iloc[:, 0].value_counts()  # drops nulls
+            s = pdf.iloc[:, 0]
+            n_rows += int(s.count())  # non-null, matching count(col)
+            vc = s.value_counts()  # drops nulls
             counters = vc if counters is None else counters.add(vc, fill_value=0)
             if len(counters) > k:
                 # MG merge step: subtract the (k+1)-th largest count,
@@ -133,18 +146,39 @@ def frequent_items(
                 cut = counters.nlargest(k + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
-        if counters is not None and len(counters):
-            # The index preserves the source dtype, so bigint keys
-            # arrive at Arrow as int64, strings as object.
-            yield pd.DataFrame({"_mg_cand": counters.index})
+        if n_rows:
+            # k candidate rows (partition count 0) + ONE total row
+            # (_mg_cand null): the partition's contribution to the
+            # global N leaves with its summary, so no separate
+            # counting pass over the stream is needed. Plain python
+            # lists → object columns → Arrow casts to the declared
+            # types (the index preserves the source dtype, so bigint
+            # keys arrive as ints, strings as str).
+            cands = list(counters.index) if counters is not None else []
+            yield pd.DataFrame(
+                {
+                    "_mg_cand": cands + [None],
+                    "_part_n": [0] * len(cands) + [n_rows],
+                }
+            )
 
-    cand_schema = StructType([StructField("_mg_cand", items.schema[col].dataType)])
-    candidates = (
+    mg_schema = StructType(
+        [
+            StructField("_mg_cand", items.schema[col].dataType),
+            StructField("_part_n", LongType()),
+        ]
+    )
+    summaries = (
         items.select(F.col(col).alias("_mg_cand"))
-        .mapInPandas(mg_partition, schema=cand_schema)
+        .mapInPandas(mg_partition, schema=mg_schema)
+        .persist()
+    )
+    candidates = (
+        summaries.where(F.col("_mg_cand").isNotNull())
+        .select("_mg_cand")
         .distinct()
     )
-    total = items.agg(F.count(col).alias("_n"))
+    total = summaries.agg(F.sum("_part_n").alias("_n"))
     phi_exact = F.lit(decimal.Decimal(str(phi)))
     return (
         items.join(

@@ -63,7 +63,13 @@ def _update_peaks(
 def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user (max value, event count) maintained as streaming
     state; snapshot emitted per batch."""
-    ev = events_stream(spark, sf_dir)
+    # Explicit projection BEFORE the opaque stateful node: Catalyst
+    # cannot prune columns through applyInPandasWithState (the
+    # function is a black box), so without this select every event
+    # column — including the props payload the function never reads —
+    # is shuffled to the state partitions and shipped through the
+    # Arrow boundary (guide §4). Values identical (pytest + oracle).
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "value")
     peaks = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -151,7 +157,12 @@ def tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    ev = events_stream(spark, sf_dir)
+    # Same boundary-width discipline as the applyInPandasWithState
+    # operators: project to the columns the processor reads (value)
+    # plus the watermark/grouping keys before the opaque node.
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value"
+    )
     out = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id", "event_type")
@@ -247,7 +258,14 @@ def stateful_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pytest-proven with a chunked feed (the
     ``incremental_index_merge`` evidence pattern).
     """
-    ev = events_stream(spark, sf_dir)
+    # Project to the four columns the update function reads before
+    # the opaque stateful node — column pruning stops at
+    # applyInPandasWithState, so the unused value/props columns would
+    # otherwise ride the state shuffle and the Arrow exchange
+    # (guide §4; same discipline as stateful_user_peaks).
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     pairs = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id")

@@ -101,10 +101,15 @@ def zorder_key(
     """
     cx = grid_cells(df, col_x, bits).withColumnRenamed("cell", "_gx")
     cy = grid_cells(df, col_y, bits).withColumnRenamed("cell", "_gy")
+    # The Morton fold is parsed JVM-side from the SQL twin (valid
+    # Spark SQL too) instead of the 2·bits-term Column chain of
+    # interleave_bits — one py4j call instead of ~64 (the
+    # prefix-primitive construction finding; interleave_bits stays
+    # the Column-level API, pytest pins the two forms equal).
     return (
         df.join(cx.withColumnRenamed("value", col_x), col_x)
         .join(cy.withColumnRenamed("value", col_y), col_y)
-        .withColumn("z", interleave_bits(F.col("_gx"), F.col("_gy"), bits))
+        .withColumn("z", F.expr(sql_interleave_bits("_gx", "_gy", bits)))
         .drop("_gx", "_gy")
     )
 

@@ -66,12 +66,20 @@ def bucketed_prefix_sum(
         cuts = df.agg(
             F.percentile_approx(cut_col, fracs, 10_000).alias("_qs")
         )
-        pid = sum(
-            [
-                F.when(F.col(cut_col) > F.col("_qs")[i], 1).otherwise(0)
+        # One SQL string parsed JVM-side instead of a (buckets-1)-term
+        # F.when chain built Column-by-Column: the chain is ~180 py4j
+        # round-trips of pure driver latency — measured 2.3-5.5 s per
+        # call on a loaded host vs 0.3-0.7 s for the string form —
+        # paid by EVERY prefix-sum consumer on every plan build (the
+        # simhash_signatures construction finding, OPTIMIZATION_r13
+        # §7, applied to the shared primitive). Identical expression
+        # tree: IF(x > q, 1, 0) == WHEN(x > q, 1).OTHERWISE(0),
+        # nulls included (null comparison -> false -> 0 on both).
+        pid = F.expr(
+            " + ".join(
+                f"IF({cut_col} > _qs[{i}], 1, 0)"
                 for i in range(buckets - 1)
-            ],
-            F.lit(0),
+            )
         )
         ev = df.crossJoin(F.broadcast(cuts)).select(
             pid.alias("_pid"), *df.columns

@@ -455,30 +455,37 @@ def bootstrap_ci(
     # n_reps branch-free bit tests (measured ~4× faster than the
     # explode-then-groupBy form, which streamed n_reps× the corpus
     # into the aggregation).
-    bit = lambda r: (F.shiftright(F.col("_h"), r).bitwiseAND(F.lit(1)) == 0)  # noqa: E731
-    dec_q = F.col("_q").cast("decimal(18,0)")
+    # The 2·n_reps replicate aggregates and the unpivot array are
+    # generated as SQL strings parsed JVM-side — as nested Column ops
+    # the two loops cost ~600 py4j round-trips of plan-construction
+    # latency per call (the simhash_signatures / prefix-primitive
+    # finding). Identical expressions: IF((h>>r)&1 = 0, ...) ==
+    # WHEN(shiftright(h,r)&1 == 0, ...), and the no-otherwise WHEN's
+    # NULL matches the explicit NULL branch.
     aggs = [
         F.count("*").alias("n_rows"),
-        F.sum(dec_q).alias("_sf"),
+        F.expr("sum(CAST(_q AS DECIMAL(18,0))) AS _sf"),
     ]
     for r in range(n_reps):
-        aggs.append(F.sum(F.when(bit(r), 1).otherwise(0)).alias(f"_n{r}"))
-        aggs.append(F.sum(F.when(bit(r), dec_q)).alias(f"_s{r}"))
+        cond = f"(shiftright(_h, {r}) & 1) = 0"
+        aggs.append(F.expr(f"sum(IF({cond}, 1, 0)) AS _n{r}"))
+        aggs.append(
+            F.expr(
+                f"sum(IF({cond}, CAST(_q AS DECIMAL(18,0)), NULL)) "
+                f"AS _s{r}"
+            )
+        )
     wide = base.agg(*aggs)
     # Unpivot the 1-row wide result to one row per replicate (tiny).
     rep_rows = wide.select(
         "n_rows",
         "_sf",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"_n{r}").alias("_n"),
-                        F.col(f"_s{r}").alias("_s"),
-                    )
-                    for r in range(n_reps)
-                ]
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"struct(_n{r} AS _n, _s{r} AS _s)" for r in range(n_reps)
             )
+            + "))"
         ).alias("_rep"),
     ).where(F.col("_rep._n") > 0)
     mq = F.floor(

@@ -252,11 +252,27 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
 def lsh_signature(vec_col: str, n_planes: int = N_PLANES, dim: int = 64) -> F.Column:
     """Pack ``n_planes`` hyperplane signs into one integer bucket id.
     ``dim`` must EQUAL the vector length (``zip_with`` null-pads any
-    length mismatch, which nulls the fold)."""
-    sig = F.lit(0)
+    length mismatch, which nulls the fold).
+
+    Generated as ONE SQL string parsed JVM-side: the Column form
+    built n_planes·dim literal nodes one py4j call at a time (~840
+    round-trips for 6 planes x 64 dims — seconds of pure plan
+    construction on a loaded driver; the simhash_signatures finding,
+    OPTIMIZATION_r13 §7). Identical expression tree —
+    ``_hyperplane_sign`` remains the Column-level reference and
+    pytest pins the two forms equal.
+    """
+    terms = []
     for p in range(n_planes):
-        sig = sig * 2 + _hyperplane_sign(vec_col, p, dim)
-    return sig
+        signs = ", ".join(
+            f"{float(s)}D" for s in hyperplane_signs(dim, p)
+        )
+        terms.append(
+            f"IF(aggregate(zip_with({vec_col}, array({signs}), "
+            "(x, s) -> CAST(x AS DOUBLE) * s), 0D, "
+            f"(acc, v) -> acc + v) >= 0, {1 << (n_planes - 1 - p)}, 0)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def lsh_bucket_topk(

@@ -73,6 +73,29 @@ def test_lsh_topk_is_subset_of_brute_force_scores(spark, sf_smoke):
         assert brute_scores[(r["query_id"], r["vec_id"])] == r["cos_sim"]
 
 
+def test_lsh_signature_sql_form_equals_column_form(spark, sf_smoke):
+    # lsh_signature is generated as one JVM-parsed SQL string (plan-
+    # construction cost); _hyperplane_sign is the Column-level
+    # reference. Pin the two bit-identical over the whole fixture.
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ref = sum(
+        (
+            S._hyperplane_sign("embedding", p, 64)
+            * F.lit(1 << (S.N_PLANES - 1 - p))
+            for p in range(S.N_PLANES)
+        ),
+        F.lit(0),
+    )
+    n_diff = (
+        emb.select(
+            S.lsh_signature("embedding").alias("a"), ref.alias("b")
+        )
+        .where("a <> b")
+        .count()
+    )
+    assert n_diff == 0
+
+
 def test_lsh_topk_deterministic(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(

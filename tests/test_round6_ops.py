@@ -271,6 +271,29 @@ def test_interleave_bits_known_values(spark):
     ]
 
 
+def test_interleave_bits_column_and_sql_forms_equal(spark):
+    # zorder_key builds the Morton key from the SQL twin (one parsed
+    # expression instead of the 2·bits-term Column chain); this pins
+    # the two forms bit-identical over a dense value sweep.
+    from mapreduce_inverted_index_spark.operators.layout import (
+        interleave_bits,
+        sql_interleave_bits,
+    )
+
+    df = spark.range(0, 1 << 16).selectExpr(
+        "CAST(id % 256 AS BIGINT) AS x", "CAST(id div 256 AS BIGINT) AS y"
+    )
+    n_diff = (
+        df.select(
+            interleave_bits(F.col("x"), F.col("y"), 8).alias("a"),
+            F.expr(sql_interleave_bits("x", "y", 8)).alias("b"),
+        )
+        .where("a <> b")
+        .count()
+    )
+    assert n_diff == 0
+
+
 def test_zorder_envelopes_are_2d_narrow(spark, sf_oracle):
     from mapreduce_inverted_index_spark.operators.layout import (
         zorder_layout_profile,

@@ -454,7 +454,13 @@ def temperature_sample(
             "alpha is fixed at 0.5: sqrt is correctly rounded (engine-"
             "portable); pow is not — see docstring"
         )
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    # counts feeds the totals row AND the rate table (no shared
+    # Exchange), so unpersisted the corpus was scanned once per
+    # branch plus once for the final filter join — three scans for a
+    # ≤|groups|-row aggregate. Persist the tiny table: two scans
+    # (the aggregate and the filtered output), the minimum this
+    # operator can do.
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_c")).persist()
     # _sw sums doubles across groups — order-dependent as raw floats.
     # Round each sqrt to 9 places (still correctly-rounded, identical
     # both engines) and sum as DECIMAL: exact and order-independent,
@@ -598,9 +604,18 @@ def dsir_importance_weights(
         ).select("doc_id", _md5_bucket(F.col("term"), n_buckets).alias("b"))
 
     dec = "decimal(18,9)"
-    src_b = buckets(docs)
-    src_h = src_b.groupBy("b").agg(F.count("*").alias("sc"))
-    tgt_h = buckets(target).groupBy("b").agg(F.count("*").alias("tc"))
+    # Persist the two-consumer tables (the bm25_rank discipline):
+    # src_b feeds the source histogram AND the per-doc counts on
+    # DIFFERENT keys (b vs doc_id,b — no shared Exchange), and each
+    # histogram feeds the log-ratio dim AND the totals row.
+    # Unpersisted, the source corpus was tokenized 3× and the target
+    # 2× per run; persisted, each is tokenized once. src_b is
+    # (doc_id, bucket) rows; the histograms are ≤ n_buckets rows.
+    src_b = buckets(docs).persist()
+    src_h = src_b.groupBy("b").agg(F.count("*").alias("sc")).persist()
+    tgt_h = (
+        buckets(target).groupBy("b").agg(F.count("*").alias("tc")).persist()
+    )
     dim = src_h.join(tgt_h, "b", "full_outer").select(
         "b",
         (

@@ -195,6 +195,14 @@ def duplicate_spans(
             "wh"
         ),
     )
+    # wins feeds TWO consumers — the duplicate-set aggregate and the
+    # probe side of the flag join (dup broadcasts, so the branches
+    # share no Exchange and Spark would re-run the tokenize + explode
+    # + per-position md5 pass once per branch). Persist = one window
+    # pass over the corpus (the bm25_rank discipline; at 100 TB the
+    # window table is materialized storage instead). LRU-evicted;
+    # clearCache drops it.
+    wins = wins.persist()
     dup = (
         wins.groupBy("wh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -266,9 +274,17 @@ def boilerplate_profile(
     the corpus-side passage stream is annotated map-side: one shuffle
     for the per-doc rollup, none for the flagging join.
     """
-    passages = doc_passages(docs, k, text_col, id_col)
-    common = passage_doc_freq(docs, k, min_docs, text_col, id_col).select(
-        "passage_hash", F.lit(1).alias("_common")
+    # ONE passage derivation feeds both the boilerplate set and the
+    # probe side (passage_doc_freq(docs, ...) would re-run the
+    # tokenize + chunk + md5 pass for the broadcast side — the
+    # duplicate_spans two-consumer hazard). Persisted for the query's
+    # lifetime; LRU-evicted, clearCache drops it.
+    passages = doc_passages(docs, k, text_col, id_col).persist()
+    common = (
+        passages.groupBy("passage_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("passage_hash", F.lit(1).alias("_common"))
     )
     flagged = passages.join(F.broadcast(common), "passage_hash", "left")
     return (

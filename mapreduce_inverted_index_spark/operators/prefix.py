@@ -48,6 +48,7 @@ def bucketed_prefix_sum(
     *,
     inclusive: bool = True,
     buckets: int = 32,
+    also: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Add ``out_col`` = running sum of ``value_col`` over the
     global ``order_cols`` order, computed with the bucketed plan
@@ -60,7 +61,16 @@ def bucketed_prefix_sum(
     within-bucket window sees every tie group whole. The result is persisted (it feeds at least two
     consumers in every caller); callers treat it as query-lifetime
     cache, mirroring ``bm25_rank``.
+
+    ``also``: extra ``(value_col, out_col)`` pairs accumulated over
+    the SAME order in the same pass — the window node evaluates all
+    sums over one sort, the ledger carries one total per pair, and
+    one broadcast join attaches every offset. A caller needing k
+    prefix sums over one axis pays one sketch + one window pass
+    instead of k chained calls (k sorts, k ledgers, k joins —
+    vocab_growth_curve's former shape).
     """
+    pairs = [(value_col, out_col), *also]
     if buckets >= 2:
         fracs = [b / buckets for b in range(1, buckets)]
         cuts = df.agg(
@@ -96,16 +106,31 @@ def bucketed_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
-    local = ev.withColumn(
-        "_loc", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    local = ev.select(
+        *ev.columns,
+        *[
+            F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc{i}")
+            for i, (v, _) in enumerate(pairs)
+        ],
     )
-    ledger = ev.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    ledger = ev.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_tot{i}") for i, (v, _) in enumerate(pairs)]
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = ledger.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_tot{i}").over(w_off), F.lit(0)).alias(
+                f"_off{i}"
+            )
+            for i in range(len(pairs))
+        ],
     )
-    return (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn(out_col, F.col("_loc") + F.col("_off"))
-        .drop("_pid", "_loc", "_off")
+    out = local.join(F.broadcast(offs), "_pid")
+    for i, (_, oc) in enumerate(pairs):
+        out = out.withColumn(oc, F.col(f"_loc{i}") + F.col(f"_off{i}"))
+    return out.drop(
+        "_pid",
+        *[f"_loc{i}" for i in range(len(pairs))],
+        *[f"_off{i}" for i in range(len(pairs))],
     )

@@ -661,10 +661,14 @@ def vocab_growth_curve(
         bucketed_prefix_sum,
     )
 
+    # tf feeds the per-doc token counts AND the term-novelty groupBy
+    # on DIFFERENT keys (doc_id vs term — no shared Exchange), so
+    # unpersisted the tokenize pass ran twice (the bm25_rank
+    # discipline). LRU-evicted; clearCache drops it.
     tf = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(terms(text_col, keep_duplicates=True)).alias("term"),
-    )
+    ).persist()
     per_doc = tf.groupBy("doc_id").agg(F.count("*").alias("_nt"))
     first_doc = tf.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
     new_per_doc = first_doc.groupBy("doc_id").agg(
@@ -680,11 +684,17 @@ def vocab_growth_curve(
             F.coalesce("_nv", F.lit(0)).alias("n_new_terms"),
         )
     )
+    # ONE bucketed pass carries both axes (the `also` form): one
+    # equi-depth sketch, one per-bucket window sort evaluating both
+    # sums, one two-total ledger — the former two chained calls paid
+    # each of those twice.
     cum = bucketed_prefix_sum(
-        base, "doc_id", ["doc_id"], "n_tokens", "tokens_seen"
-    )
-    cum = bucketed_prefix_sum(
-        cum, "doc_id", ["doc_id"], "n_new_terms", "vocab_size"
+        base,
+        "doc_id",
+        ["doc_id"],
+        "n_tokens",
+        "tokens_seen",
+        also=[("n_new_terms", "vocab_size")],
     )
     return cum.select(
         "doc_id", "n_tokens", "n_new_terms", "tokens_seen", "vocab_size"

@@ -26,7 +26,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_inverted_index_spark.functions.text import STOPWORDS, terms, tokenize
+from mapreduce_inverted_index_spark.functions.stopwords import (
+    stopwords_spark_in_list,
+)
+from mapreduce_inverted_index_spark.functions.text import terms, tokenize
+
+# The stopword predicate as ONE SQL string parsed JVM-side (r14: the
+# Column form `~col("term").isin(*STOPWORDS)` marshalled 179 py4j
+# round-trips per doc_terms/doc_term_freq call — the same
+# plan-construction tax r13 removed from terms(); identical expression
+# tree, Catalyst still folds it to the codegen'd InSet).
+_NOT_STOP_SQL = "term NOT IN (" + stopwords_spark_in_list() + ")"
 
 __all__ = [
     "doc_terms",
@@ -67,7 +77,7 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
-    ).where(~F.col("term").isin(*STOPWORDS))
+    ).where(F.expr(_NOT_STOP_SQL))
 
 
 def doc_term_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -80,7 +90,7 @@ def doc_term_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.col(id_col).alias("doc_id"),
             F.explode(tokenize(text_col)).alias("term"),
         )
-        .where(~F.col("term").isin(*STOPWORDS))
+        .where(F.expr(_NOT_STOP_SQL))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_inverted_index_spark.functions.stopwords import STOPWORDS
+from mapreduce_inverted_index_spark.functions.stopwords import (
+    stopwords_spark_in_list,
+)
 from mapreduce_inverted_index_spark.functions.text import normalize_text, terms, tokenize
 
 __all__ = [
@@ -95,7 +97,12 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         terms(text_col).alias("trm"),
     )
     n_tokens = F.size("toks")
-    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    # ONE SQL string instead of 179 per-word py4j lit calls (r14, the
+    # r13 terms() fix applied to this site); same filter-then-size
+    # tree, same In→InSet fold.
+    n_stop = F.expr(
+        "size(filter(toks, t -> t IN (" + stopwords_spark_in_list() + ")))"
+    )
     return d.select(
         "doc_id",
         n_tokens.cast("int").alias("n_tokens"),

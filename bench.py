@@ -191,23 +191,36 @@ def main() -> None:
         "bpe_train_merges",
     }
 
-    def best_of(fn, name: str = "") -> float:
-        best = float("inf")
+    def best_of(fn, name: str = "") -> tuple[float, list[float]]:
+        """(min seconds, all pass samples) — the min is the headline
+        estimator (unchanged since r1); the full sample list rides
+        along so a median column exists for noise-resistant
+        round-over-round comparison (VERDICT r13 ask #3: the r13
+        driver host swung identical-plan queries 2x run-to-run, so a
+        single min-of-N column cannot separate host noise from plan
+        regression; additions only — no existing field changed)."""
+        samples: list[float] = []
         for _ in range(PASSES):
             clear_state()
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
         # Sub-2s queries are jitter-dominated at min-of-2 (round 6
         # showed +-0.3s swings read as regressions); one extra pass
         # tightens the min estimator where it's cheapest to do so.
         # State-store/iterative queries get it unconditionally.
-        if best < 2.0 or name in _JITTER_PRONE:
+        if min(samples) < 2.0 or name in _JITTER_PRONE:
             clear_state()
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3), [round(s, 3) for s in samples]
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        n = len(ys)
+        mid = ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+        return round(mid, 3)
 
     # Host-drift calibration (VERDICT r10 ask #3): a pinned-size,
     # CPU-bound, whole-stage-codegen'd aggregate over GENERATED data —
@@ -235,22 +248,28 @@ def main() -> None:
     calibration = round(calibration, 3)
 
     timings: dict[str, float] = {}
+    samples_noop: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = queries.get(name)
         if q is None:
             continue
-        timings[name] = best_of(lambda: run(q.fn(spark, sf_dir)), name)
+        timings[name], samples_noop[name] = best_of(
+            lambda: run(q.fn(spark, sf_dir)), name
+        )
 
     # Second pass with the round-1 count() methodology so the
     # baseline ratio stays apples-to-apples across rounds (count()
     # lets Catalyst prune map-only pipelines, so this total is lower;
     # see module docstring).
     compat: dict[str, float] = {}
+    samples_count: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = queries.get(name)
         if q is None:
             continue
-        compat[name] = best_of(lambda: q.fn(spark, sf_dir).count(), name)
+        compat[name], samples_count[name] = best_of(
+            lambda: q.fn(spark, sf_dir).count(), name
+        )
 
     # The driver keeps only a ~2 KB tail of stdout and parses the LAST
     # JSON line; round 6's single line carried two 41-query dicts and
@@ -304,6 +323,13 @@ def main() -> None:
         # Per-query count-eval timings so round-over-round
         # regressions are attributable per query.
         "count_eval_compat": compat,
+        # r14 additions (VERDICT r13 ask #3) — noise-resistant columns:
+        # every pass's raw seconds plus the per-query median, noop and
+        # count evals. Existing fields above are untouched.
+        "queries_samples": samples_noop,
+        "queries_median": {n: _median(s) for n, s in samples_noop.items()},
+        "count_eval_samples": samples_count,
+        "count_eval_median": {n: _median(s) for n, s in samples_count.items()},
         # Frozen r1 14-query set: THE cross-round ratio number.
         "count_eval_compat_total": round(
             sum(s for n, s in compat.items() if n in _R1SET), 3
@@ -340,6 +366,12 @@ def main() -> None:
         "queries_count_eval": {
             n: s for n, s in compat.items() if n in _R1SET
         },
+        # r14 addition: per-query MEDIAN-of-passes (noop eval) for the
+        # frozen set — the noise-resistant twin of "queries" (min).
+        # First to go under the size fail-safe below.
+        "queries_median": {
+            n: _median(s) for n, s in samples_noop.items() if n in _R1SET
+        },
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)
@@ -347,7 +379,7 @@ def main() -> None:
         # fail SAFE: the driver parses the LAST stdout line, so an
         # oversized summary must shrink, never crash after printing
         # something longer (and assert vanishes under python -O)
-        for k in ("queries_count_eval", "queries"):
+        for k in ("queries_median", "queries_count_eval", "queries"):
             summary.pop(k, None)
             summary["truncated"] = True
             line = json.dumps(summary)

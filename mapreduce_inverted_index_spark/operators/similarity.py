@@ -571,19 +571,46 @@ def ivf_topk(
     )
 
 
-def write_ivf_cells(assigned: DataFrame, path: str) -> None:
+def write_ivf_cells(
+    assigned: DataFrame, path: str, files_per_cell: int = 1
+) -> None:
     """Materialize the cell-tagged corpus ``partitionBy(cell)`` —
     the IVF build artifact. After this write, a probe of p cells
     reads p directories and nothing else (``PartitionFilters`` on
     the scan, audit-asserted) — the storage-level realization of
     "candidate work ~ n_probe/n_cells" that an in-memory cell
-    column can only promise."""
+    column can only promise.
+
+    File shape (r14, guide §6): ``ivf_assign`` is a map-only
+    projection, so an unclustered ``partitionBy(cell)`` write fans
+    every SCAN task out into one file per cell it touches — up to
+    tasks x n_cells files; at a 100 TB corpus that is thousands of
+    small files per cell directory, paying the small-files tax (and
+    the commit-protocol file count) on every probe.
+    A hash ``repartition`` on the cell key first clusters each cell
+    into ONE write task (the compaction path's layout, see
+    ``_compact_cells``), and ``sortWithinPartitions(vec_id)`` makes
+    the per-file vec_id min/max stats tight and the layout canonical.
+    ``files_per_cell > 1`` salts the repartition key
+    (deterministically, ``pmod(xxhash64(vec_id))`` — guide §2.5) so a
+    cell bigger than one sensible output file splits into a bounded
+    number of pieces; the per-test/bench default of one file per cell
+    is right whenever a cell fits a single file (clusters size it as
+    ~cell_bytes / target_file_size)."""
     from mapreduce_inverted_index_spark.operators.store import (
         mutation_lease,
         purge_swap_orphans,
         refresh_manifest,
     )
 
+    if files_per_cell > 1:
+        clustered = assigned.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+        )
+    else:
+        clustered = assigned.repartition("cell")
+    clustered = clustered.sortWithinPartitions("vec_id")
     # seeding is a mutation too: overwriting a store a live
     # maintenance fold is mid-swap on loses the fold's batch
     with mutation_lease(path):
@@ -591,7 +618,7 @@ def write_ivf_cells(assigned: DataFrame, path: str) -> None:
         # survived the overwrite would let the NEXT mutator's entry
         # recovery resurrect pre-crash cells over the fresh seed
         purge_swap_orphans(path)
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        clustered.write.mode("overwrite").partitionBy("cell").parquet(path)
         # reader-visible commit of the seeded snapshot; the schema
         # rides along so a later committed-empty state stays readable
         refresh_manifest(path, "cell", schema_json=assigned.schema.json())

@@ -22,9 +22,26 @@ ratios, token counts, vocab and unigram LM stats all see organic 10x
 growth) while rewriting its n-gram/shingle space, so MinHash/SimHash
 see distinct documents, as real growth would. The correctness gate is
 indifferent either way — the DuckDB oracle runs on the SAME derived
-parquet. Embedding vectors replicate verbatim (ANN top-k ties break
-on vec_id deterministically; near-dup pair spaces stay bounded by
-block chunking).
+parquet.
+
+Embedding vectors get the same treatment for the same reason (r14 —
+this fixes the one red row of SF1_SWEEP_r13): copies c > 0 apply a
+DETERMINISTIC per-copy coordinate permutation (numpy PCG64 seeded
+[3, c]; copy 0 verbatim). Verbatim replication planted a 10-way
+exact-duplicate clique at every point of the vector space — geometry
+no organic growth produces — which collapsed each IVF anchor's true
+top-3 from 3 distinct vectors spread over up to 3 cells into 3 copies
+of ONE vector in ONE cell, so a single unprobed cell zeroed the
+anchor's recall and hard_negatives_ivf_contract's corpus hit-rate
+fell through its 0.9 floor at sf1 (49/50 sweep). A coordinate
+permutation preserves every per-vector invariant (component multiset,
+norm, quantization error) and the verbatim copy-0 anchors, while
+cross-copy vectors become fresh near-uniform draws — the same
+distribution the base fixture samples, i.e. organic 10x growth for a
+near-uniform corpus. DuckDB oracles run on the same derived parquet,
+so correctness is indifferent; only the measured-recall contract
+floors see the geometry, and they were measured on organic
+near-uniform data.
 
 Output: /root/repo/testdata_sf1/<table>.parquet — single files, so
 both spark.read.parquet and DuckDB's direct-file views work
@@ -103,6 +120,16 @@ def _permute_text_rowwise(text: "str | None", copy: int, row: int) -> "str | Non
     return " ".join(words[i] for i in order)
 
 
+def _permute_embeddings(col: "pa.ChunkedArray", copy: int) -> "pa.Array":
+    """Per-copy coordinate permutation of list<float> vectors (see
+    module docstring). Deterministic: numpy PCG64 seeded [3, copy]."""
+    import numpy as np
+
+    vecs = np.asarray(col.to_pylist(), dtype=np.float32)
+    perm = np.random.default_rng([3, copy]).permutation(vecs.shape[1])
+    return pa.array(list(vecs[:, perm]), type=col.type)
+
+
 def main(
     src: str = SRC,
     dst: str = DST,
@@ -125,6 +152,11 @@ def main(
                 i = t2.schema.get_field_index(col)
                 shifted = pc.add(t2.column(i), pa.scalar(c * offset, type=pa.int64()))
                 t2 = t2.set_column(i, t2.schema.field(i), shifted.cast(t2.schema.field(i).type))
+            if t == "embeddings" and c > 0:
+                i = t2.schema.get_field_index("embedding")
+                t2 = t2.set_column(
+                    i, t2.schema.field(i), _permute_embeddings(t2.column(i), c)
+                )
             if t == "documents" and c > 0:
                 i = t2.schema.get_field_index("text")
                 if decade2:

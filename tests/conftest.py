@@ -21,7 +21,20 @@ SF_ORACLE = os.environ.get("MII_TEST_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from mapreduce_inverted_index_spark.session import get_spark
 
-    s = get_spark(app_name="mii-tests")
+    # UI/console-progress bookkeeping off for the test session only:
+    # the suite submits thousands of sub-second jobs, and the live UI
+    # event store + \r progress bars are pure per-job overhead here
+    # (nothing in tests reads the UI or its REST API — measurement
+    # tooling like tools/profile_query.py builds its own session).
+    # Plans, configs that affect plans, and executed semantics are
+    # untouched — the driver's correctness gate tests the same engine.
+    s = get_spark(
+        app_name="mii-tests",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield s
     s.stop()
 

@@ -51,8 +51,13 @@ def test_every_demo_names_a_production_twin():
 
 
 @pytest.mark.parametrize("name", _ORACLE_CARRYING)
-def test_no_unhashable_columns_in_driver_output(spark, sf_smoke, name):
-    df = _QUERIES[name].fn(spark, sf_smoke)
+def test_no_unhashable_columns_in_driver_output(spark, sf_oracle, query_df, name):
+    # The schema comes from the plan builder and is SF-independent;
+    # constructing at the oracle SF through the session query_df cache
+    # means the oracle differential reuses this construction instead
+    # of re-paying each query's eager build work (store seeds, stream
+    # folds) a second time per suite run.
+    df = query_df(name, sf_oracle)
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in df.schema.fields

@@ -16,9 +16,12 @@ _QUERIES = all_queries()
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_matches_oracle(spark, sf_oracle, name):
+def test_query_matches_oracle(spark, sf_oracle, query_df, name):
     q = _QUERIES[name]
-    sdf = q.fn(spark, sf_oracle)
+    # session query_df cache: the catalog-wide schema guard already
+    # constructed every oracle-carrying query at this SF; reuse that
+    # construction (and its eager build work) instead of re-paying it
+    sdf = query_df(name, sf_oracle)
     if q.oracle is None:
         # rows-only check (non-SQL-expressible op)
         assert sdf.count() >= 0

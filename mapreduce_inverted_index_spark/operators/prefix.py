@@ -85,9 +85,12 @@ def bucketed_prefix_sum(
         # §7, applied to the shared primitive). Identical expression
         # tree: IF(x > q, 1, 0) == WHEN(x > q, 1).OTHERWISE(0),
         # nulls included (null comparison -> false -> 0 on both).
+        # backtick-quote the interpolated identifier so a column name
+        # needing quoting (dots, spaces, reserved words) parses the
+        # same way F.col(cut_col) resolved it (ADVICE r13)
         pid = F.expr(
             " + ".join(
-                f"IF({cut_col} > _qs[{i}], 1, 0)"
+                f"IF(`{cut_col}` > _qs[{i}], 1, 0)"
                 for i in range(buckets - 1)
             )
         )

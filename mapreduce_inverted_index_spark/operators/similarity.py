@@ -267,8 +267,11 @@ def lsh_signature(vec_col: str, n_planes: int = N_PLANES, dim: int = 64) -> F.Co
         signs = ", ".join(
             f"{float(s)}D" for s in hyperplane_signs(dim, p)
         )
+        # backtick-quoted identifier: a vector column name needing
+        # quoting parses the same way F.col(vec_col) resolved it
+        # (ADVICE r13)
         terms.append(
-            f"IF(aggregate(zip_with({vec_col}, array({signs}), "
+            f"IF(aggregate(zip_with(`{vec_col}`, array({signs}), "
             "(x, s) -> CAST(x AS DOUBLE) * s), 0D, "
             f"(acc, v) -> acc + v) >= 0, {1 << (n_planes - 1 - p)}, 0)"
         )

@@ -32,8 +32,11 @@ def pytest_collection_modifyitems(items):
     Ordering the guard after the differential gives every query ONE
     construction per suite with zero execution staleness.
     """
-    guard = "tests/test_driver_compat.py::test_no_unhashable_columns"
-    items.sort(key=lambda it: it.nodeid.startswith(guard))
+    # match on the file::test fragment, not a "tests/" prefix — the
+    # nodeid's leading path depends on pytest's rootdir resolution
+    # (invocation cwd / args), and the guard must sort last under any
+    guard = "test_driver_compat.py::test_no_unhashable_columns"
+    items.sort(key=lambda it: guard in it.nodeid)
 
 
 @pytest.fixture(scope="session")
